@@ -1,0 +1,97 @@
+"""Roundtrip tests for the .fmi formats (tags 100/101/200/201) and the
+native .npz persistence: write -> read -> identical search results."""
+
+import numpy as np
+import pytest
+
+from tpufm.config import IndexConfig, Layout
+from tpufm.engine.oracle import search_oracle
+from tpufm.index.builder import build_index
+from tpufm.index.formats import write_fmi, read_fmi, save_npz, load_npz
+from tpufm.index.layouts import (
+    make_alt_counters,
+    interleave_bitmap_words,
+    deinterleave_bitmap_words,
+)
+
+
+@pytest.mark.parametrize("layout", list(Layout))
+@pytest.mark.parametrize("k,d", [(1, 64), (2, 64), (2, 32), (3, 32)])
+def test_fmi_roundtrip(tmp_path, rng, layout, k, d):
+    cfg = IndexConfig(k=k, d=d, layout=layout)
+    codes = rng.integers(0, 4, size=333, dtype=np.uint8)
+    index = build_index(codes, cfg, sa_method="doubling")
+    path = tmp_path / "idx.fmi"
+    write_fmi(path, index, layout)
+    loaded, got_layout = read_fmi(path)
+    assert got_layout == layout
+
+    queries = np.stack([codes[s : s + 2 * k] for s in range(0, 40, 3)])
+    expected = search_oracle(index, queries)
+    np.testing.assert_array_equal(search_oracle(loaded, queries), expected)
+
+
+def test_fmi_roundtrip_divisible(tmp_path, rng):
+    # bwtsize % d == 0 exercises the end-of-text reconstruction paths.
+    for layout in (Layout.BASELINE, Layout.ALT_COUNTERS):
+        cfg = IndexConfig(k=2, d=32, layout=layout)
+        codes = rng.integers(0, 4, size=95, dtype=np.uint8)  # bwtsize=96=3*32
+        index = build_index(codes, cfg, sa_method="doubling")
+        path = tmp_path / f"idx-{layout.value}.fmi"
+        write_fmi(path, index, layout)
+        loaded, _ = read_fmi(path)
+        queries = np.stack([codes[s : s + 4] for s in range(0, 30, 3)])
+        np.testing.assert_array_equal(
+            search_oracle(loaded, queries), search_oracle(index, queries)
+        )
+
+
+def test_npz_roundtrip(tmp_path, rng):
+    cfg = IndexConfig(k=2, d=64)
+    codes = rng.integers(0, 4, size=500, dtype=np.uint8)
+    index = build_index(codes, cfg, sa_method="doubling")
+    path = tmp_path / "idx.npz"
+    save_npz(path, index)
+    loaded = load_npz(path)
+    np.testing.assert_array_equal(loaded.occ, index.occ)
+    np.testing.assert_array_equal(loaded.bitmaps, index.bitmaps)
+    np.testing.assert_array_equal(loaded.dollar_pos, index.dollar_pos)
+    assert loaded.bwtsize == index.bwtsize
+    assert loaded.config == cfg
+
+
+def test_interleave_is_involution(rng):
+    cfg = IndexConfig(k=2, d=64)
+    codes = rng.integers(0, 4, size=300, dtype=np.uint8)
+    index = build_index(codes, cfg, sa_method="doubling")
+    il = interleave_bitmap_words(index.bitmaps)
+    np.testing.assert_array_equal(deinterleave_bitmap_words(il), index.bitmaps)
+    # word-order spot check: flat interleaved word (2k)*w + 2s + p == old [s, p, w]
+    k, nb = cfg.k, cfg.words_per_plane
+    flat = il[0].reshape(-1)
+    for w in range(nb):
+        for s in range(k):
+            for p in range(2):
+                assert flat[(2 * k) * w + 2 * s + p] == index.bitmaps[0, s, p, w]
+
+
+def test_fmi_header_fields(tmp_path, rng):
+    cfg = IndexConfig(k=2, d=64)
+    codes = rng.integers(0, 4, size=200, dtype=np.uint8)
+    index = build_index(codes, cfg, sa_method="doubling")
+    path = tmp_path / "idx.fmi"
+    write_fmi(path, index, Layout.BASELINE)
+    raw = np.fromfile(path, dtype="<u4")
+    # tag, steps, bwtsize, ncounters, nentries, chunk, dollarPos[k], dollarBase[k]
+    assert raw[0] == 100
+    assert raw[1] == 2
+    assert raw[2] == 201
+    assert raw[3] == 16
+    assert raw[4] == index.nentries
+    assert raw[5] == 64
+    np.testing.assert_array_equal(raw[6:8], index.dollar_pos)
+    np.testing.assert_array_equal(raw[8:10], index.dollar_base)
+    # entry 0: 8 bitmap words then 16 counters
+    entry0 = raw[10 : 10 + 24]
+    np.testing.assert_array_equal(entry0[:8], index.bitmaps[0].reshape(-1))
+    np.testing.assert_array_equal(entry0[8:], index.occ[0])

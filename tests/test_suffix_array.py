@@ -1,0 +1,48 @@
+import numpy as np
+import pytest
+
+from tpufm.index.suffix_array import (
+    suffix_array_doubling,
+    suffix_array_naive,
+    suffix_array_native,
+)
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 3, 10, 100, 1000])
+def test_doubling_matches_naive(rng, n):
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    np.testing.assert_array_equal(
+        suffix_array_doubling(codes), suffix_array_naive(codes)
+    )
+
+
+def test_repetitive_text(rng):
+    # Heavy repeats stress rank-compression and LMS naming.
+    for pat in [b"\x00", b"\x00\x01", b"\x03\x03\x00", b"\x00\x01\x02\x03"]:
+        codes = np.frombuffer(pat * 200, dtype=np.uint8).copy()
+        np.testing.assert_array_equal(
+            suffix_array_doubling(codes), suffix_array_naive(codes)
+        )
+
+
+def test_native_matches_doubling(rng):
+    native_probe = suffix_array_native(np.zeros(4, dtype=np.uint8))
+    if native_probe is None:
+        pytest.skip("native SA-IS library unavailable")
+    for n in [1, 2, 5, 37, 1000, 20000]:
+        codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+        np.testing.assert_array_equal(
+            suffix_array_native(codes), suffix_array_doubling(codes)
+        )
+    for pat in [b"\x00", b"\x01\x00", b"\x02\x02\x01\x00"]:
+        codes = np.frombuffer(pat * 500, dtype=np.uint8).copy()
+        np.testing.assert_array_equal(
+            suffix_array_native(codes), suffix_array_doubling(codes)
+        )
+
+
+def test_sentinel_rank_zero(rng):
+    codes = rng.integers(0, 4, size=64, dtype=np.uint8)
+    sa = suffix_array_doubling(codes)
+    assert sa[0] == 64  # the '$' suffix sorts first
+    assert sorted(sa.tolist()) == list(range(65))

@@ -1,0 +1,53 @@
+"""XLA engine vs NumPy oracle: bit-exact SA intervals on the CPU backend."""
+
+import numpy as np
+import pytest
+
+from tpufm.config import IndexConfig
+from tpufm.engine.oracle import search_oracle
+from tpufm.engine.xla import XLAEngine
+from tpufm.index.builder import build_index
+from tpufm.index.layouts import make_alt_counters
+
+
+def _mk(rng, k, d, n):
+    cfg = IndexConfig(k=k, d=d)
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    index = build_index(codes, cfg, sa_method="doubling")
+    return codes, index
+
+
+@pytest.mark.parametrize("k,d", [(1, 32), (1, 64), (2, 64), (3, 32), (4, 32)])
+def test_xla_matches_oracle(rng, k, d):
+    codes, index = _mk(rng, k, d, 777)
+    engine = XLAEngine(index)
+    qlen = 4 * k
+    starts = rng.integers(0, len(codes) - qlen, size=64)
+    queries = np.stack([codes[s : s + qlen] for s in starts])
+    misses = rng.integers(0, 4, size=(16, qlen), dtype=np.uint8)
+    queries = np.concatenate([queries, misses])
+    np.testing.assert_array_equal(engine.search(queries), search_oracle(index, queries))
+
+
+@pytest.mark.parametrize("k,d", [(1, 32), (2, 64)])
+def test_xla_ac_matches_oracle(rng, k, d):
+    codes, index = _mk(rng, k, d, 500)
+    ac = make_alt_counters(index)
+    engine = XLAEngine(ac)
+    assert engine.alt_counters
+    qlen = 4 * k
+    starts = rng.integers(0, len(codes) - qlen, size=48)
+    queries = np.stack([codes[s : s + qlen] for s in starts])
+    np.testing.assert_array_equal(engine.search(queries), search_oracle(index, queries))
+
+
+def test_xla_long_queries(rng):
+    # 120 bp reads (the reference's standard workload length).
+    codes, index = _mk(rng, 2, 64, 5000)
+    engine = XLAEngine(index)
+    starts = rng.integers(0, len(codes) - 120, size=32)
+    queries = np.stack([codes[s : s + 120] for s in starts])
+    got = engine.search(queries)
+    np.testing.assert_array_equal(got, search_oracle(index, queries))
+    # every sampled read must occur at least once
+    assert (got[:, 1] > got[:, 0]).all()

@@ -1,0 +1,108 @@
+"""Index configuration.
+
+The reference makes (k, d, layout) compile-time choices stamped into binary
+names (reference makefile:140-207, -DK_STEPS/-DNUM_CHUNK/-DNUM_COUNTERS).
+Here they are one dataclass resolved at trace time: a jit specialization per
+config replaces the reference's compile sweep.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Layout(enum.Enum):
+    """On-device packing of the Occ/bitmap entry table.
+
+    Mirrors the reference's four on-disk index kinds (SURVEY.md section 2):
+      BASELINE     — tag 100: per-entry [bitmaps by (step, plane, window)][4^k counters]
+                     (reference src/genFMindex.c:42-45)
+      INTERLEAVED  — tag 101: bitmaps regrouped by (window, step, plane) so one
+                     aligned 16B vector holds all 2k planes of a 32-base window
+                     (reference src/transformIndexBitmaps.c:269-295)
+      ALT_COUNTERS — tag 200: half the 4^k counters per entry, alternating
+                     halves between even/odd entries; queries for the "other
+                     half" read the next entry and count backwards
+                     (reference src/transformIndexAlternateCounters.c:434-479)
+      INTERLEAVED_ALT_COUNTERS — tag 201: both transforms combined
+                     (reference src/transformIndexAlternateCounters.c:387-432)
+    """
+
+    BASELINE = "baseline"
+    INTERLEAVED = "interleaved"
+    ALT_COUNTERS = "alt_counters"
+    INTERLEAVED_ALT_COUNTERS = "interleaved_alt_counters"
+
+    @property
+    def fmi_tag(self) -> int:
+        return {
+            Layout.BASELINE: 100,
+            Layout.INTERLEAVED: 101,
+            Layout.ALT_COUNTERS: 200,
+            Layout.INTERLEAVED_ALT_COUNTERS: 201,
+        }[self]
+
+    @property
+    def has_slim_counters(self) -> bool:
+        return self in (Layout.ALT_COUNTERS, Layout.INTERLEAVED_ALT_COUNTERS)
+
+    @staticmethod
+    def from_fmi_tag(tag: int) -> "Layout":
+        for layout in Layout:
+            if layout.fmi_tag == tag:
+                return layout
+        raise ValueError(f"unknown .fmi index tag {tag}")
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexConfig:
+    """Static configuration of a k-step FM-index.
+
+    k:      number of LF steps fused per memory round (reference K_STEPS).
+            One lookup advances backward search by k bases.
+    d:      block sampling rate in bases (reference NUM_CHUNK); each entry
+            covers d BWT positions with d/32 32-bit words per bit-plane.
+    layout: entry-table packing (see Layout).
+    """
+
+    k: int = 2
+    d: int = 64
+    layout: Layout = Layout.BASELINE
+
+    def __post_init__(self):
+        if self.k < 1 or self.k > 8:
+            raise ValueError(f"k must be in [1, 8], got {self.k}")
+        if self.d % 32 != 0 or self.d <= 0:
+            raise ValueError(f"d must be a positive multiple of 32, got {self.d}")
+
+    @property
+    def num_counters(self) -> int:
+        """Counters per logical entry: 4^k (reference NUM_COUNTERS)."""
+        return 4 ** self.k
+
+    @property
+    def num_slim_counters(self) -> int:
+        """Counters stored per entry under alternate-counters: 4^k / 2."""
+        return self.num_counters // 2
+
+    @property
+    def words_per_plane(self) -> int:
+        """32-bit words per bit-plane per entry (reference NUM_BITMAPS = d/32)."""
+        return self.d // 32
+
+    @property
+    def bitmap_words(self) -> int:
+        """Total bitmap words per entry: 2 planes x k steps x d/32 windows."""
+        return 2 * self.k * self.words_per_plane
+
+    def num_entries(self, bwtsize: int) -> int:
+        """ceil(bwtsize / d) (reference src/genFMindex.c:477)."""
+        return -(-bwtsize // self.d)
+
+    def entry_bytes(self) -> int:
+        """Bytes per entry in the given layout."""
+        counters = (
+            self.num_slim_counters if self.layout.has_slim_counters else self.num_counters
+        )
+        return 4 * (self.bitmap_words + counters)

@@ -1,0 +1,200 @@
+"""XLA gather-based TPU search engine.
+
+The whole query batch advances one fused k-step LF round at a time: per
+round, both interval ends of every read do one gather from the Occ/bitmap
+tables plus a vectorized mask/popcount — the batch dimension is the parallel
+axis (the TPU formulation of the reference's one-thread-per-interval GPU
+mapping, src/fmIndexGPU-Task-1Step.cu:111-183). The per-read dependent chain
+of length len/k lives in a lax.scan.
+
+This engine is pure jnp (XLA gathers), runs on TPU/CPU/GPU identically, and
+is the correctness anchor for the Pallas kernel. Bit-exact vs
+tpufm.engine.oracle, which is bit-exact vs the reference CPU baseline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufm.index.builder import KStepFMIndex
+from tpufm.index.layouts import AltCountersIndex
+
+_U32 = jnp.uint32
+
+
+def _boundary_masks(shift, nb: int):
+    """uint32 [..., nb] prefix masks; window w keeps clip(shift-32w, 0, 32)
+    top bits (see tpufm.engine.oracle.boundary_masks)."""
+    cov = jnp.clip(
+        shift.astype(jnp.int32)[..., None] - 32 * jnp.arange(nb, dtype=jnp.int32),
+        0,
+        32,
+    )
+    amount = jnp.where(cov > 0, 32 - jnp.minimum(cov, 32), 0).astype(_U32)
+    full = _U32(0xFFFFFFFF)
+    m = jnp.left_shift(full, amount)
+    return jnp.where(cov > 0, m, _U32(0))
+
+
+def _match_words(rows, code, k: int):
+    """rows uint32 [..., k, 2, nb], code uint32 [...] -> uint32 [..., nb]."""
+    code = code[..., None]
+    out = jnp.full(rows.shape[:-3] + rows.shape[-1:], _U32(0xFFFFFFFF), dtype=_U32)
+    for i in range(k):
+        b0 = (code >> _U32(2 * i)) & _U32(1)
+        b1 = (code >> _U32(2 * i + 1)) & _U32(1)
+        p0 = rows[..., i, 0, :]
+        p1 = rows[..., i, 1, :]
+        out &= jnp.where(b0 != 0, p0, ~p0) & jnp.where(b1 != 0, p1, ~p1)
+    return out
+
+
+def lf_step(tables: dict, cfg: tuple, interval, code):
+    """Baseline-layout k-step LF for a batch of interval ends.
+
+    tables: {'occ': [E+1, 4^k], 'bitmaps': [E+1, k, 2, nb], 'dollar_pos': [k],
+             'dollar_base': [k], 'dollar_block': [k]} (uint32)
+    cfg: (k, d, nb) static ints.
+    """
+    k, d, nb = cfg
+    block = interval // _U32(d)
+    cnt = tables["occ"][block, code]
+    rows = tables["bitmaps"][block]
+
+    masks = _boundary_masks(interval % _U32(d), nb)
+    matched = _match_words(rows, code, k) & masks
+    count = jnp.sum(jax.lax.population_count(matched), axis=-1)
+
+    dpos, dbase, dblock = (
+        tables["dollar_pos"],
+        tables["dollar_base"],
+        tables["dollar_block"],
+    )
+    hit = (
+        (block[..., None] == dblock)
+        & (code[..., None] == dbase)
+        & (interval[..., None] > dpos)
+    )
+    count -= jnp.sum(hit.astype(_U32), axis=-1)
+    return cnt + count
+
+
+def lf_step_ac(tables: dict, cfg: tuple, interval, code):
+    """Alternate-counters k-step LF (see tpufm.engine.oracle.lf_step_oracle_ac).
+
+    tables adds 'occ_slim': [E+2, 4^k/2]; cfg: (k, d, nb, S).
+    """
+    k, d, nb, S = cfg
+    block = interval // _U32(d)
+    odd = (block & _U32(1)) != 0
+    high = code >= _U32(S)
+    idx_entry = jnp.where(odd ^ high, _U32(1), _U32(0))
+
+    cnt = tables["occ_slim"][block + idx_entry, code & _U32(S - 1)]
+    rows = tables["bitmaps"][block]
+
+    masks = _boundary_masks(interval % _U32(d), nb)
+    masks = jnp.where((idx_entry == 1)[..., None], ~masks, masks)
+    matched = _match_words(rows, code, k) & masks
+    count = jnp.sum(jax.lax.population_count(matched), axis=-1)
+
+    dpos, dbase, dblock = (
+        tables["dollar_pos"],
+        tables["dollar_base"],
+        tables["dollar_block"],
+    )
+    at = (block[..., None] == dblock) & (code[..., None] == dbase)
+    fwd = at & (idx_entry == 0)[..., None] & (interval[..., None] > dpos)
+    bwd = at & (idx_entry == 1)[..., None] & (interval[..., None] <= dpos)
+    count -= jnp.sum((fwd | bwd).astype(_U32), axis=-1)
+
+    return jnp.where(idx_entry == 1, cnt - count, cnt + count)
+
+
+def fuse_round_codes(queries, k: int):
+    """uint8 [B, L] -> uint32 [rounds, B] fused k-mer codes per round
+    (level i = offset k-1-i inside each k-chunk, rounds run right-to-left)."""
+    B, L = queries.shape
+    if L % k != 0:
+        raise ValueError(f"query length {L} not divisible by k={k}")
+    rounds = L // k
+    chunks = queries.reshape(B, rounds, k)[:, ::-1, :].astype(_U32)
+    code = jnp.zeros((B, rounds), dtype=_U32)
+    for i in range(k):
+        code |= chunks[:, :, k - 1 - i] << _U32(2 * i)
+    return code.T
+
+
+def make_search_fn(k: int, d: int, alt_counters: bool):
+    """Build the jittable batch search: (tables, bwtsize, queries) -> [B, 2]."""
+    nb = d // 32
+    if alt_counters:
+        cfg = (k, d, nb, (4**k) // 2)
+        step = lf_step_ac
+    else:
+        cfg = (k, d, nb)
+        step = lf_step
+
+    def search(tables, bwtsize, queries):
+        codes = fuse_round_codes(queries, k)
+        B = queries.shape[0]
+        lo0 = jnp.zeros(B, dtype=_U32)
+        hi0 = jnp.full(B, bwtsize, dtype=_U32)
+
+        def body(carry, code):
+            lo, hi = carry
+            return (step(tables, cfg, lo, code), step(tables, cfg, hi, code)), None
+
+        (lo, hi), _ = jax.lax.scan(body, (lo0, hi0), codes)
+        return jnp.stack([lo, hi], axis=1)
+
+    return search
+
+
+class XLAEngine:
+    """Host-facing engine wrapper: owns device-resident tables + a jitted
+    search specialized on (k, d, layout) — the trace-time equivalent of the
+    reference's compile-time -DK_STEPS/-DNUM_CHUNK sweep."""
+
+    def __init__(self, index: KStepFMIndex | AltCountersIndex, device=None):
+        if isinstance(index, AltCountersIndex):
+            base = index.base
+            self.alt_counters = True
+        else:
+            base = index
+            self.alt_counters = False
+        self.config = base.config
+        self.bwtsize = base.bwtsize
+
+        put = functools.partial(jax.device_put, device=device)
+        tables: dict[str, Any] = {
+            "bitmaps": put(base.bitmaps),
+            "dollar_pos": put(base.dollar_pos),
+            "dollar_base": put(base.dollar_base),
+            "dollar_block": put(np.asarray(base.dollar_block, dtype=np.uint32)),
+        }
+        if self.alt_counters:
+            tables["occ_slim"] = put(index.occ_slim)
+        else:
+            tables["occ"] = put(base.occ)
+        self.tables = tables
+
+        self._search = jax.jit(
+            make_search_fn(self.config.k, self.config.d, self.alt_counters)
+        )
+
+    def search(self, queries) -> np.ndarray:
+        """queries: uint8 [B, L] 2-bit codes. Returns uint32 [B, 2]."""
+        out = self._search(
+            self.tables, _U32(self.bwtsize), jnp.asarray(queries, dtype=jnp.uint8)
+        )
+        return np.asarray(jax.device_get(out))
+
+    def search_device(self, queries):
+        """Device-to-device search (no host transfer), for benchmarking."""
+        return self._search(self.tables, _U32(self.bwtsize), queries)

@@ -1,0 +1,232 @@
+"""k-step FM-index construction (host side).
+
+Builds the same logical index as the reference's gfmiBaseLine binaries
+(reference src/genFMindex.c:457-543) but TPU-first:
+
+* The k BWT levels are derived **directly from the suffix array** with
+  vectorized gathers — BWT_i[j] = T[(SA[j] - 1 - i) mod N] — instead of the
+  reference's serial LF-mapping walk over the whole text
+  (reference src/genFMindex.c:327-400, one dependent memory access per text
+  position). The dollar position of level i is the rank of suffix i:
+  BWT_i[j] = '$'  iff  SA[j] == i.
+
+* The index is a structure-of-arrays pytree of uint32 arrays (not an
+  array-of-structs entry table): `occ[nentries+1, 4^k]` counters and
+  `bitmaps[nentries+1, k, 2, d/32]` bit-planes. SoA is what XLA and Pallas
+  want; the reference's interleaved AoS entry (src/genFMindex.c:42-45) was a
+  cache-line artifact and is kept only as an on-disk packing
+  (tpufm/index/formats.py).
+
+* One extra sentinel row is appended: occ[nentries] = Cb + total counts and
+  bitmaps[nentries] = 0. It makes the initial R = bwtsize lookup in-bounds
+  and *correct* even when bwtsize % d == 0 — a case where the reference
+  searcher reads out of bounds (reference src/fmIndexCPUBaseline.c:209
+  computes indexCounterR = bwtsize/d == nentries).
+
+Counter semantics match reference src/genFMindex.c:184-260 exactly:
+  entry.cnt[c] = Cb[c] + Occ(c, entry_start), where Occ excludes every
+  position that is a '$' in ANY of the k levels (checkPositionBWT,
+  src/genFMindex.c:115-121), and Cb[c] = sum of total counts of all k-mers
+  < c, incremented once per level i for every c >= (dollar k-mer of level i
+  with levels below i cleared) (src/genFMindex.c:237-250).
+Bitmap packing matches src/genFMindex.c:402-455: per entry, per level, two
+bit-planes (plane 0 = low code bit, plane 1 = high code bit) of d/32 words,
+MSB-first within each 32-base window; '$' is encoded as 'A'
+(src/genFMindex.c:505-509).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from tpufm.config import IndexConfig, Layout
+from tpufm.index.suffix_array import suffix_array
+from tpufm.utils.encoding import encode_bases
+
+
+@dataclasses.dataclass
+class KStepFMIndex:
+    """Logical (layout-independent) k-step FM-index.
+
+    occ:      uint32 [nentries + 1, 4^k] — Cb-accumulated Occ counters per
+              block; row nentries is the end-of-text sentinel.
+    bitmaps:  uint32 [nentries + 1, k, 2, d/32] — 2-bit-plane BWT bitmaps;
+              plane 0 holds the low code bit, plane 1 the high code bit;
+              row nentries is zero.
+    dollar_pos:  uint32 [k] — BWT position of '$' per level.
+    dollar_base: uint32 [k] — k-mer code at dollar_pos (with '$' read as 'A').
+    """
+
+    config: IndexConfig
+    bwtsize: int
+    occ: np.ndarray
+    bitmaps: np.ndarray
+    dollar_pos: np.ndarray
+    dollar_base: np.ndarray
+
+    @property
+    def nentries(self) -> int:
+        """Number of real entries (excluding the sentinel row)."""
+        return self.occ.shape[0] - 1
+
+    @property
+    def dollar_block(self) -> np.ndarray:
+        return self.dollar_pos // np.uint32(self.config.d)
+
+    def astuple(self):
+        return (self.occ, self.bitmaps, self.dollar_pos, self.dollar_base)
+
+
+def pack_bitplane_words(bits: np.ndarray) -> np.ndarray:
+    """Pack a [..., 32] array of 0/1 bits into uint32 words, MSB-first.
+
+    Bit for in-window offset p lands at bit (31 - p), matching
+    reference src/genFMindex.c:402-424 (substring2bitmap).
+    """
+    if bits.shape[-1] != 32:
+        raise ValueError("last axis must be 32")
+    by = np.packbits(bits.astype(np.uint8), axis=-1)  # [..., 4], MSB-first
+    by = by.astype(np.uint32)
+    return (by[..., 0] << 24) | (by[..., 1] << 16) | (by[..., 2] << 8) | by[..., 3]
+
+
+def build_index(
+    reference,
+    config: IndexConfig = IndexConfig(),
+    sa_method: str = "auto",
+) -> KStepFMIndex:
+    """Build a k-step FM-index from a DNA reference.
+
+    reference: str/bytes of ACGT, or a uint8 array of 2-bit codes.
+    """
+    if isinstance(reference, (str, bytes, bytearray)):
+        codes = encode_bases(reference)
+    else:
+        codes = np.asarray(reference, dtype=np.uint8)
+        if codes.size and codes.max() > 3:
+            codes = encode_bases(codes)
+
+    k, d = config.k, config.d
+    n = int(codes.shape[0])
+    bwtsize = n + 1
+    ncounters = config.num_counters
+    nb = config.words_per_plane
+    nentries = config.num_entries(bwtsize)
+    padded = nentries * d
+
+    sa = suffix_array(codes, method=sa_method)  # int64 [bwtsize]
+
+    # T with '$' -> 'A' (code 0): the bitmap/counter alphabet never sees '$'.
+    t_codes = np.empty(bwtsize, dtype=np.uint8)
+    t_codes[:n] = codes
+    t_codes[n] = 0
+
+    # dollar_pos[i] = rank of suffix i  (BWT_i[j] == '$' iff SA[j] == i).
+    dollar_pos = np.empty(k, dtype=np.int64)
+    small = np.flatnonzero(sa < k)
+    dollar_pos[sa[small]] = small
+    if np.unique(dollar_pos).size != k:
+        raise AssertionError("internal: dollar positions not unique")
+
+    # Level codes and fused k-mer per BWT position, '$' read as 'A'.
+    kmer = np.zeros(bwtsize, dtype=np.uint32)
+    levels = np.empty((k, bwtsize), dtype=np.uint8)
+    for i in range(k):
+        prev = sa - (1 + i)
+        prev[prev < 0] += bwtsize  # mod N without a division
+        levels[i] = t_codes[prev]
+        kmer |= levels[i].astype(np.uint32) << np.uint32(2 * i)
+
+    dollar_base = kmer[dollar_pos].astype(np.uint32)
+
+    # Valid positions: not a '$' in any level (reference checkPositionBWT).
+    valid = np.ones(bwtsize, dtype=bool)
+    valid[dollar_pos] = False
+
+    # --- Per-block Occ counts, dollar-exclusive -------------------------
+    block_ids = np.arange(bwtsize, dtype=np.int64) // d
+    flat = block_ids * ncounters + kmer
+    counts = np.bincount(
+        flat[valid], minlength=nentries * ncounters
+    ).reshape(nentries, ncounters)
+    totals = counts.sum(axis=0)
+
+    # Exclusive prefix over blocks, plus the end-of-text sentinel row.
+    occ = np.zeros((nentries + 1, ncounters), dtype=np.int64)
+    np.cumsum(counts, axis=0, out=occ[1:])
+
+    # --- Cb accumulation (reference src/genFMindex.c:237-250) -----------
+    acc = np.zeros(ncounters, dtype=np.int64)
+    acc[1:] = np.cumsum(totals)[:-1]
+    for i in range(k):
+        masked = int(dollar_base[i]) & ~((1 << (2 * i)) - 1)
+        acc[masked:] += 1
+    occ += acc
+
+    occ_u32 = occ.astype(np.uint32)
+
+    # --- Bitmaps ---------------------------------------------------------
+    bitmaps = np.zeros((nentries + 1, k, 2, nb), dtype=np.uint32)
+    pad_bits = np.zeros((k, padded - bwtsize), dtype=np.uint8)
+    for plane in range(2):
+        bits = (levels >> plane) & 1  # [k, bwtsize]
+        bits = np.concatenate([bits, pad_bits], axis=1)
+        words = pack_bitplane_words(bits.reshape(k, nentries, nb, 32))
+        bitmaps[:nentries, :, plane, :] = words.transpose(1, 0, 2)
+
+    return KStepFMIndex(
+        config=config,
+        bwtsize=bwtsize,
+        occ=occ_u32,
+        bitmaps=bitmaps,
+        dollar_pos=dollar_pos.astype(np.uint32),
+        dollar_base=dollar_base,
+    )
+
+
+def total_kmer_counts_bitmap(index: KStepFMIndex) -> np.ndarray:
+    """Bitmap-inclusive total count of each k-mer over all real blocks:
+    '$' positions count as their 'A'-encoded k-mer and padding positions as
+    k-mer 0. int64 [4^k]. Used to reconstruct end-of-text counters when
+    loading foreign .fmi images."""
+    from tpufm.bitops import match_words, popcount_rows
+
+    cfg = index.config
+    bm = index.bitmaps[: index.nentries]
+    out = np.empty(cfg.num_counters, dtype=np.int64)
+    for c in range(cfg.num_counters):
+        out[c] = popcount_rows(match_words(bm, np.uint32(c), cfg.k)).sum()
+    return out
+
+
+def count_kmer_in_block(
+    index: KStepFMIndex, block: int, code: int, prefix_len: int
+) -> int:
+    """Popcount-match of k-mer `code` in the first `prefix_len` positions of
+    `block`'s bitmaps ('$' counted as its dollar_base k-mer, padding as 'A').
+
+    Host-side mirror of the searcher's per-block popcount
+    (reference src/fmIndexCPUBaseline.c:230-250) and of countEntry
+    (reference src/transformIndexAlternateCounters.c:91-127).
+    """
+    cfg = index.config
+    nb = cfg.words_per_plane
+    total = 0
+    shift = prefix_len
+    for w in range(nb):
+        cov = min(max(shift, 0), 32)
+        mask = np.uint32(0) if cov == 0 else np.uint32(0xFFFFFFFF) << np.uint32(32 - cov)
+        m = np.uint32(mask)
+        for i in range(cfg.k):
+            b0 = (code >> (2 * i)) & 1
+            b1 = (code >> (2 * i + 1)) & 1
+            p0 = index.bitmaps[block, i, 0, w]
+            p1 = index.bitmaps[block, i, 1, w]
+            sel0 = p0 if b0 else np.uint32(~p0)
+            sel1 = p1 if b1 else np.uint32(~p1)
+            m &= sel0 & sel1
+        total += int(np.bitwise_count(m))
+        shift -= 32
+    return total

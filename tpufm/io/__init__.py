@@ -1,0 +1,12 @@
+from tpufm.io.fasta import read_reference, write_reference, load_queries
+from tpufm.io.results import write_results, load_results
+from tpufm.io.genreads import generate_reads
+
+__all__ = [
+    "read_reference",
+    "write_reference",
+    "load_queries",
+    "write_results",
+    "load_results",
+    "generate_reads",
+]

@@ -1,0 +1,84 @@
+"""FASTA reference / query I/O, format-compatible with the reference suite.
+
+* read_reference mirrors readRef (reference common/common.c:42-76): skip the
+  first '>' header line, concatenate sequence lines up to `refsize` chars.
+* write_reference mirrors writeRef (reference common/common.c:88-117):
+  header "> <size>", 70-column lines, trailing newline.
+* load_queries mirrors loadQueries without warp interleaving (reference
+  common/common.c:132-199): every non-header line is one read of exactly
+  `query_len` characters. (The reference's GPU-only warp interleaving of
+  query words is a CUDA coalescing artifact with no TPU equivalent — the
+  TPU engines take a dense [batch, len] uint8 array.)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from tpufm.utils.encoding import encode_bases
+
+_LINE = 70
+
+
+def read_reference(path, refsize: int | None = None) -> np.ndarray:
+    """Read a (M)FASTA reference into uint8 2-bit codes of length refsize."""
+    chunks = []
+    total = 0
+    with open(path, "rb") as fp:
+        first = fp.readline()
+        if not first.startswith(b">"):
+            raise ValueError(f"{path}: not a FASTA file (missing '>' header)")
+        for line in fp:
+            if line.startswith(b">"):
+                continue
+            seq = line.strip()
+            if not seq:
+                continue
+            chunks.append(seq)
+            total += len(seq)
+            if refsize is not None and total >= refsize:
+                break
+    data = b"".join(chunks)
+    if refsize is not None:
+        if len(data) < refsize:
+            raise ValueError(
+                f"{path}: reference has {len(data)} bases, need {refsize}"
+            )
+        data = data[:refsize]
+    return encode_bases(data)
+
+
+def write_reference(path, seq: bytes | str) -> None:
+    """Write a normalized single-record FASTA (70-col, '> <size>' header)."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    with open(path, "wb") as fp:
+        fp.write(b"> %d" % len(seq))
+        for off in range(0, len(seq), _LINE):
+            fp.write(b"\n" + seq[off : off + _LINE])
+        fp.write(b"\n")
+
+
+def load_queries(path, query_len: int, num_queries: int | None = None) -> np.ndarray:
+    """Load a multi-FASTA query file into uint8 codes [num_queries, query_len]."""
+    reads = []
+    with open(path, "rb") as fp:
+        for line in fp:
+            if line.startswith(b">"):
+                continue
+            seq = line.strip()
+            if not seq:
+                continue
+            if len(seq) != query_len:
+                raise ValueError(
+                    f"{path}: read of length {len(seq)}, expected {query_len}"
+                )
+            reads.append(seq)
+            if num_queries is not None and len(reads) == num_queries:
+                break
+    if num_queries is not None and len(reads) < num_queries:
+        raise ValueError(f"{path}: only {len(reads)} reads, need {num_queries}")
+    blob = b"".join(reads)
+    return encode_bases(blob).reshape(len(reads), query_len)

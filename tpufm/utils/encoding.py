@@ -1,0 +1,53 @@
+"""2-bit DNA base encoding.
+
+The alphabet order is A=0, C=1, G=2, T=3 — the same order the reference
+derives from ASCII bit tricks (reference src/genFMindex.c:71-84: the function
+base2index maps 'A'->0, 'C'->1, 'G'->2, 'T'->3). The '$' BWT terminator is
+represented as 'A' inside bitmaps (reference src/genFMindex.c:505-509), with
+per-level dollar position/base metadata correcting the counts at query time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BASE_ORDER = b"ACGT"
+
+# ASCII -> 2-bit code lookup; unknown characters map to 0 ('A').
+_ASCII_TO_CODE = np.zeros(256, dtype=np.uint8)
+for _i, _b in enumerate(BASE_ORDER):
+    _ASCII_TO_CODE[_b] = _i
+    _ASCII_TO_CODE[_b + 32] = _i  # lowercase
+
+_CODE_TO_ASCII = np.frombuffer(BASE_ORDER, dtype=np.uint8).copy()
+
+
+def encode_bases(seq) -> np.ndarray:
+    """ASCII bytes / str -> uint8 codes in {0,1,2,3}."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    if isinstance(seq, (bytes, bytearray)):
+        raw = np.frombuffer(bytes(seq), dtype=np.uint8)
+    else:
+        raw = np.asarray(seq, dtype=np.uint8)
+    return _ASCII_TO_CODE[raw]
+
+
+def decode_bases(codes: np.ndarray) -> bytes:
+    """uint8 codes -> ASCII bytes."""
+    return _CODE_TO_ASCII[np.asarray(codes, dtype=np.uint8)].tobytes()
+
+
+def fuse_kmer_codes(levels: np.ndarray) -> np.ndarray:
+    """Fuse per-level 2-bit codes into one k-tuple code.
+
+    levels: integer array [k, ...] where levels[i] is the code of BWT level i.
+    Returns sum_i levels[i] << (2*i) — level 0 occupies the low 2 bits, the
+    same packing as the reference's indexBase (src/fmIndexCPUBaseline.c:213-225).
+    """
+    levels = np.asarray(levels)
+    k = levels.shape[0]
+    out = np.zeros(levels.shape[1:], dtype=np.uint32)
+    for i in range(k):
+        out |= levels[i].astype(np.uint32) << np.uint32(2 * i)
+    return out
