@@ -1,0 +1,123 @@
+"""Golden parity vs the compiled reference C binaries.
+
+For each (k, d) configuration:
+  1. gfmiBaseLine builds a .fmi from a FASTA; tpufm's writer must produce the
+     SAME BYTES (index construction parity).
+  2. tfmiBMP / tfmiAC transform it; tpufm's tag-101/200/201 writers must match
+     byte-for-byte.
+  3. fmIndexSearchCPU / -ac search a query set; tpufm engines must produce
+     identical .res intervals (search parity).
+
+Skipped when gcc or /root/reference is unavailable.
+"""
+
+import numpy as np
+import pytest
+
+from tpufm.config import IndexConfig, Layout
+from tpufm.engine.oracle import search_oracle
+from tpufm.engine.xla import XLAEngine
+from tpufm.index.builder import build_index
+from tpufm.index.formats import write_fmi
+from tpufm.index.layouts import make_alt_counters
+from tpufm.io.fasta import write_reference
+from tpufm.io.genreads import generate_reads, write_reads_fasta
+from tpufm.io.results import load_results
+from tpufm.utils.encoding import decode_bases
+
+from refparity import build_reference_binaries, run
+
+CONFIGS = [(1, 64), (2, 64), (2, 32), (3, 32), (4, 32), (2, 128)]
+
+
+def _setup(tmp_path, rng, k, d, n=3000):
+    bins = build_reference_binaries(k, d)
+    if bins is None:
+        pytest.skip("reference toolchain unavailable")
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    # keep bwtsize % d != 0: the reference searcher/transform read out of
+    # bounds in that corner (see SURVEY.md 2.1); tpufm handles it correctly
+    # but there is nothing well-defined to compare against.
+    if (n + 1) % d == 0:
+        n += 1
+        codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    ref_fa = tmp_path / "ref.fa"
+    write_reference(ref_fa, decode_bases(codes))
+    run([bins["builder"], ref_fa, n], cwd=tmp_path)
+    fmi = tmp_path / f"ref.fa.{n}.{d}fmi{k}steps.fmi"
+    assert fmi.exists(), "reference builder produced no index"
+    return bins, codes, n, fmi
+
+
+@pytest.mark.parametrize("k,d", CONFIGS)
+def test_builder_byte_parity(tmp_path, rng, k, d):
+    bins, codes, n, fmi = _setup(tmp_path, rng, k, d)
+    index = build_index(codes, IndexConfig(k=k, d=d))
+    mine = tmp_path / "mine.fmi"
+    write_fmi(mine, index, Layout.BASELINE)
+    assert mine.read_bytes() == fmi.read_bytes(), (
+        f"tag-100 .fmi bytes differ from reference gfmiBaseLine (k={k}, d={d})"
+    )
+
+
+@pytest.mark.parametrize("k,d", [(1, 64), (2, 64), (2, 32)])
+def test_transform_byte_parity(tmp_path, rng, k, d):
+    bins, codes, n, fmi = _setup(tmp_path, rng, k, d)
+    index = build_index(codes, IndexConfig(k=k, d=d))
+
+    run([bins["tfmi_bmp"], fmi], cwd=tmp_path)
+    mine = tmp_path / "mine101.fmi"
+    write_fmi(mine, index, Layout.INTERLEAVED)
+    got = (tmp_path / (fmi.name + ".interleaving")).read_bytes()
+    assert mine.read_bytes() == got, "tag-101 bytes differ from tfmiBMP"
+
+    run([bins["tfmi_ac"], fmi], cwd=tmp_path)
+    mine200 = tmp_path / "mine200.fmi"
+    write_fmi(mine200, index, Layout.ALT_COUNTERS)
+    got200 = (tmp_path / (fmi.name + ".ac")).read_bytes()
+    assert mine200.read_bytes() == got200, "tag-200 bytes differ from tfmiAC"
+
+    mine201 = tmp_path / "mine201.fmi"
+    write_fmi(mine201, index, Layout.INTERLEAVED_ALT_COUNTERS)
+    got201 = (tmp_path / (fmi.name + ".interleaving.ac")).read_bytes()
+    assert mine201.read_bytes() == got201, "tag-201 bytes differ from tfmiAC"
+
+
+@pytest.mark.parametrize("k,d", CONFIGS)
+def test_search_result_parity(tmp_path, rng, k, d):
+    bins, codes, n, fmi = _setup(tmp_path, rng, k, d)
+    qlen = 12 * k  # divisible by every k
+    reads = generate_reads(codes, qlen, 64, seed=9)
+    misses = rng.integers(0, 4, size=(32, qlen), dtype=np.uint8)
+    queries = np.concatenate([reads, misses])
+    qry = tmp_path / "q.qry"
+    write_reads_fasta(qry, queries)
+
+    run([bins["search"], fmi, qry, qlen, len(queries)], cwd=tmp_path)
+    expected = load_results(tmp_path / (fmi.name + ".res.cpu"))
+
+    index = build_index(codes, IndexConfig(k=k, d=d))
+    np.testing.assert_array_equal(search_oracle(index, queries), expected)
+    np.testing.assert_array_equal(XLAEngine(index).search(queries), expected)
+
+
+@pytest.mark.parametrize("k,d", [(1, 64), (2, 64), (3, 32)])
+def test_search_result_parity_ac(tmp_path, rng, k, d):
+    bins, codes, n, fmi = _setup(tmp_path, rng, k, d)
+    qlen = 12 * k
+    reads = generate_reads(codes, qlen, 48, seed=11)
+    queries = np.concatenate(
+        [reads, rng.integers(0, 4, size=(16, qlen), dtype=np.uint8)]
+    )
+    qry = tmp_path / "q.qry"
+    write_reads_fasta(qry, queries)
+
+    run([bins["tfmi_ac"], fmi], cwd=tmp_path)
+    ac_fmi = tmp_path / (fmi.name + ".ac")
+    run([bins["search_ac"], ac_fmi, qry, qlen, len(queries)], cwd=tmp_path)
+    expected = load_results(tmp_path / (ac_fmi.name + ".res.cpu"))
+
+    index = build_index(codes, IndexConfig(k=k, d=d))
+    ac = make_alt_counters(index)
+    np.testing.assert_array_equal(search_oracle(ac, queries), expected)
+    np.testing.assert_array_equal(XLAEngine(ac).search(queries), expected)
