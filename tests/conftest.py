@@ -4,12 +4,22 @@ section 4's multi-host test recipe). Must run before jax is imported."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env sets JAX_PLATFORMS=axon (the tunneled TPU);
+# tests must be deterministic, fast, and exercise an 8-device mesh. The axon
+# sitecustomize imports jax at interpreter startup, so the env var is already
+# consumed — override through jax.config (backends initialize lazily, so this
+# works as long as nothing touched a backend yet).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

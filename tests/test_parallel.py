@@ -1,0 +1,84 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: data-parallel
+(replicated index) and sharded-index (collective lookup routing) engines must
+be bit-exact vs the oracle."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpufm.config import IndexConfig
+from tpufm.engine.oracle import search_oracle
+from tpufm.index.builder import build_index
+from tpufm.index.layouts import make_alt_counters
+from tpufm.parallel import make_mesh, DataParallelEngine, ShardedIndexEngine
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def _mk(rng, k, d, n=4096):
+    cfg = IndexConfig(k=k, d=d)
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    return codes, build_index(codes, cfg, sa_method="doubling")
+
+
+@pytest.mark.parametrize("k,d", [(1, 64), (2, 64)])
+def test_data_parallel_matches_oracle(rng, mesh, k, d):
+    codes, index = _mk(rng, k, d)
+    engine = DataParallelEngine(index, mesh)
+    qlen = 12 * k
+    starts = rng.integers(0, len(codes) - qlen, size=56)
+    queries = np.stack([codes[s : s + qlen] for s in starts])
+    queries = np.concatenate(
+        [queries, rng.integers(0, 4, size=(8, qlen), dtype=np.uint8)]
+    )  # 64 = 8 devices x 8
+    np.testing.assert_array_equal(
+        engine.search(queries), search_oracle(index, queries)
+    )
+
+
+def test_data_parallel_ac(rng, mesh):
+    codes, index = _mk(rng, 2, 64)
+    ac = make_alt_counters(index)
+    engine = DataParallelEngine(ac, mesh)
+    starts = rng.integers(0, len(codes) - 24, size=64)
+    queries = np.stack([codes[s : s + 24] for s in starts])
+    np.testing.assert_array_equal(
+        engine.search(queries), search_oracle(index, queries)
+    )
+
+
+def test_data_parallel_rejects_ragged_batch(rng, mesh):
+    codes, index = _mk(rng, 2, 64, n=512)
+    engine = DataParallelEngine(index, mesh)
+    with pytest.raises(ValueError, match="not divisible"):
+        engine.search(np.zeros((30, 8), np.uint8))
+
+
+@pytest.mark.parametrize("k,d", [(1, 32), (2, 64)])
+def test_sharded_index_matches_oracle(rng, mesh, k, d):
+    codes, index = _mk(rng, k, d, n=8192)
+    engine = ShardedIndexEngine(index, mesh)
+    qlen = 12 * k
+    starts = rng.integers(0, len(codes) - qlen, size=56)
+    queries = np.stack([codes[s : s + qlen] for s in starts])
+    queries = np.concatenate(
+        [queries, rng.integers(0, 4, size=(8, qlen), dtype=np.uint8)]
+    )
+    np.testing.assert_array_equal(
+        engine.search(queries), search_oracle(index, queries)
+    )
+
+
+def test_sharded_index_small_table(rng, mesh):
+    # Fewer entries than devices: padding must keep lookups correct.
+    codes, index = _mk(rng, 2, 64, n=200)  # 4 entries on 8 devices
+    engine = ShardedIndexEngine(index, mesh)
+    starts = rng.integers(0, len(codes) - 8, size=32)
+    queries = np.stack([codes[s : s + 8] for s in starts])
+    np.testing.assert_array_equal(
+        engine.search(queries), search_oracle(index, queries)
+    )

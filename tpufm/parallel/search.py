@@ -1,0 +1,209 @@
+"""Multi-chip search engines.
+
+DataParallelEngine — index tables replicated per chip, query batch sharded
+along the batch axis of a 1-D mesh; the jitted program is pure SPMD data
+parallelism and the per-read (lo, hi) results are merged with one all-gather
+at the end (8 bytes per read over ICI). This is the scaling mode for indexes
+that fit in HBM (human genome @ k=2, d=64 is ~3.2 GB).
+
+ShardedIndexEngine — for indexes exceeding a chip's HBM: the entry table is
+sharded along the block axis; every LF round, each chip all-gathers the
+(block, code, interval) requests of all chips (12 B per interval end),
+answers the ones whose entry lives in its shard, and a psum combines the
+partial answers. Collectives ride ICI; compute stays the same VPU
+mask/popcount. (The reference has no counterpart — its cluster scripts run
+independent processes; SURVEY.md section 5 'distributed communication
+backend: none'.)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpufm.engine.xla import (
+    _boundary_masks,
+    _match_words,
+    fuse_round_codes,
+    make_search_fn,
+)
+from tpufm.index.builder import KStepFMIndex
+from tpufm.index.layouts import AltCountersIndex
+
+_U32 = jnp.uint32
+
+
+class DataParallelEngine:
+    """Replicated-index, batch-sharded search over a 1-D device mesh."""
+
+    def __init__(self, index: KStepFMIndex | AltCountersIndex, mesh: Mesh):
+        if isinstance(index, AltCountersIndex):
+            base, self.alt_counters = index.base, True
+        else:
+            base, self.alt_counters = index, False
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.config = base.config
+        self.bwtsize = base.bwtsize
+
+        replicated = NamedSharding(mesh, P())
+        put = functools.partial(jax.device_put, device=replicated)
+        tables = {
+            "bitmaps": put(base.bitmaps),
+            "dollar_pos": put(base.dollar_pos),
+            "dollar_base": put(base.dollar_base),
+            "dollar_block": put(np.asarray(base.dollar_block, dtype=np.uint32)),
+        }
+        if self.alt_counters:
+            tables["occ_slim"] = put(index.occ_slim)
+        else:
+            tables["occ"] = put(base.occ)
+        self.tables = tables
+
+        self.batch_sharding = NamedSharding(mesh, P(self.axis, None))
+        search = make_search_fn(self.config.k, self.config.d, self.alt_counters)
+        # Results replicated on exit: the all-gather merge of the per-chip
+        # (lo, hi) shards.
+        self._search = jax.jit(
+            search, out_shardings=NamedSharding(mesh, P())
+        )
+
+    def shard_queries(self, queries) -> jax.Array:
+        """Place a [B, L] uint8 batch sharded along the mesh's batch axis.
+        B must divide evenly by the mesh size (pad the tail batch)."""
+        n = self.mesh.devices.size
+        if queries.shape[0] % n:
+            raise ValueError(
+                f"batch {queries.shape[0]} not divisible by mesh size {n}; pad it"
+            )
+        return jax.device_put(jnp.asarray(queries, jnp.uint8), self.batch_sharding)
+
+    def search(self, queries) -> np.ndarray:
+        out = self._search(self.tables, _U32(self.bwtsize), self.shard_queries(queries))
+        return np.asarray(jax.device_get(out))
+
+    def search_device(self, queries_sharded):
+        return self._search(self.tables, _U32(self.bwtsize), queries_sharded)
+
+
+def _sharded_lf_step(occ_shard, bitmaps_shard, dollar, cfg, axis, interval, code):
+    """One LF round with the entry table sharded along the block axis.
+
+    occ_shard: [E_local, 4^k]; bitmaps_shard: [E_local, k, 2, nb] — this
+    chip's contiguous slice of entries. interval/code: [B_local] (this chip's
+    query shard). Requests are all-gathered, answered by the owning shard,
+    and psum-combined.
+    """
+    k, d, nb, e_local = cfg
+    dpos, dbase, dblock = dollar
+
+    block = interval // _U32(d)
+    # All-gather this round's requests from every chip: [D, B_local, 3]
+    req = jnp.stack([block, code, interval], axis=-1)
+    all_req = jax.lax.all_gather(req, axis)  # [D, B_local, 3]
+    D, Bl, _ = all_req.shape
+    flat = all_req.reshape(D * Bl, 3)
+    g_block, g_code, g_interval = flat[:, 0], flat[:, 1], flat[:, 2]
+
+    my_shard = jax.lax.axis_index(axis).astype(_U32)
+    owner = g_block // _U32(e_local)
+    local_idx = jnp.where(owner == my_shard, g_block - my_shard * _U32(e_local), 0)
+
+    cnt = occ_shard[local_idx, g_code]
+    rows = bitmaps_shard[local_idx]
+    masks = _boundary_masks(g_interval % _U32(d), nb)
+    matched = _match_words(rows, g_code, k) & masks
+    count = jnp.sum(jax.lax.population_count(matched), axis=-1)
+
+    hit = (
+        (g_block[..., None] == dblock)
+        & (g_code[..., None] == dbase)
+        & (g_interval[..., None] > dpos)
+    )
+    count -= jnp.sum(hit.astype(_U32), axis=-1)
+    answer = jnp.where(owner == my_shard, cnt + count, _U32(0))
+
+    combined = jax.lax.psum(answer.reshape(D, Bl), axis)  # [D, B_local]
+    return combined[jax.lax.axis_index(axis)]
+
+
+class ShardedIndexEngine:
+    """Entry-table-sharded search for indexes larger than one chip's HBM."""
+
+    def __init__(self, index: KStepFMIndex, mesh: Mesh):
+        if isinstance(index, AltCountersIndex):
+            raise NotImplementedError(
+                "sharded-index mode uses the baseline counter layout"
+            )
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.config = index.config
+        self.bwtsize = index.bwtsize
+        n_dev = mesh.devices.size
+
+        # Pad entry rows so every shard holds the same count; the sentinel
+        # row rides along inside the padded region.
+        total = index.occ.shape[0]
+        e_local = -(-total // n_dev)
+        pad = e_local * n_dev - total
+        occ = np.pad(index.occ, ((0, pad), (0, 0)))
+        bitmaps = np.pad(index.bitmaps, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        self.e_local = e_local
+
+        shard_rows = NamedSharding(mesh, P(self.axis))
+        repl = NamedSharding(mesh, P())
+        self.occ = jax.device_put(occ, shard_rows)
+        self.bitmaps = jax.device_put(bitmaps, shard_rows)
+        self.dollar = (
+            jax.device_put(index.dollar_pos, repl),
+            jax.device_put(index.dollar_base, repl),
+            jax.device_put(np.asarray(index.dollar_block, np.uint32), repl),
+        )
+
+        k, d = self.config.k, self.config.d
+        cfg = (k, d, self.config.words_per_plane, e_local)
+        axis = self.axis
+
+        def search_local(occ_shard, bitmaps_shard, dollar, bwtsize, queries):
+            codes = fuse_round_codes(queries, k)
+            B = queries.shape[0]
+            # The carry is device-varying inside shard_map; mark it so.
+            lo0 = jax.lax.pvary(jnp.zeros(B, dtype=_U32), (axis,))
+            hi0 = jax.lax.pvary(jnp.full(B, bwtsize, dtype=_U32), (axis,))
+
+            def body(carry, code):
+                lo, hi = carry
+                lo = _sharded_lf_step(occ_shard, bitmaps_shard, dollar, cfg, axis, lo, code)
+                hi = _sharded_lf_step(occ_shard, bitmaps_shard, dollar, cfg, axis, hi, code)
+                return (lo, hi), None
+
+            (lo, hi), _ = jax.lax.scan(body, (lo0, hi0), codes)
+            return jnp.stack([lo, hi], axis=1)
+
+        from jax.experimental.shard_map import shard_map
+
+        self._search = jax.jit(
+            shard_map(
+                search_local,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), (P(), P(), P()), P(), P(axis, None)),
+                out_specs=P(axis, None),
+            )
+        )
+
+    def search(self, queries) -> np.ndarray:
+        n = self.mesh.devices.size
+        if queries.shape[0] % n:
+            raise ValueError(f"batch not divisible by mesh size {n}")
+        q = jax.device_put(
+            jnp.asarray(queries, jnp.uint8),
+            NamedSharding(self.mesh, P(self.axis, None)),
+        )
+        out = self._search(
+            self.occ, self.bitmaps, self.dollar, _U32(self.bwtsize), q
+        )
+        return np.asarray(jax.device_get(out))
