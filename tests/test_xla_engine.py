@@ -17,10 +17,11 @@ def _mk(rng, k, d, n):
     return codes, index
 
 
+@pytest.mark.parametrize("layout", ["fused", "split"])
 @pytest.mark.parametrize("k,d", [(1, 32), (1, 64), (2, 64), (3, 32), (4, 32)])
-def test_xla_matches_oracle(rng, k, d):
+def test_xla_matches_oracle(rng, k, d, layout):
     codes, index = _mk(rng, k, d, 777)
-    engine = XLAEngine(index)
+    engine = XLAEngine(index, layout=layout)
     qlen = 4 * k
     starts = rng.integers(0, len(codes) - qlen, size=64)
     queries = np.stack([codes[s : s + qlen] for s in starts])

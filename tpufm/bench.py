@@ -1,0 +1,160 @@
+"""Benchmark harness: the reference's TIME: protocol (mean of N timed
+passes over a fixed read batch, common/searchQueries.c:78-118) plus a
+structured JSON run record and a baseline comparison.
+
+Baseline: BASELINE.md documents that the reference publishes no numbers, only
+the protocol. When the reference CPU binaries are compilable on this host we
+run fmIndexSearchCPU on the same workload and report vs_baseline as the
+measured speedup; otherwise vs_baseline falls back to the fraction of the
+analytic HBM speed-of-light (BASELINE.md section 'Analytical speed-of-light').
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _enable_compile_cache():
+    import jax
+
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", str(Path(__file__).parent.parent / ".jaxcache")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def measure_reference_cpu(codes, k, d, queries, iterations, workdir) -> float | None:
+    """Seconds per pass of the reference fmIndexSearchCPU on this host, or
+    None when the toolchain is unavailable."""
+    sys.path.insert(0, str(Path(__file__).parent.parent / "tests"))
+    try:
+        from refparity import build_reference_binaries, run
+    except ImportError:
+        return None
+    bins = build_reference_binaries(k, d)
+    if bins is None:
+        return None
+
+    from tpufm.io.fasta import write_reference
+    from tpufm.io.genreads import write_reads_fasta
+    from tpufm.utils.encoding import decode_bases
+
+    workdir = Path(workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+    n = len(codes)
+    ref_fa = workdir / "bench_ref.fa"
+    fmi = workdir / f"bench_ref.fa.{n}.{d}fmi{k}steps.fmi"
+    if not fmi.exists():
+        write_reference(ref_fa, decode_bases(codes))
+        run([bins["builder"], ref_fa, n], cwd=workdir)
+    qry = workdir / "bench.qry"
+    write_reads_fasta(qry, queries)
+    t0 = time.perf_counter()
+    out = run(
+        [bins["search"], fmi, qry, queries.shape[1], queries.shape[0]], cwd=workdir
+    )
+    for line in out.stdout.decode().splitlines():
+        if line.startswith("TIME:"):
+            return float(line.split()[-1])
+    return None
+
+
+def run_bench(
+    refsize: int = 10_000_000,
+    k: int = 2,
+    d: int = 64,
+    num_queries: int = 131072,
+    query_len: int = 120,
+    iterations: int = 5,
+    seed: int = 0,
+    engine: str = "xla",
+    compare_reference: bool = True,
+) -> dict:
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from tpufm.config import IndexConfig
+    from tpufm.engine.xla import XLAEngine
+    from tpufm.engine.oracle import search_oracle
+    from tpufm.index.builder import build_index
+    from tpufm.index.layouts import make_alt_counters
+    from tpufm.io.genreads import generate_reads
+
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=refsize, dtype=np.uint8)
+
+    t0 = time.perf_counter()
+    index = build_index(codes, IndexConfig(k=k, d=d))
+    build_s = time.perf_counter() - t0
+
+    queries = generate_reads(codes, query_len, num_queries, seed=seed + 1)
+
+    if engine == "xla-ac":
+        eng = XLAEngine(make_alt_counters(index))
+    else:
+        eng = XLAEngine(index)
+
+    qd = jax.device_put(jnp.asarray(queries, jnp.uint8))
+    out = eng.search_device(qd)
+    jax.block_until_ready(out)  # compile + warm
+
+    t0 = time.perf_counter()
+    for _ in range(iterations):
+        out = eng.search_device(qd)
+    jax.block_until_ready(out)
+    search_s = (time.perf_counter() - t0) / iterations
+
+    # Correctness spot-check against the oracle on a slice.
+    spot = np.asarray(jax.device_get(out))[:256]
+    expect = search_oracle(index, queries[:256])
+    exact = bool((spot == expect).all())
+
+    rounds = query_len // k
+    steps = num_queries * rounds
+    reads_s = num_queries / search_s
+    steps_s = steps / search_s
+
+    # Analytic speed-of-light: per round each of 2 interval ends gathers one
+    # counter word + one bitmap row (BASELINE.md).
+    dev = jax.devices()[0]
+    hbm_bw = 8.1e11  # v5e ~810 GB/s
+    bytes_per_step = 2 * (4 + 4 * index.config.bitmap_words)
+    sol_steps_s = hbm_bw / bytes_per_step
+
+    ref_s = None
+    if compare_reference:
+        ref_s = measure_reference_cpu(
+            codes, k, d, queries, iterations,
+            Path(__file__).parent.parent / ".bench" / "refrun",
+        )
+
+    vs_baseline = (ref_s / search_s) if ref_s else (steps_s / sol_steps_s)
+
+    return {
+        "metric": f"k-step backward-search steps/s/chip (k={k}, d={d}, "
+        f"{num_queries} reads x {query_len} bp, engine={engine})",
+        "value": round(steps_s),
+        "unit": "steps/s",
+        "vs_baseline": round(vs_baseline, 4),
+        "detail": {
+            "device": str(dev),
+            "reads_per_s": round(reads_s),
+            "seconds_per_pass": search_s,
+            "reference_cpu_seconds_per_pass": ref_s,
+            "speed_of_light_steps_per_s": round(sol_steps_s),
+            "fraction_of_sol": round(steps_s / sol_steps_s, 4),
+            "build_seconds": round(build_s, 1),
+            "bit_exact_vs_oracle": exact,
+            "iterations": iterations,
+        },
+    }

@@ -1,0 +1,188 @@
+"""tpufm command-line interface.
+
+Mirrors the reference suite's binaries (SURVEY.md section 3 entry points):
+  tpufm build <ref.fa> <refsize> [--k --d]         ~ gfmiBaseLine_<d>bases_<k>step
+  tpufm transform <index.fmi> [--layouts ...]      ~ tfmiBMP / tfmiAC
+  tpufm search <index> <reads.qry> <len> <n>       ~ fmIndexSearchCPU/GPU_*
+  tpufm genreads <ref.fa> <refsize> <len> <n>      ~ resources/genreads.py
+  tpufm bench ...                                  ~ the TIME: protocol + JSON record
+
+What the reference fixed at compile time (-DK_STEPS/-DNUM_CHUNK, makefile:140-207)
+are flags here, resolved at jit-specialization time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from tpufm.config import IndexConfig, Layout
+from tpufm.index.builder import build_index
+from tpufm.index.formats import write_fmi, read_fmi, save_npz, load_npz
+from tpufm.io.fasta import read_reference, write_reference, load_queries
+from tpufm.io.genreads import generate_reads, write_reads_fasta
+from tpufm.io.results import write_results
+from tpufm.utils.encoding import decode_bases
+
+
+def _load_any_index(path: str):
+    if path.endswith(".npz"):
+        return load_npz(path)
+    index, _ = read_fmi(path)
+    return index
+
+
+def cmd_build(args):
+    codes = read_reference(args.reference, args.refsize)
+    cfg = IndexConfig(k=args.k, d=args.d)
+    t0 = time.perf_counter()
+    index = build_index(codes, cfg)
+    print(f"built k={args.k} d={args.d} bwtsize={index.bwtsize} "
+          f"entries={index.nentries} in {time.perf_counter() - t0:.1f}s")
+    # Reference-compatible name: <ref>.<size>.<d>fmi<k>steps.fmi
+    # (reference src/genFMindex.c:162)
+    out = args.output or f"{args.reference}.{args.refsize}.{args.d}fmi{args.k}steps.fmi"
+    if out.endswith(".npz"):
+        save_npz(out, index)
+    else:
+        write_fmi(out, index, Layout.BASELINE)
+    print(f"wrote {out}")
+    if args.save_ref:
+        # normalized re-emitted FASTA (reference common/common.c:119-130)
+        write_reference(f"{args.reference}.{args.refsize}.fa", decode_bases(codes))
+
+
+def cmd_transform(args):
+    index, layout = read_fmi(args.index)
+    if layout != Layout.BASELINE:
+        sys.exit("transform expects a tag-100 baseline .fmi")
+    for name in args.layouts:
+        target = Layout(name)
+        suffix = {
+            Layout.INTERLEAVED: ".interleaving",
+            Layout.ALT_COUNTERS: ".ac",
+            Layout.INTERLEAVED_ALT_COUNTERS: ".interleaving.ac",
+        }[target]
+        out = args.index + suffix
+        write_fmi(out, index, target)
+        print(f"wrote {out}")
+
+
+def cmd_genreads(args):
+    codes = read_reference(args.reference, args.refsize)
+    rng = np.random.default_rng(args.seed)
+    starts = rng.integers(0, args.refsize - args.length + 1, size=args.num)
+    idx = starts[:, None] + np.arange(args.length)[None, :]
+    reads = codes[idx]
+    out = args.output or f"Q-{args.num}_B-{args.length}_R-{args.refsize}.qry"
+    write_reads_fasta(out, reads, starts)
+    print(f"wrote {out} ({args.num} reads x {args.length} bp)")
+
+
+def cmd_search(args):
+    index = _load_any_index(args.index)
+    queries = load_queries(args.queries, args.qrysize, args.numqueries)
+    engine = _make_engine(index, args)
+
+    iters = args.iterations
+    res = engine.search(queries)  # warm-up + compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = engine.search(queries)
+    dt = (time.perf_counter() - t0) / iters
+    # Same one-number protocol as the reference (common/searchQueries.c:117-118).
+    print(f"TIME: \t {dt}")
+
+    out = args.output or f"{args.index}.res.tpu"
+    write_results(out, res)
+    print(f"wrote {out}")
+
+
+def _make_engine(index, args):
+    from tpufm.engine.xla import XLAEngine
+    from tpufm.index.layouts import make_alt_counters
+    from tpufm.index.builder import KStepFMIndex
+
+    if getattr(args, "engine", "xla") == "xla-ac" and isinstance(index, KStepFMIndex):
+        index = make_alt_counters(index)
+    return XLAEngine(index)
+
+
+def cmd_bench(args):
+    from tpufm.bench import run_bench
+
+    record = run_bench(
+        refsize=args.refsize,
+        k=args.k,
+        d=args.d,
+        num_queries=args.numqueries,
+        query_len=args.length,
+        iterations=args.iterations,
+        seed=args.seed,
+        engine=args.engine,
+    )
+    print(json.dumps(record))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpufm")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build a k-step FM-index from FASTA")
+    b.add_argument("reference")
+    b.add_argument("refsize", type=int)
+    b.add_argument("--k", type=int, default=2)
+    b.add_argument("--d", type=int, default=64)
+    b.add_argument("--output", default=None)
+    b.add_argument("--save-ref", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    t = sub.add_parser("transform", help="emit alternate index layouts")
+    t.add_argument("index")
+    t.add_argument(
+        "--layouts",
+        nargs="+",
+        default=["interleaved", "alt_counters", "interleaved_alt_counters"],
+    )
+    t.set_defaults(fn=cmd_transform)
+
+    g = sub.add_parser("genreads", help="sample a query workload")
+    g.add_argument("reference")
+    g.add_argument("refsize", type=int)
+    g.add_argument("length", type=int)
+    g.add_argument("num", type=int)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--output", default=None)
+    g.set_defaults(fn=cmd_genreads)
+
+    s = sub.add_parser("search", help="batch backward search")
+    s.add_argument("index")
+    s.add_argument("queries")
+    s.add_argument("qrysize", type=int)
+    s.add_argument("numqueries", type=int)
+    s.add_argument("--iterations", type=int, default=5)
+    s.add_argument("--engine", default="xla", choices=["xla", "xla-ac"])
+    s.add_argument("--output", default=None)
+    s.set_defaults(fn=cmd_search)
+
+    be = sub.add_parser("bench", help="synthetic benchmark, one JSON line")
+    be.add_argument("--refsize", type=int, default=10_000_000)
+    be.add_argument("--k", type=int, default=2)
+    be.add_argument("--d", type=int, default=64)
+    be.add_argument("--numqueries", type=int, default=131072)
+    be.add_argument("--length", type=int, default=120)
+    be.add_argument("--iterations", type=int, default=5)
+    be.add_argument("--seed", type=int, default=0)
+    be.add_argument("--engine", default="xla")
+    be.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,49 @@ def _match_words(rows, code, k: int):
     return out
 
 
+def lf_step_fused(tables: dict, cfg: tuple, interval, code):
+    """Fused-row k-step LF for both interval ends at once.
+
+    TPU-native layout choice: measurement on v5e shows XLA row gathers are
+    issue-bound, not bandwidth-bound — gathering a 96 B fused row costs the
+    same as a 4 B counter, so bitmaps and all 4^k counters live in ONE row
+    per entry and each interval end does exactly one gather per round (the
+    split layout does two). The counter is then selected in-register from the
+    gathered row. Both ends are stacked into a single gather of 2B indices.
+
+    tables: {'entries': uint32 [E+1, 2k*nb + 4^k] (bitmap words then
+             counters, the same word order as the reference tag-100 entry,
+             src/genFMindex.c:42-45), 'dollar_pos'/'dollar_base'/
+             'dollar_block': uint32 [k]}
+    cfg: (k, d, nb) static; interval: uint32 [B, 2]; code: uint32 [B].
+    """
+    k, d, nb = cfg
+    bmw = 2 * k * nb
+    block = interval // _U32(d)
+    rows = tables["entries"][block]  # [B, 2, W] — the only HBM gather
+    bm_rows = rows[..., :bmw].reshape(rows.shape[:-1] + (k, 2, nb))
+    cnt = jnp.take_along_axis(
+        rows[..., bmw:], (code[:, None, None] + _U32(0)).astype(jnp.int32), axis=-1
+    )[..., 0]
+
+    masks = _boundary_masks(interval % _U32(d), nb)
+    matched = _match_words(bm_rows, code[:, None], k) & masks
+    count = jnp.sum(jax.lax.population_count(matched), axis=-1)
+
+    dpos, dbase, dblock = (
+        tables["dollar_pos"],
+        tables["dollar_base"],
+        tables["dollar_block"],
+    )
+    hit = (
+        (block[..., None] == dblock)
+        & (code[:, None, None] == dbase)
+        & (interval[..., None] > dpos)
+    )
+    count -= jnp.sum(hit.astype(_U32), axis=-1)
+    return cnt + count
+
+
 def lf_step(tables: dict, cfg: tuple, interval, code):
     """Baseline-layout k-step LF for a batch of interval ends.
 
@@ -130,9 +173,40 @@ def fuse_round_codes(queries, k: int):
     return code.T
 
 
-def make_search_fn(k: int, d: int, alt_counters: bool):
-    """Build the jittable batch search: (tables, bwtsize, queries) -> [B, 2]."""
+def make_search_fn(k: int, d: int, alt_counters: bool = False, layout: str = "fused"):
+    """Build the jittable batch search: (tables, bwtsize, queries) -> [B, 2].
+
+    layout="fused" (default, fastest on TPU): single-table single-gather
+    rounds via lf_step_fused. layout="split": separate occ/bitmap gathers
+    (required for the alternate-counters tables).
+    """
     nb = d // 32
+
+    if layout == "fused":
+        if alt_counters:
+            raise ValueError(
+                "alt-counters uses the split layout (its counter may live in "
+                "the next entry, so rows cannot be fused)"
+            )
+        cfg = (k, d, nb)
+
+        def search(tables, bwtsize, queries):
+            codes = fuse_round_codes(queries, k)
+            B = queries.shape[0]
+            iv0 = jnp.stack(
+                [jnp.zeros(B, dtype=_U32), jnp.full(B, bwtsize, dtype=_U32)], axis=1
+            )
+
+            def body(iv, code):
+                return lf_step_fused(tables, cfg, iv, code), None
+
+            iv, _ = jax.lax.scan(body, iv0, codes)
+            return iv
+
+        return search
+
+    if layout != "split":
+        raise ValueError(f"unknown layout {layout!r}")
     if alt_counters:
         cfg = (k, d, nb, (4**k) // 2)
         step = lf_step_ac
@@ -161,31 +235,49 @@ class XLAEngine:
     search specialized on (k, d, layout) — the trace-time equivalent of the
     reference's compile-time -DK_STEPS/-DNUM_CHUNK sweep."""
 
-    def __init__(self, index: KStepFMIndex | AltCountersIndex, device=None):
+    def __init__(
+        self,
+        index: KStepFMIndex | AltCountersIndex,
+        device=None,
+        layout: str | None = None,
+    ):
         if isinstance(index, AltCountersIndex):
             base = index.base
             self.alt_counters = True
+            layout = layout or "split"
         else:
             base = index
             self.alt_counters = False
+            layout = layout or "fused"
+        self.layout = layout
         self.config = base.config
         self.bwtsize = base.bwtsize
 
         put = functools.partial(jax.device_put, device=device)
         tables: dict[str, Any] = {
-            "bitmaps": put(base.bitmaps),
             "dollar_pos": put(base.dollar_pos),
             "dollar_base": put(base.dollar_base),
             "dollar_block": put(np.asarray(base.dollar_block, dtype=np.uint32)),
         }
-        if self.alt_counters:
-            tables["occ_slim"] = put(index.occ_slim)
+        if layout == "fused":
+            rows = base.occ.shape[0]
+            tables["entries"] = put(
+                np.concatenate(
+                    [base.bitmaps.reshape(rows, -1), base.occ], axis=1
+                )
+            )
         else:
-            tables["occ"] = put(base.occ)
+            tables["bitmaps"] = put(base.bitmaps)
+            if self.alt_counters:
+                tables["occ_slim"] = put(index.occ_slim)
+            else:
+                tables["occ"] = put(base.occ)
         self.tables = tables
 
         self._search = jax.jit(
-            make_search_fn(self.config.k, self.config.d, self.alt_counters)
+            make_search_fn(
+                self.config.k, self.config.d, self.alt_counters, layout=layout
+            )
         )
 
     def search(self, queries) -> np.ndarray:

@@ -53,19 +53,25 @@ class DataParallelEngine:
         replicated = NamedSharding(mesh, P())
         put = functools.partial(jax.device_put, device=replicated)
         tables = {
-            "bitmaps": put(base.bitmaps),
             "dollar_pos": put(base.dollar_pos),
             "dollar_base": put(base.dollar_base),
             "dollar_block": put(np.asarray(base.dollar_block, dtype=np.uint32)),
         }
-        if self.alt_counters:
-            tables["occ_slim"] = put(index.occ_slim)
+        layout = "split" if self.alt_counters else "fused"
+        if layout == "fused":
+            rows = base.occ.shape[0]
+            tables["entries"] = put(
+                np.concatenate([base.bitmaps.reshape(rows, -1), base.occ], axis=1)
+            )
         else:
-            tables["occ"] = put(base.occ)
+            tables["bitmaps"] = put(base.bitmaps)
+            tables["occ_slim"] = put(index.occ_slim)
         self.tables = tables
 
         self.batch_sharding = NamedSharding(mesh, P(self.axis, None))
-        search = make_search_fn(self.config.k, self.config.d, self.alt_counters)
+        search = make_search_fn(
+            self.config.k, self.config.d, self.alt_counters, layout=layout
+        )
         # Results replicated on exit: the all-gather merge of the per-chip
         # (lo, hi) shards.
         self._search = jax.jit(

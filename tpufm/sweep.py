@@ -1,0 +1,105 @@
+"""Experiment sweep driver — the tpufm replacement for the reference's
+SGE/SLURM script matrix (reference scripts/sge_searchcpu_bases.sh etc.,
+SURVEY.md section 2 row 15).
+
+Where the reference submitted one cluster job per (refsize, d, k, layout)
+binary, tpufm runs the sweep in-process: each configuration is one jit
+specialization, and every result is a structured JSON record.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def run_sweep(
+    refsizes=(1_000_000,),
+    ks=(1, 2),
+    ds=(64,),
+    engines=("xla",),
+    num_queries: int = 65536,
+    query_len: int = 120,
+    iterations: int = 3,
+    seed: int = 0,
+    out_path: str | None = None,
+    verify: bool = True,
+):
+    """Run the (refsize x k x d x engine) matrix; returns a list of records
+    and optionally appends them as JSON lines to out_path."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpufm.config import IndexConfig
+    from tpufm.engine.oracle import search_oracle
+    from tpufm.engine.xla import XLAEngine
+    from tpufm.index.builder import build_index
+    from tpufm.index.layouts import make_alt_counters
+    from tpufm.io.genreads import generate_reads
+
+    records = []
+    rng = np.random.default_rng(seed)
+    fh = open(out_path, "a") if out_path else None
+
+    for refsize in refsizes:
+        codes = rng.integers(0, 4, size=refsize, dtype=np.uint8)
+        for k, d, engine in itertools.product(ks, ds, engines):
+            if query_len % k:
+                continue
+            cfg = IndexConfig(k=k, d=d)
+            t0 = time.perf_counter()
+            index = build_index(codes, cfg)
+            build_s = time.perf_counter() - t0
+
+            queries = generate_reads(codes, query_len, num_queries, seed=seed + 1)
+            if engine == "xla-ac":
+                eng = XLAEngine(make_alt_counters(index))
+            elif engine == "xla-split":
+                eng = XLAEngine(index, layout="split")
+            else:
+                eng = XLAEngine(index)
+
+            qd = jax.device_put(jnp.asarray(queries, jnp.uint8))
+            out = eng.search_device(qd)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(iterations):
+                out = eng.search_device(qd)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / iterations
+
+            exact = None
+            if verify:
+                spot = np.asarray(jax.device_get(out))[:128]
+                exact = bool((spot == search_oracle(index, queries[:128])).all())
+
+            rec = {
+                "refsize": refsize,
+                "k": k,
+                "d": d,
+                "engine": engine,
+                "num_queries": num_queries,
+                "query_len": query_len,
+                "build_s": round(build_s, 2),
+                "seconds_per_pass": dt,
+                "reads_per_s": round(num_queries / dt),
+                "steps_per_s": round(num_queries * (query_len // k) / dt),
+                "bit_exact": exact,
+            }
+            records.append(rec)
+            line = json.dumps(rec)
+            print(line, flush=True)
+            if fh:
+                fh.write(line + "\n")
+                fh.flush()
+    if fh:
+        fh.close()
+    return records
+
+
+if __name__ == "__main__":
+    run_sweep()
