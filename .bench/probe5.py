@@ -56,7 +56,7 @@ def gather_dma(idx, table):
 
 rng = np.random.default_rng(0)
 table = jnp.asarray(rng.integers(0, 2**31, size=(E, W), dtype=np.int64).astype(np.uint32))
-N = 2**19
+N = 2**17
 idx = jnp.asarray(rng.integers(0, E, size=N).astype(np.int32))
 f = jax.jit(gather_dma)
 t0=time.perf_counter(); out = f(idx, table); jax.block_until_ready(out)

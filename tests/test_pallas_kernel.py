@@ -1,0 +1,34 @@
+"""Pallas round-kernel correctness in interpreter mode (CPU backend):
+bit-exact vs the oracle across (k, d)."""
+
+import numpy as np
+import pytest
+
+from tpufm.config import IndexConfig
+from tpufm.engine.oracle import search_oracle
+from tpufm.engine.pallas_kernel import PallasEngine
+from tpufm.index.builder import build_index
+
+
+@pytest.mark.parametrize("k,d", [(1, 32), (2, 64), (3, 64)])
+def test_pallas_engine_matches_oracle(rng, k, d):
+    codes = rng.integers(0, 4, size=2000, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=k, d=d), sa_method="doubling")
+    engine = PallasEngine(index, tile=64, interpret=True)
+    qlen = 12 * k
+    starts = rng.integers(0, len(codes) - qlen, size=24)
+    queries = np.stack([codes[s : s + qlen] for s in starts])
+    queries = np.concatenate(
+        [queries, rng.integers(0, 4, size=(8, qlen), dtype=np.uint8)]
+    )  # 32 reads -> 64 ends, multiple of tile
+    np.testing.assert_array_equal(
+        engine.search(queries), search_oracle(index, queries)
+    )
+
+
+def test_pallas_engine_rejects_bad_tile(rng):
+    codes = rng.integers(0, 4, size=500, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=2, d=64), sa_method="doubling")
+    engine = PallasEngine(index, tile=64, interpret=True)
+    with pytest.raises(ValueError, match="multiple of tile"):
+        engine.search(np.zeros((30, 8), np.uint8))

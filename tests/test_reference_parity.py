@@ -83,6 +83,44 @@ def test_transform_byte_parity(tmp_path, rng, k, d):
     assert mine201.read_bytes() == got201, "tag-201 bytes differ from tfmiAC"
 
 
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_bwt_dump_parity(tmp_path, rng, k):
+    # INDEX_DGB=1 makes the reference builder print each BWT level with its
+    # dollar metadata (reference src/genFMindex.c:523-535); derive_bwts must
+    # reproduce those strings exactly.
+    import os
+    import subprocess
+
+    from tpufm.index.builder import derive_bwts
+
+    bins = build_reference_binaries(k, 32)
+    if bins is None:
+        pytest.skip("reference toolchain unavailable")
+    n = 97
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    ref_fa = tmp_path / "ref.fa"
+    write_reference(ref_fa, decode_bases(codes))
+    env = dict(os.environ, INDEX_DGB="1")
+    out = subprocess.run(
+        [str(bins["builder"]), str(ref_fa), str(n)],
+        cwd=tmp_path,
+        env=env,
+        check=True,
+        capture_output=True,
+        timeout=120,
+    ).stdout.decode()
+    ref_bwts = []
+    lines = out.splitlines()
+    for i, line in enumerate(lines):
+        if line.startswith("dollarBase"):
+            ref_bwts.append(lines[i + 1])
+    assert len(ref_bwts) == k
+
+    bwts, dollar_pos = derive_bwts(codes, k)
+    for i in range(k):
+        assert bwts[i].decode() == ref_bwts[i], f"BWT level {i} differs"
+
+
 @pytest.mark.parametrize("k,d", CONFIGS)
 def test_search_result_parity(tmp_path, rng, k, d):
     bins, codes, n, fmi = _setup(tmp_path, rng, k, d)

@@ -128,6 +128,35 @@ def cmd_bench(args):
     print(json.dumps(record))
 
 
+def cmd_diff(args):
+    """Compare two .res files — formalizes the reference's manual
+    cross-implementation diffing (SURVEY.md section 4)."""
+    from tpufm.io.results import load_results
+
+    a = load_results(args.a)
+    b = load_results(args.b)
+    if a.shape != b.shape:
+        sys.exit(f"DIFFER: {a.shape[0]} vs {b.shape[0]} results")
+    bad = np.flatnonzero((a != b).any(axis=1))
+    if bad.size:
+        for i in bad[:10]:
+            print(f"  query {i}: {a[i].tolist()} vs {b[i].tolist()}")
+        sys.exit(f"DIFFER: {bad.size}/{a.shape[0]} intervals mismatch")
+    print(f"IDENTICAL: {a.shape[0]} intervals")
+
+
+def cmd_dumpbwt(args):
+    """Debug dump of the k BWT strings (reference INDEX_DGB=1 path,
+    src/genFMindex.c:523-535)."""
+    from tpufm.index.builder import derive_bwts
+
+    codes = read_reference(args.reference, args.refsize)
+    bwts, dollar_pos = derive_bwts(codes, args.k)
+    for i, (s, dp) in enumerate(zip(bwts, dollar_pos)):
+        print(f"BWT{i} dollarPosition={dp}")
+        print(s.decode())
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tpufm")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -179,6 +208,17 @@ def main(argv=None):
     be.add_argument("--seed", type=int, default=0)
     be.add_argument("--engine", default="xla")
     be.set_defaults(fn=cmd_bench)
+
+    df = sub.add_parser("diff", help="compare two .res interval files")
+    df.add_argument("a")
+    df.add_argument("b")
+    df.set_defaults(fn=cmd_diff)
+
+    db = sub.add_parser("dumpbwt", help="print the k BWT strings (debug)")
+    db.add_argument("reference")
+    db.add_argument("refsize", type=int)
+    db.add_argument("--k", type=int, default=2)
+    db.set_defaults(fn=cmd_dumpbwt)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,197 @@
+"""Pallas TPU kernels for the backward-search hot loop.
+
+Division of labor (measured on v5e, see docs/PERF.md):
+  * the data-dependent entry gather is left to XLA — its gather lowering
+    sustains 44-65M rows/s, ~4x what a hand-written per-row DMA pipeline
+    reaches (17M rows/s), so a manual Pallas gather would be a pessimization;
+  * the per-round rank computation (boundary masks, plane select/complement,
+    AND-reduce, popcount, counter select, '$' corrections, interval update)
+    is fused into ONE VPU kernel over the gathered rows — the tpufm
+    counterpart of the reference's per-thread bit kernel
+    (reference src/fmIndexGPU-Task-2Step.cu:103-122 / fmIndexCPUBaseline.c:230-256).
+
+The kernel is layout-static (k, d baked at trace time, like everything else
+in tpufm) and grid-tiled over the flattened 2B interval ends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpufm.index.builder import KStepFMIndex
+
+_U32 = jnp.uint32
+_FULL = np.uint32(0xFFFFFFFF)
+
+
+def _lf_round_kernel(
+    dollar_ref,  # SMEM [3, k]: rows = dollar_pos, dollar_base, dollar_block
+    rows_ref,    # VMEM [TILE, W]: gathered entries (bitmap words then counters)
+    iv_ref,      # VMEM [TILE, 1]: interval ends
+    code_ref,    # VMEM [TILE, 1]: fused k-mer codes
+    out_ref,     # VMEM [TILE, 1]: updated interval ends
+    *,
+    k: int,
+    d: int,
+    nb: int,
+    ncounters: int,
+):
+    bmw = 2 * k * nb
+    iv = iv_ref[:, 0]
+    code = code_ref[:, 0]
+    block = iv // _U32(d)
+
+    # Boundary prefix masks per 32-base window.
+    shift = (iv % _U32(d)).astype(jnp.int32)[:, None]
+    win = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    cov = jnp.clip(shift - 32 * win, 0, 32)
+    amount = jnp.where(cov > 0, 32 - jnp.minimum(cov, 32), 0).astype(_U32)
+    matched = jnp.where(cov > 0, jnp.left_shift(_U32(_FULL), amount), _U32(0))
+
+    # Plane select/complement AND-reduce (static slices per level/plane).
+    for i in range(k):
+        b0 = ((code >> _U32(2 * i)) & _U32(1))[:, None]
+        b1 = ((code >> _U32(2 * i + 1)) & _U32(1))[:, None]
+        p0 = rows_ref[:, i * 2 * nb : i * 2 * nb + nb]
+        p1 = rows_ref[:, i * 2 * nb + nb : i * 2 * nb + 2 * nb]
+        matched &= jnp.where(b0 != 0, p0, ~p0) & jnp.where(b1 != 0, p1, ~p1)
+
+    # Mosaic has no unsigned reductions: reduce in int32 (bit-identical here —
+    # popcounts are small, and the one-hot row has a single non-zero).
+    count = jnp.sum(
+        jax.lax.population_count(matched).astype(jnp.int32), axis=1
+    ).astype(_U32)
+
+    # Counter select via one-hot reduce (no dynamic lane gather on the VPU).
+    cnt_cols = rows_ref[:, bmw : bmw + ncounters].astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, cnt_cols.shape, 1)
+    cnt = jnp.sum(
+        jnp.where(col == code.astype(jnp.int32)[:, None], cnt_cols, 0),
+        axis=1,
+    ).astype(_U32)
+
+    # '$' corrections: scalar metadata from SMEM, k static.
+    for i in range(k):
+        dpos = dollar_ref[0, i]
+        dbase = dollar_ref[1, i]
+        dblock = dollar_ref[2, i]
+        hit = (block == dblock) & (code == dbase) & (iv > dpos)
+        count -= hit.astype(_U32)
+
+    out_ref[:, 0] = cnt + count
+
+
+def make_lf_round(k: int, d: int, tile: int = 2048, interpret: bool = False):
+    """Returns lf_round(rows [N, W], intervals [N], codes [N], dollar [3, k])
+    -> new intervals [N], with N a multiple of `tile`."""
+    nb = d // 32
+    ncounters = 4**k
+    w = 2 * k * nb + ncounters
+    kernel = functools.partial(
+        _lf_round_kernel, k=k, d=d, nb=nb, ncounters=ncounters
+    )
+
+    def lf_round(rows, intervals, codes, dollar):
+        n = rows.shape[0]
+        grid = (n // tile,)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((tile, w), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tile, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tile, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (tile, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, 1), _U32),
+            interpret=interpret,
+        )(dollar, rows, intervals[:, None], codes[:, None])[:, 0]
+
+    return lf_round
+
+
+def make_pallas_search_fn(
+    k: int, d: int, tile: int = 2048, interpret: bool = False
+):
+    """Jittable batch search with XLA gathers + the Pallas round kernel.
+
+    (tables, bwtsize, queries[B, L]) -> uint32 [B, 2]. B*2 must be a multiple
+    of `tile`.
+    """
+    from tpufm.engine.xla import fuse_round_codes
+
+    lf_round = make_lf_round(k, d, tile=tile, interpret=interpret)
+
+    def search(tables, bwtsize, queries):
+        codes = fuse_round_codes(queries, k)
+        B = queries.shape[0]
+        iv0 = jnp.stack(
+            [jnp.zeros(B, dtype=_U32), jnp.full(B, bwtsize, dtype=_U32)], axis=1
+        )
+        dollar = jnp.stack(
+            [tables["dollar_pos"], tables["dollar_base"], tables["dollar_block"]]
+        )
+        entries = tables["entries"]
+
+        def body(iv, code):
+            block = iv // _U32(d)
+            rows = entries[block]  # XLA gather [B, 2, W]
+            flat_iv = iv.reshape(-1)
+            flat_code = jnp.repeat(code[:, None], 2, axis=1).reshape(-1)
+            new_iv = lf_round(
+                rows.reshape(-1, rows.shape[-1]), flat_iv, flat_code, dollar
+            )
+            return new_iv.reshape(B, 2), None
+
+        iv, _ = jax.lax.scan(body, iv0, codes)
+        return iv
+
+    return search
+
+
+class PallasEngine:
+    """XLAEngine twin whose per-round compute runs in the Pallas kernel."""
+
+    def __init__(self, index: KStepFMIndex, tile: int = 2048, interpret: bool = False):
+        self.config = index.config
+        self.bwtsize = index.bwtsize
+        self.tile = tile
+        rows = index.occ.shape[0]
+        self.tables = {
+            "entries": jax.device_put(
+                np.concatenate([index.bitmaps.reshape(rows, -1), index.occ], axis=1)
+            ),
+            "dollar_pos": jax.device_put(index.dollar_pos),
+            "dollar_base": jax.device_put(index.dollar_base),
+            "dollar_block": jax.device_put(
+                np.asarray(index.dollar_block, np.uint32)
+            ),
+        }
+        self._search = jax.jit(
+            make_pallas_search_fn(
+                self.config.k, self.config.d, tile=tile, interpret=interpret
+            )
+        )
+
+    def search(self, queries) -> np.ndarray:
+        q = jnp.asarray(queries, jnp.uint8)
+        if (q.shape[0] * 2) % self.tile:
+            raise ValueError(
+                f"batch*2 = {q.shape[0] * 2} must be a multiple of tile={self.tile}"
+            )
+        out = self._search(self.tables, _U32(self.bwtsize), q)
+        return np.asarray(jax.device_get(out))
+
+    def search_device(self, queries):
+        return self._search(self.tables, _U32(self.bwtsize), queries)

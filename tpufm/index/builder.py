@@ -186,6 +186,33 @@ def build_index(
     )
 
 
+def derive_bwts(codes: np.ndarray, k: int, sa: np.ndarray | None = None):
+    """Return the k BWT level strings (bytes, with '$') and dollar positions —
+    the debugging view the reference dumps under INDEX_DGB=1
+    (reference src/genFMindex.c:523-535). Not used by the search path."""
+    from tpufm.index.suffix_array import suffix_array
+    from tpufm.utils.encoding import decode_bases
+
+    codes = np.asarray(codes, dtype=np.uint8)
+    n = codes.shape[0]
+    bwtsize = n + 1
+    if sa is None:
+        sa = suffix_array(codes)
+    dollar_pos = np.empty(k, dtype=np.int64)
+    small = np.flatnonzero(sa < k)
+    dollar_pos[sa[small]] = small
+
+    t_codes = np.concatenate([codes, np.zeros(1, np.uint8)])
+    bwts = []
+    for i in range(k):
+        prev = sa - (1 + i)
+        prev[prev < 0] += bwtsize
+        s = bytearray(decode_bases(t_codes[prev]))
+        s[dollar_pos[i]] = ord("$")
+        bwts.append(bytes(s))
+    return bwts, dollar_pos
+
+
 def total_kmer_counts_bitmap(index: KStepFMIndex) -> np.ndarray:
     """Bitmap-inclusive total count of each k-mer over all real blocks:
     '$' positions count as their 'A'-encoded k-mer and padding positions as
