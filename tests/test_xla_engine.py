@@ -52,3 +52,36 @@ def test_xla_long_queries(rng):
     np.testing.assert_array_equal(got, search_oracle(index, queries))
     # every sampled read must occur at least once
     assert (got[:, 1] > got[:, 0]).all()
+
+
+@pytest.mark.parametrize("k,lut_m", [(2, 4), (3, 6), (1, 3)])
+def test_xla_prefix_lut_matches_oracle(rng, k, lut_m):
+    # LUT start: the first lut_m characters collapse into one table lookup.
+    codes, index = _mk(rng, k, 32, 900)
+    engine = XLAEngine(index, lut_m=lut_m)
+    qlen = lut_m + 4 * k
+    starts = rng.integers(0, len(codes) - qlen, size=48)
+    queries = np.stack([codes[s : s + qlen] for s in starts])
+    misses = rng.integers(0, 4, size=(16, qlen), dtype=np.uint8)
+    queries = np.concatenate([queries, misses])
+    np.testing.assert_array_equal(engine.search(queries), search_oracle(index, queries))
+
+
+def test_xla_lut_only_queries(rng):
+    # queries exactly lut_m long: the whole search is the LUT gather.
+    codes, index = _mk(rng, 2, 32, 600)
+    engine = XLAEngine(index, lut_m=4)
+    starts = rng.integers(0, len(codes) - 4, size=32)
+    queries = np.stack([codes[s : s + 4] for s in starts])
+    np.testing.assert_array_equal(engine.search(queries), search_oracle(index, queries))
+
+
+def test_xla_pad_words_matches_oracle(rng):
+    codes, index = _mk(rng, 2, 64, 777)
+    plain = XLAEngine(index)
+    padded = XLAEngine(index, pad_words=128)
+    assert padded.tables["entries"].shape[1] == 128
+    starts = rng.integers(0, len(codes) - 40, size=48)
+    queries = np.stack([codes[s : s + 40] for s in starts])
+    np.testing.assert_array_equal(padded.search(queries), plain.search(queries))
+    np.testing.assert_array_equal(padded.search(queries), search_oracle(index, queries))

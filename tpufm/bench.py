@@ -104,15 +104,15 @@ def run_bench(
     else:
         eng = XLAEngine(index)
 
-    qd = jax.device_put(jnp.asarray(queries, jnp.uint8))
-    out = eng.search_device(qd)
-    jax.block_until_ready(out)  # compile + warm
+    from tpufm.utils.timer import timed_device_passes
 
-    t0 = time.perf_counter()
-    for _ in range(iterations):
-        out = eng.search_device(qd)
-    jax.block_until_ready(out)
-    search_s = (time.perf_counter() - t0) / iterations
+    qd = jax.device_put(jnp.asarray(queries, jnp.uint8))
+    # NOTE: timing uses a true host-fetch barrier per pass — block_until_ready
+    # is unreliable on tunneled device platforms (see utils/timer.device_sync).
+    search_s, _ = timed_device_passes(
+        lambda: eng.search_device(qd), iterations=iterations
+    )
+    out = eng.search_device(qd)
 
     # Correctness spot-check against the oracle on a slice.
     spot = np.asarray(jax.device_get(out))[:256]

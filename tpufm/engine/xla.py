@@ -159,6 +159,24 @@ def lf_step_ac(tables: dict, cfg: tuple, interval, code):
     return jnp.where(idx_entry == 1, cnt - count, cnt + count)
 
 
+def fuse_prefix_codes(queries, m: int):
+    """uint8 [B, L] -> uint32 [B] big-endian base-4 code of the LAST m
+    characters (the suffix processed first by backward search)."""
+    tail = queries[:, queries.shape[1] - m:].astype(_U32)
+    code = jnp.zeros(queries.shape[0], dtype=_U32)
+    for j in range(m):
+        code = (code << _U32(2)) | tail[:, j]
+    return code
+
+
+def decode_prefix_codes(codes, m: int):
+    """Inverse of fuse_prefix_codes: uint32 [B] -> uint8 [B, m] queries."""
+    cols = []
+    for j in range(m):
+        cols.append(((codes >> _U32(2 * (m - 1 - j))) & _U32(3)).astype(jnp.uint8))
+    return jnp.stack(cols, axis=1)
+
+
 def fuse_round_codes(queries, k: int):
     """uint8 [B, L] -> uint32 [rounds, B] fused k-mer codes per round
     (level i = offset k-1-i inside each k-chunk, rounds run right-to-left)."""
@@ -173,12 +191,24 @@ def fuse_round_codes(queries, k: int):
     return code.T
 
 
-def make_search_fn(k: int, d: int, alt_counters: bool = False, layout: str = "fused"):
+def make_search_fn(
+    k: int,
+    d: int,
+    alt_counters: bool = False,
+    layout: str = "fused",
+    lut_m: int = 0,
+):
     """Build the jittable batch search: (tables, bwtsize, queries) -> [B, 2].
 
     layout="fused" (default, fastest on TPU): single-table single-gather
     rounds via lf_step_fused. layout="split": separate occ/bitmap gathers
     (required for the alternate-counters tables).
+
+    lut_m > 0 (fused only): tables must hold 'lut' uint32 [4^lut_m, 2] — the
+    precomputed SA interval of every lut_m-mer. The first lut_m characters of
+    the backward search collapse into ONE gather instead of lut_m/k k-step
+    rounds (a round-eliminator the reference's fixed-k design cannot express;
+    cf. its per-round entry fetch, src/fmIndexCPUBaseline.c:200-228).
     """
     nb = d // 32
 
@@ -191,11 +221,24 @@ def make_search_fn(k: int, d: int, alt_counters: bool = False, layout: str = "fu
         cfg = (k, d, nb)
 
         def search(tables, bwtsize, queries):
-            codes = fuse_round_codes(queries, k)
             B = queries.shape[0]
-            iv0 = jnp.stack(
-                [jnp.zeros(B, dtype=_U32), jnp.full(B, bwtsize, dtype=_U32)], axis=1
-            )
+            if lut_m:
+                L = queries.shape[1]
+                if (L - lut_m) % k:
+                    raise ValueError(
+                        f"query length {L} minus lut_m {lut_m} not divisible by k={k}"
+                    )
+                iv0 = tables["lut"][fuse_prefix_codes(queries, lut_m)]
+                codes = fuse_round_codes(queries[:, : L - lut_m], k) if L > lut_m else None
+            else:
+                iv0 = jnp.stack(
+                    [jnp.zeros(B, dtype=_U32), jnp.full(B, bwtsize, dtype=_U32)],
+                    axis=1,
+                )
+                codes = fuse_round_codes(queries, k)
+
+            if codes is None:
+                return iv0
 
             def body(iv, code):
                 return lf_step_fused(tables, cfg, iv, code), None
@@ -240,7 +283,19 @@ class XLAEngine:
         index: KStepFMIndex | AltCountersIndex,
         device=None,
         layout: str | None = None,
+        pad_words: int | None = None,
+        lut_m: int = 0,
     ):
+        """pad_words: pad each fused entry row to this many uint32 words
+        (e.g. 128 = 512 B rows). Measured on TPU v5e, the XLA gather hits a
+        fast path for some (rows, width) shapes and a ~1.7x slower one for
+        others; padding to a 512 B row flips slow shapes to the fast path at
+        the cost of extra gathered bytes (see docs/PERF.md).
+
+        lut_m: precompute a 4^lut_m x 2 interval LUT on device (one batched
+        backward-search of every lut_m-mer, built with this same engine) and
+        start every query lut_m characters in — eliminating lut_m/k rounds.
+        """
         if isinstance(index, AltCountersIndex):
             base = index.base
             self.alt_counters = True
@@ -249,7 +304,12 @@ class XLAEngine:
             base = index
             self.alt_counters = False
             layout = layout or "fused"
+        if lut_m and layout != "fused":
+            raise ValueError("lut_m requires the fused layout")
+        if lut_m and lut_m % base.config.k:
+            raise ValueError(f"lut_m={lut_m} must be a multiple of k={base.config.k}")
         self.layout = layout
+        self.lut_m = lut_m
         self.config = base.config
         self.bwtsize = base.bwtsize
 
@@ -261,11 +321,20 @@ class XLAEngine:
         }
         if layout == "fused":
             rows = base.occ.shape[0]
-            tables["entries"] = put(
-                np.concatenate(
-                    [base.bitmaps.reshape(rows, -1), base.occ], axis=1
-                )
+            entries = np.concatenate(
+                [base.bitmaps.reshape(rows, -1), base.occ], axis=1
             )
+            if pad_words and pad_words > entries.shape[1]:
+                entries = np.concatenate(
+                    [
+                        entries,
+                        np.zeros(
+                            (rows, pad_words - entries.shape[1]), dtype=np.uint32
+                        ),
+                    ],
+                    axis=1,
+                )
+            tables["entries"] = put(entries)
         else:
             tables["bitmaps"] = put(base.bitmaps)
             if self.alt_counters:
@@ -274,11 +343,32 @@ class XLAEngine:
                 tables["occ"] = put(base.occ)
         self.tables = tables
 
+        if lut_m:
+            tables["lut"] = self._build_prefix_lut(lut_m)
+
         self._search = jax.jit(
             make_search_fn(
-                self.config.k, self.config.d, self.alt_counters, layout=layout
+                self.config.k,
+                self.config.d,
+                self.alt_counters,
+                layout=layout,
+                lut_m=lut_m,
             )
         )
+
+    def _build_prefix_lut(self, m: int):
+        """uint32 [4^m, 2]: the SA interval of every m-mer, computed on
+        device with this engine's own tables (bit-exact by construction)."""
+        fn = jax.jit(
+            make_search_fn(self.config.k, self.config.d, False, layout="fused")
+        )
+        n = 4**m
+        wave = min(n, 1 << 20)
+        parts = []
+        for start in range(0, n, wave):
+            codes = jnp.arange(start, start + wave, dtype=_U32)
+            parts.append(fn(self.tables, _U32(self.bwtsize), decode_prefix_codes(codes, m)))
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
     def search(self, queries) -> np.ndarray:
         """queries: uint8 [B, L] 2-bit codes. Returns uint32 [B, 2]."""

@@ -63,14 +63,13 @@ def run_sweep(
             else:
                 eng = XLAEngine(index)
 
+            from tpufm.utils.timer import timed_device_passes
+
             qd = jax.device_put(jnp.asarray(queries, jnp.uint8))
+            dt, _ = timed_device_passes(
+                lambda: eng.search_device(qd), iterations=iterations
+            )
             out = eng.search_device(qd)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(iterations):
-                out = eng.search_device(qd)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / iterations
 
             exact = None
             if verify:

@@ -26,17 +26,23 @@ def trace(out_dir: str):
 
 
 def timed(fn, *args, iterations: int = 5, warmup: int = 1):
-    """Compile/warm then time fn(*args) with device synchronization.
+    """Compile/warm then time fn(*args) with a TRUE device barrier per pass
+    (host fetch of one element — block_until_ready is unreliable on tunneled
+    platforms, see tpufm.utils.timer.device_sync).
     Returns (seconds_per_iteration, last_output)."""
+    from tpufm.utils.timer import device_sync
+
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    device_sync(out)
+    times = []
     for _ in range(iterations):
+        t0 = time.perf_counter()
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iterations, out
+        device_sync(out)
+        times.append(time.perf_counter() - t0)
+    return sum(times) / len(times), out
 
 
 def search_stats(
