@@ -17,14 +17,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     from tpufm.bench import run_bench
 
+    # Flagship: k=3 d=128 fused rows + 12-mer prefix LUT — the fastest
+    # measured single-chip configuration (docs/PERF.md).
     record = run_bench(
         refsize=int(os.environ.get("TPUFM_BENCH_REFSIZE", 10_000_000)),
-        k=int(os.environ.get("TPUFM_BENCH_K", 2)),
-        d=int(os.environ.get("TPUFM_BENCH_D", 64)),
-        num_queries=int(os.environ.get("TPUFM_BENCH_QUERIES", 131072)),
+        k=int(os.environ.get("TPUFM_BENCH_K", 3)),
+        d=int(os.environ.get("TPUFM_BENCH_D", 128)),
+        num_queries=int(os.environ.get("TPUFM_BENCH_QUERIES", 524288)),
         query_len=int(os.environ.get("TPUFM_BENCH_LEN", 120)),
         iterations=int(os.environ.get("TPUFM_BENCH_ITERS", 5)),
         engine=os.environ.get("TPUFM_BENCH_ENGINE", "xla"),
+        lut_m=int(os.environ.get("TPUFM_BENCH_LUT", 12)),
     )
     print(json.dumps(record))
 

@@ -85,3 +85,14 @@ def test_xla_pad_words_matches_oracle(rng):
     queries = np.stack([codes[s : s + 40] for s in starts])
     np.testing.assert_array_equal(padded.search(queries), plain.search(queries))
     np.testing.assert_array_equal(padded.search(queries), search_oracle(index, queries))
+
+
+def test_xla_wave_chunking(rng):
+    # large batches processed in fixed-size device waves, incl. ragged tail
+    codes, index = _mk(rng, 2, 32, 600)
+    engine = XLAEngine(index)
+    starts = rng.integers(0, len(codes) - 24, size=100)
+    queries = np.stack([codes[s : s + 24] for s in starts])
+    whole = engine.search(queries)
+    waved = engine.search(queries, wave=32)  # 3 full waves + tail of 4
+    np.testing.assert_array_equal(whole, waved)

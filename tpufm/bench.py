@@ -77,6 +77,8 @@ def run_bench(
     iterations: int = 5,
     seed: int = 0,
     engine: str = "xla",
+    lut_m: int = 0,
+    pad_words: int | None = None,
     compare_reference: bool = True,
 ) -> dict:
     _enable_compile_cache()
@@ -102,7 +104,7 @@ def run_bench(
     if engine == "xla-ac":
         eng = XLAEngine(make_alt_counters(index))
     else:
-        eng = XLAEngine(index)
+        eng = XLAEngine(index, lut_m=lut_m, pad_words=pad_words)
 
     from tpufm.utils.timer import timed_device_passes
 

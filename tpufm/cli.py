@@ -109,7 +109,11 @@ def _make_engine(index, args):
 
     if getattr(args, "engine", "xla") == "xla-ac" and isinstance(index, KStepFMIndex):
         index = make_alt_counters(index)
-    return XLAEngine(index)
+    return XLAEngine(
+        index,
+        lut_m=getattr(args, "lut", 0),
+        pad_words=getattr(args, "pad_words", None),
+    )
 
 
 def cmd_bench(args):
@@ -195,6 +199,10 @@ def main(argv=None):
     s.add_argument("numqueries", type=int)
     s.add_argument("--iterations", type=int, default=5)
     s.add_argument("--engine", default="xla", choices=["xla", "xla-ac"])
+    s.add_argument("--lut", type=int, default=0,
+                   help="prefix-LUT length m (collapses the first m chars "
+                        "of every query into one gather)")
+    s.add_argument("--pad-words", type=int, default=None)
     s.add_argument("--output", default=None)
     s.set_defaults(fn=cmd_search)
 

@@ -370,12 +370,39 @@ class XLAEngine:
             parts.append(fn(self.tables, _U32(self.bwtsize), decode_prefix_codes(codes, m)))
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
-    def search(self, queries) -> np.ndarray:
-        """queries: uint8 [B, L] 2-bit codes. Returns uint32 [B, 2]."""
-        out = self._search(
-            self.tables, _U32(self.bwtsize), jnp.asarray(queries, dtype=jnp.uint8)
-        )
-        return np.asarray(jax.device_get(out))
+    #: reads per device wave: gather throughput flattens past ~512K reads and
+    #: the per-round [wave, 2, W] transients stay small (measured, docs/PERF.md)
+    WAVE = 1 << 19
+
+    def search(self, queries, wave: int | None = None) -> np.ndarray:
+        """queries: uint8 [B, L] 2-bit codes. Returns uint32 [B, 2].
+
+        Batches larger than `wave` are processed in device-sized waves (the
+        TPU analog of the reference streaming 10M reads through a fixed
+        thread pool, common/searchQueries.c:84-95) — each wave is one jit
+        call, so arbitrarily large read sets run in constant device memory.
+        """
+        wave = wave or self.WAVE
+        queries = np.asarray(queries, dtype=np.uint8)
+        if queries.shape[0] <= wave:
+            out = self._search(
+                self.tables, _U32(self.bwtsize), jnp.asarray(queries)
+            )
+            return np.asarray(jax.device_get(out))
+        outs = []
+        for start in range(0, queries.shape[0], wave):
+            chunk = queries[start : start + wave]
+            pad = 0
+            if chunk.shape[0] < wave:
+                # keep one compiled shape: pad the tail wave
+                pad = wave - chunk.shape[0]
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, chunk.shape[1]), np.uint8)]
+                )
+            out = self._search(self.tables, _U32(self.bwtsize), jnp.asarray(chunk))
+            out = np.asarray(jax.device_get(out))
+            outs.append(out[: wave - pad] if pad else out)
+        return np.concatenate(outs)
 
     def search_device(self, queries):
         """Device-to-device search (no host transfer), for benchmarking."""

@@ -37,6 +37,21 @@ from tpufm.index.layouts import AltCountersIndex
 _U32 = jnp.uint32
 
 
+def _pvary(x, axis):
+    """Mark x device-varying along a mesh axis (API moved across JAX 0.8/0.9)."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axis, to="varying")
+    return jax.lax.pvary(x, (axis,))
+
+
+def _shard_map():
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map
+    from jax.experimental.shard_map import shard_map
+
+    return shard_map
+
+
 class DataParallelEngine:
     """Replicated-index, batch-sharded search over a 1-D device mesh."""
 
@@ -178,8 +193,8 @@ class ShardedIndexEngine:
             codes = fuse_round_codes(queries, k)
             B = queries.shape[0]
             # The carry is device-varying inside shard_map; mark it so.
-            lo0 = jax.lax.pvary(jnp.zeros(B, dtype=_U32), (axis,))
-            hi0 = jax.lax.pvary(jnp.full(B, bwtsize, dtype=_U32), (axis,))
+            lo0 = _pvary(jnp.zeros(B, dtype=_U32), axis)
+            hi0 = _pvary(jnp.full(B, bwtsize, dtype=_U32), axis)
 
             def body(carry, code):
                 lo, hi = carry
@@ -190,7 +205,7 @@ class ShardedIndexEngine:
             (lo, hi), _ = jax.lax.scan(body, (lo0, hi0), codes)
             return jnp.stack([lo, hi], axis=1)
 
-        from jax.experimental.shard_map import shard_map
+        shard_map = _shard_map()
 
         self._search = jax.jit(
             shard_map(
