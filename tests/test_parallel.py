@@ -82,3 +82,19 @@ def test_sharded_index_small_table(rng, mesh):
     np.testing.assert_array_equal(
         engine.search(queries), search_oracle(index, queries)
     )
+
+
+def test_data_parallel_with_lut(rng):
+    import numpy as np
+    from tpufm.config import IndexConfig
+    from tpufm.engine.oracle import search_oracle
+    from tpufm.index.builder import build_index
+    from tpufm.parallel import make_mesh, DataParallelEngine
+
+    codes = rng.integers(0, 4, size=800, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=2, d=32), sa_method="doubling")
+    mesh = make_mesh(4)
+    eng = DataParallelEngine(index, mesh, lut_m=4)
+    starts = rng.integers(0, 800 - 24, size=64)
+    queries = np.stack([codes[s : s + 24] for s in starts])
+    np.testing.assert_array_equal(eng.search(queries), search_oracle(index, queries))

@@ -53,13 +53,24 @@ def _shard_map():
 
 
 class DataParallelEngine:
-    """Replicated-index, batch-sharded search over a 1-D device mesh."""
+    """Replicated-index, batch-sharded search over a 1-D device mesh.
 
-    def __init__(self, index: KStepFMIndex | AltCountersIndex, mesh: Mesh):
+    lut_m > 0 additionally replicates a 4^lut_m x 2 prefix LUT (built once,
+    on device) so every chip starts its query shard lut_m characters in —
+    same round elimination as the single-chip engine."""
+
+    def __init__(
+        self,
+        index: KStepFMIndex | AltCountersIndex,
+        mesh: Mesh,
+        lut_m: int = 0,
+    ):
         if isinstance(index, AltCountersIndex):
             base, self.alt_counters = index.base, True
         else:
             base, self.alt_counters = index, False
+        if lut_m and (self.alt_counters or lut_m % base.config.k):
+            raise ValueError("lut_m requires the fused layout and lut_m % k == 0")
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.config = base.config
@@ -83,9 +94,21 @@ class DataParallelEngine:
             tables["occ_slim"] = put(index.occ_slim)
         self.tables = tables
 
+        if lut_m:
+            from tpufm.engine.xla import build_prefix_lut
+
+            lut = build_prefix_lut(
+                tables, self.bwtsize, self.config.k, self.config.d, lut_m
+            )
+            tables["lut"] = jax.device_put(lut, replicated)
+
         self.batch_sharding = NamedSharding(mesh, P(self.axis, None))
         search = make_search_fn(
-            self.config.k, self.config.d, self.alt_counters, layout=layout
+            self.config.k,
+            self.config.d,
+            self.alt_counters,
+            layout=layout,
+            lut_m=lut_m,
         )
         # Results replicated on exit: the all-gather merge of the per-chip
         # (lo, hi) shards.
