@@ -361,19 +361,6 @@ class XLAEngine:
             self.tables, self.bwtsize, self.config.k, self.config.d, m
         )
 
-
-def build_prefix_lut(tables, bwtsize, k: int, d: int, m: int):
-    """uint32 [4^m, 2]: the SA interval of every m-mer, computed on device
-    with the engine's own fused tables (bit-exact by construction)."""
-    fn = jax.jit(make_search_fn(k, d, False, layout="fused"))
-    n = 4**m
-    wave = min(n, 1 << 20)
-    parts = []
-    for start in range(0, n, wave):
-        codes = jnp.arange(start, start + wave, dtype=_U32)
-        parts.append(fn(tables, _U32(bwtsize), decode_prefix_codes(codes, m)))
-    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-
     #: reads per device wave: gather throughput flattens past ~512K reads and
     #: the per-round [wave, 2, W] transients stay small (measured, docs/PERF.md)
     WAVE = 1 << 19
@@ -411,3 +398,16 @@ def build_prefix_lut(tables, bwtsize, k: int, d: int, m: int):
     def search_device(self, queries):
         """Device-to-device search (no host transfer), for benchmarking."""
         return self._search(self.tables, _U32(self.bwtsize), queries)
+
+
+def build_prefix_lut(tables, bwtsize, k: int, d: int, m: int):
+    """uint32 [4^m, 2]: the SA interval of every m-mer, computed on device
+    with the engine's own fused tables (bit-exact by construction)."""
+    fn = jax.jit(make_search_fn(k, d, False, layout="fused"))
+    n = 4**m
+    wave = min(n, 1 << 20)
+    parts = []
+    for start in range(0, n, wave):
+        codes = jnp.arange(start, start + wave, dtype=_U32)
+        parts.append(fn(tables, _U32(bwtsize), decode_prefix_codes(codes, m)))
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
