@@ -95,3 +95,15 @@ def test_fmi_header_fields(tmp_path, rng):
     entry0 = raw[10 : 10 + 24]
     np.testing.assert_array_equal(entry0[:8], index.bitmaps[0].reshape(-1))
     np.testing.assert_array_equal(entry0[8:], index.occ[0])
+
+
+def test_recommend_config():
+    from tpufm.config import recommend_config
+
+    r = recommend_config(10_000_000)
+    assert r == {"k": 3, "d": 128, "lut_m": 12}
+    r = recommend_config(3_000_000_000)
+    assert r == {"k": 3, "d": 192, "lut_m": 12}
+    # k must divide the query length
+    assert recommend_config(10_000_000, query_len=8)["k"] == 2
+    assert recommend_config(10_000_000, query_len=100)["lut_m"] == 12

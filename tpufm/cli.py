@@ -38,6 +38,12 @@ def _load_any_index(path: str):
 
 def cmd_build(args):
     codes = read_reference(args.reference, args.refsize)
+    if args.auto:
+        from tpufm.config import recommend_config
+
+        rec = recommend_config(args.refsize)
+        args.k, args.d = rec["k"], rec["d"]
+        print(f"auto config: k={args.k} d={args.d} (recommend lut_m={rec['lut_m']})")
     cfg = IndexConfig(k=args.k, d=args.d)
     t0 = time.perf_counter()
     index = build_index(codes, cfg)
@@ -170,6 +176,8 @@ def main(argv=None):
     b.add_argument("refsize", type=int)
     b.add_argument("--k", type=int, default=2)
     b.add_argument("--d", type=int, default=64)
+    b.add_argument("--auto", action="store_true",
+                   help="pick the measured-best (k, d) for this refsize")
     b.add_argument("--output", default=None)
     b.add_argument("--save-ref", action="store_true")
     b.set_defaults(fn=cmd_build)

@@ -106,3 +106,27 @@ class IndexConfig:
             self.num_slim_counters if self.layout.has_slim_counters else self.num_counters
         )
         return 4 * (self.bitmap_words + counters)
+
+
+def recommend_config(refsize: int, query_len: int = 120) -> dict:
+    """Measured-best single-chip configuration for a reference of `refsize`
+    bases (TPU v5e numbers, docs/PERF.md).
+
+    The XLA gather rides a ~1.7x fast path for k=3 tables with d in
+    {128, 192} and <= ~208K entries; larger tables land on a flat slow path
+    (~610K reads/s up to at least 8 GB). k=3 dominates k in {1,2,4,5} on
+    both paths. A 12-mer prefix LUT removes lut_m/k rounds whenever the
+    query length permits.
+
+    Returns {'k', 'd', 'lut_m'} kwargs for IndexConfig / XLAEngine.
+    """
+    # k must divide the query length (the per-round fused k-mer contract,
+    # reference src/fmIndexCPUBaseline.c:200); k=3 is measured-best.
+    k = next((kk for kk in (3, 2, 1) if query_len % kk == 0), 1)
+    bwtsize = refsize + 1
+    d = 128 if -(-bwtsize // 128) <= 210_000 else 192
+    lut_m = 0
+    if query_len >= 24:
+        # largest m <= 12 with m % k == 0 (then (query_len - m) % k == 0 too)
+        lut_m = 12 - (12 % k)
+    return {"k": k, "d": d, "lut_m": lut_m}
