@@ -27,7 +27,7 @@ from tpufm.utils.encoding import decode_bases
 
 from refparity import build_reference_binaries, run
 
-CONFIGS = [(1, 64), (2, 64), (2, 32), (3, 32), (4, 32), (2, 128)]
+CONFIGS = [(1, 64), (2, 64), (2, 32), (3, 32), (4, 32), (2, 128), (3, 128)]
 
 
 def _setup(tmp_path, rng, k, d, n=3000):

@@ -108,13 +108,24 @@ def run_bench(
 
     from tpufm.utils.timer import timed_device_passes
 
-    qd = jax.device_put(jnp.asarray(queries, jnp.uint8))
     # NOTE: timing uses a true host-fetch barrier per pass — block_until_ready
     # is unreliable on tunneled device platforms (see utils/timer.device_sync).
-    search_s, _ = timed_device_passes(
-        lambda: eng.search_device(qd), iterations=iterations
-    )
-    out = eng.search_device(qd)
+    if num_queries > XLAEngine.WAVE:
+        # Reference-protocol scale (10M reads): stream through the chip in
+        # 512K-read waves; timing includes the host<->device streaming, as
+        # the wave pipeline is the deliverable at this size.
+        eng.search(queries[: XLAEngine.WAVE])  # warm/compile
+        t0 = time.perf_counter()
+        for _ in range(iterations):
+            res = eng.search(queries)
+        search_s = (time.perf_counter() - t0) / iterations
+        out = jnp.asarray(res)
+    else:
+        qd = jax.device_put(jnp.asarray(queries, jnp.uint8))
+        search_s, _ = timed_device_passes(
+            lambda: eng.search_device(qd), iterations=iterations
+        )
+        out = eng.search_device(qd)
 
     # Correctness spot-check against the oracle on a slice.
     spot = np.asarray(jax.device_get(out))[:256]
