@@ -32,3 +32,15 @@ def test_pallas_engine_rejects_bad_tile(rng):
     engine = PallasEngine(index, tile=64, interpret=True)
     with pytest.raises(ValueError, match="multiple of tile"):
         engine.search(np.zeros((30, 8), np.uint8))
+
+
+def test_pallas_engine_with_lut(rng):
+    codes = rng.integers(0, 4, size=1500, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=2, d=32), sa_method="doubling")
+    engine = PallasEngine(index, tile=64, interpret=True, lut_m=4)
+    qlen = 4 + 10 * 2
+    starts = rng.integers(0, len(codes) - qlen, size=32)
+    queries = np.stack([codes[s : s + qlen] for s in starts])
+    np.testing.assert_array_equal(
+        engine.search(queries), search_oracle(index, queries)
+    )

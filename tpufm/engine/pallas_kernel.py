@@ -122,23 +122,33 @@ def make_lf_round(k: int, d: int, tile: int = 2048, interpret: bool = False):
 
 
 def make_pallas_search_fn(
-    k: int, d: int, tile: int = 2048, interpret: bool = False
+    k: int, d: int, tile: int = 2048, interpret: bool = False, lut_m: int = 0
 ):
     """Jittable batch search with XLA gathers + the Pallas round kernel.
 
     (tables, bwtsize, queries[B, L]) -> uint32 [B, 2]. B*2 must be a multiple
-    of `tile`.
+    of `tile`. lut_m > 0: start from the 4^lut_m x 2 prefix LUT in
+    tables['lut'] (see tpufm.engine.xla.make_search_fn).
     """
-    from tpufm.engine.xla import fuse_round_codes
+    from tpufm.engine.xla import fuse_prefix_codes, fuse_round_codes
 
     lf_round = make_lf_round(k, d, tile=tile, interpret=interpret)
 
     def search(tables, bwtsize, queries):
-        codes = fuse_round_codes(queries, k)
-        B = queries.shape[0]
-        iv0 = jnp.stack(
-            [jnp.zeros(B, dtype=_U32), jnp.full(B, bwtsize, dtype=_U32)], axis=1
-        )
+        B, L = queries.shape
+        if lut_m:
+            if (L - lut_m) % k:
+                raise ValueError(
+                    f"query length {L} minus lut_m {lut_m} not divisible by k={k}"
+                )
+            iv0 = tables["lut"][fuse_prefix_codes(queries, lut_m)]
+            codes = fuse_round_codes(queries[:, : L - lut_m], k)
+        else:
+            codes = fuse_round_codes(queries, k)
+            iv0 = jnp.stack(
+                [jnp.zeros(B, dtype=_U32), jnp.full(B, bwtsize, dtype=_U32)],
+                axis=1,
+            )
         dollar = jnp.stack(
             [tables["dollar_pos"], tables["dollar_base"], tables["dollar_block"]]
         )
@@ -163,7 +173,13 @@ def make_pallas_search_fn(
 class PallasEngine:
     """XLAEngine twin whose per-round compute runs in the Pallas kernel."""
 
-    def __init__(self, index: KStepFMIndex, tile: int = 2048, interpret: bool = False):
+    def __init__(
+        self,
+        index: KStepFMIndex,
+        tile: int = 2048,
+        interpret: bool = False,
+        lut_m: int = 0,
+    ):
         self.config = index.config
         self.bwtsize = index.bwtsize
         self.tile = tile
@@ -178,9 +194,19 @@ class PallasEngine:
                 np.asarray(index.dollar_block, np.uint32)
             ),
         }
+        if lut_m:
+            from tpufm.engine.xla import build_prefix_lut
+
+            self.tables["lut"] = build_prefix_lut(
+                self.tables, self.bwtsize, self.config.k, self.config.d, lut_m
+            )
         self._search = jax.jit(
             make_pallas_search_fn(
-                self.config.k, self.config.d, tile=tile, interpret=interpret
+                self.config.k,
+                self.config.d,
+                tile=tile,
+                interpret=interpret,
+                lut_m=lut_m,
             )
         )
 
