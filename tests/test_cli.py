@@ -1,0 +1,84 @@
+"""End-to-end CLI flow on the CPU backend: build -> transform -> genreads ->
+search -> diff, mirroring the reference binaries' argv shapes
+(reference common/generateIndex.c:30-55, common/searchQueries.c:36-41,
+src/transformIndex*.c mains, resources/genreads.py)."""
+
+import numpy as np
+import pytest
+
+from tpufm import cli
+from tpufm.io.fasta import write_reference
+from tpufm.io.results import load_results
+from tpufm.utils.encoding import decode_bases
+
+
+@pytest.fixture
+def ref(tmp_path, rng):
+    n = 4000
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    path = tmp_path / "ref.fa"
+    write_reference(path, decode_bases(codes))
+    return path, n, codes
+
+
+def test_cli_full_flow(tmp_path, ref, monkeypatch, capsys):
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+
+    cli.main(["build", str(path), str(n), "--k", "2", "--d", "64"])
+    fmi = tmp_path / f"ref.fa.{n}.64fmi2steps.fmi"
+    assert fmi.exists()
+
+    cli.main(["transform", str(fmi)])
+    assert (tmp_path / (fmi.name + ".interleaving")).exists()
+    assert (tmp_path / (fmi.name + ".ac")).exists()
+    assert (tmp_path / (fmi.name + ".interleaving.ac")).exists()
+
+    cli.main(["genreads", str(path), str(n), "24", "64", "--seed", "3"])
+    qry = tmp_path / f"Q-64_B-24_R-{n}.qry"
+    assert qry.exists()
+
+    cli.main(["search", str(fmi), str(qry), "24", "64", "--iterations", "1"])
+    res = load_results(str(fmi) + ".res.tpu")
+    assert res.shape == (64, 2)
+    assert (res[:, 1] > res[:, 0]).all()  # sampled reads all hit
+
+    # AC engine on the .ac image must agree
+    cli.main([
+        "search", str(fmi) + ".ac", str(qry), "24", "64",
+        "--iterations", "1", "--engine", "xla-ac",
+        "--output", str(tmp_path / "ac.res"),
+    ])
+    cli.main(["diff", str(fmi) + ".res.tpu", str(tmp_path / "ac.res")])
+    assert "IDENTICAL" in capsys.readouterr().out
+
+    # LUT engine must agree too
+    cli.main([
+        "search", str(fmi), str(qry), "24", "64",
+        "--iterations", "1", "--lut", "4",
+        "--output", str(tmp_path / "lut.res"),
+    ])
+    cli.main(["diff", str(fmi) + ".res.tpu", str(tmp_path / "lut.res")])
+    assert "IDENTICAL" in capsys.readouterr().out
+
+
+def test_cli_diff_detects_mismatch(tmp_path):
+    from tpufm.io.results import write_results
+
+    a = np.array([[0, 5], [3, 9]], np.uint32)
+    b = np.array([[0, 5], [3, 8]], np.uint32)
+    write_results(tmp_path / "a.res", a)
+    write_results(tmp_path / "b.res", b)
+    with pytest.raises(SystemExit, match="DIFFER"):
+        cli.main(["diff", str(tmp_path / "a.res"), str(tmp_path / "b.res")])
+
+
+def test_cli_build_auto(tmp_path, ref, monkeypatch):
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    cli.main(["build", str(path), str(n), "--auto",
+              "--output", str(tmp_path / "auto.fmi")])
+    from tpufm.index.formats import read_fmi
+
+    index, _ = read_fmi(tmp_path / "auto.fmi")
+    assert index.config.k == 3 and index.config.d == 128
