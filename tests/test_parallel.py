@@ -98,3 +98,14 @@ def test_data_parallel_with_lut(rng):
     starts = rng.integers(0, 800 - 24, size=64)
     queries = np.stack([codes[s : s + 24] for s in starts])
     np.testing.assert_array_equal(eng.search(queries), search_oracle(index, queries))
+
+
+def test_multichip_bench_smoke():
+    from tpufm.bench import run_bench_multichip
+
+    rec = run_bench_multichip(
+        refsize=50_000, num_queries=512, query_len=24, k=2, d=64,
+        iterations=1, lut_m=4, n_devices=4,
+    )
+    assert rec["detail"]["bit_exact_vs_oracle"]
+    assert rec["detail"]["devices"] == 4

@@ -171,3 +171,61 @@ def run_bench(
             "iterations": iterations,
         },
     }
+
+
+def run_bench_multichip(
+    refsize: int = 10_000_000,
+    k: int = 3,
+    d: int = 128,
+    num_queries: int = 524288,
+    query_len: int = 120,
+    iterations: int = 5,
+    seed: int = 0,
+    lut_m: int = 0,
+    n_devices: int | None = None,
+) -> dict:
+    """Data-parallel scaling benchmark: index replicated per chip, batch
+    sharded over the mesh (BASELINE.md scaling target: >=80% reads/s
+    efficiency from 1 to N hosts). Reports reads/s for the whole mesh and
+    per chip; run with n_devices=1 first to get the scaling denominator."""
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from tpufm.config import IndexConfig
+    from tpufm.engine.oracle import search_oracle
+    from tpufm.index.builder import build_index
+    from tpufm.io.genreads import generate_reads
+    from tpufm.parallel import make_mesh, DataParallelEngine
+    from tpufm.utils.timer import timed_device_passes
+
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=refsize, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=k, d=d))
+    mesh = make_mesh(n_devices)
+    n_dev = mesh.devices.size
+    num_queries -= num_queries % n_dev
+    queries = generate_reads(codes, query_len, num_queries, seed=seed + 1)
+
+    eng = DataParallelEngine(index, mesh, lut_m=lut_m)
+    qd = eng.shard_queries(queries)
+    search_s, _ = timed_device_passes(
+        lambda: eng.search_device(qd), iterations=iterations
+    )
+    out = np.asarray(jax.device_get(eng.search_device(qd)))[:128]
+    exact = bool((out == search_oracle(index, queries[:128])).all())
+
+    reads_s = num_queries / search_s
+    return {
+        "metric": f"data-parallel reads/s over {n_dev} device(s) "
+        f"(k={k}, d={d}, lut_m={lut_m}, {num_queries} reads x {query_len} bp)",
+        "value": round(reads_s),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_s / n_dev),
+        "detail": {
+            "devices": n_dev,
+            "reads_per_s_per_chip": round(reads_s / n_dev),
+            "seconds_per_pass": search_s,
+            "bit_exact_vs_oracle": exact,
+        },
+    }
