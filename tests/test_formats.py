@@ -107,3 +107,21 @@ def test_recommend_config():
     # k must divide the query length
     assert recommend_config(10_000_000, query_len=8)["k"] == 2
     assert recommend_config(10_000_000, query_len=100)["lut_m"] == 12
+
+
+def test_encoding_matches_reference_bit_tricks():
+    # reference src/genFMindex.c:71-84 maps EVERY byte via bit tricks;
+    # parity must hold on non-ACGT input too (e.g. 'N' -> 2)
+    from tpufm.utils.encoding import encode_bases
+
+    def ref_base2index(base):
+        flg2 = base & 0x02
+        flg3 = flg2 ^ 0x02
+        bit1 = base & 0x04
+        bit0 = flg3 if bit1 else flg2
+        return (bit1 | bit0) >> 1
+
+    got = encode_bases(bytes(range(256)))
+    expect = [ref_base2index(b) for b in range(256)]
+    assert got.tolist() == expect
+    assert encode_bases(b"ACGTacgtN").tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 2]

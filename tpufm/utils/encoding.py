@@ -13,11 +13,16 @@ import numpy as np
 
 BASE_ORDER = b"ACGT"
 
-# ASCII -> 2-bit code lookup; unknown characters map to 0 ('A').
-_ASCII_TO_CODE = np.zeros(256, dtype=np.uint8)
-for _i, _b in enumerate(BASE_ORDER):
-    _ASCII_TO_CODE[_b] = _i
-    _ASCII_TO_CODE[_b + 32] = _i  # lowercase
+# ASCII -> 2-bit code lookup, byte-identical to the reference's bit tricks
+# (reference src/genFMindex.c:71-84): every byte maps via
+#   bit1 = base & 4;  bit0 = bit1 ? ((base & 2) ^ 2) : (base & 2)
+#   code = (bit1 | bit0) >> 1
+# which sends A/a->0, C/c->1, G/g->2, T/t->3 and, deliberately identically to
+# the reference, any other byte (e.g. 'N'->2) by the same formula.
+_b = np.arange(256, dtype=np.uint32)
+_bit1 = _b & 4
+_bit0 = np.where(_bit1 != 0, (_b & 2) ^ 2, _b & 2)
+_ASCII_TO_CODE = ((_bit1 | _bit0) >> 1).astype(np.uint8)
 
 _CODE_TO_ASCII = np.frombuffer(BASE_ORDER, dtype=np.uint8).copy()
 
