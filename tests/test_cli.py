@@ -82,3 +82,21 @@ def test_cli_build_auto(tmp_path, ref, monkeypatch):
 
     index, _ = read_fmi(tmp_path / "auto.fmi")
     assert index.config.k == 3 and index.config.d == 128
+
+
+def test_cli_dumpentry_and_sweep(tmp_path, ref, monkeypatch, capsys):
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    cli.main(["build", str(path), str(n), "--k", "1", "--d", "32"])
+    fmi = tmp_path / f"ref.fa.{n}.32fmi1steps.fmi"
+    cli.main(["dumpentry", str(fmi), "0", "--num", "2"])
+    out = capsys.readouterr().out
+    assert "entry 0:" in out and "entry 1:" in out and "bwt0 plane1" in out
+
+    cli.main(["sweep", "--refsizes", "20000", "--ks", "2", "--ds", "64",
+              "--numqueries", "256", "--length", "24", "--iterations", "1",
+              "--output", str(tmp_path / "sweep.jsonl")])
+    import json as _json
+
+    rec = _json.loads((tmp_path / "sweep.jsonl").read_text().splitlines()[0])
+    assert rec["bit_exact"] and rec["k"] == 2

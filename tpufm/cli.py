@@ -123,19 +123,65 @@ def _make_engine(index, args):
 
 
 def cmd_bench(args):
-    from tpufm.bench import run_bench
+    if args.multichip:
+        from tpufm.bench import run_bench_multichip
 
-    record = run_bench(
-        refsize=args.refsize,
-        k=args.k,
-        d=args.d,
+        record = run_bench_multichip(
+            refsize=args.refsize,
+            k=args.k,
+            d=args.d,
+            num_queries=args.numqueries,
+            query_len=args.length,
+            iterations=args.iterations,
+            seed=args.seed,
+            lut_m=args.lut,
+        )
+    else:
+        from tpufm.bench import run_bench
+
+        record = run_bench(
+            refsize=args.refsize,
+            k=args.k,
+            d=args.d,
+            num_queries=args.numqueries,
+            query_len=args.length,
+            iterations=args.iterations,
+            seed=args.seed,
+            engine=args.engine,
+            lut_m=args.lut,
+        )
+    print(json.dumps(record))
+
+
+def cmd_sweep(args):
+    """The experiment matrix (reference scripts/sge_searchcpu*.sh) in one
+    process; JSON-lines records."""
+    from tpufm.sweep import run_sweep
+
+    run_sweep(
+        refsizes=tuple(args.refsizes),
+        ks=tuple(args.ks),
+        ds=tuple(args.ds),
+        engines=tuple(args.engines),
         num_queries=args.numqueries,
         query_len=args.length,
         iterations=args.iterations,
-        seed=args.seed,
-        engine=args.engine,
+        out_path=args.output,
     )
-    print(json.dumps(record))
+
+
+def cmd_dumpentry(args):
+    """Print one entry's counters + bitmap words — the transforms' argv-gated
+    checksum/debug mode (reference src/transformIndexBitmaps.c:197-267,
+    src/transformIndexAlternateCounters.c:301-385)."""
+    index = _load_any_index(args.index)
+    for e in range(args.entry, min(args.entry + args.num, index.nentries + 1)):
+        print(f"entry {e}:")
+        print("  counters:", index.occ[e].tolist())
+        for lvl in range(index.config.k):
+            for plane in range(2):
+                words = [f"{w:08x}" for w in index.bitmaps[e, lvl, plane]]
+                print(f"  bwt{lvl} plane{plane}: {' '.join(words)}")
 
 
 def cmd_diff(args):
@@ -223,7 +269,27 @@ def main(argv=None):
     be.add_argument("--iterations", type=int, default=5)
     be.add_argument("--seed", type=int, default=0)
     be.add_argument("--engine", default="xla")
+    be.add_argument("--lut", type=int, default=0)
+    be.add_argument("--multichip", action="store_true",
+                    help="data-parallel over all local devices")
     be.set_defaults(fn=cmd_bench)
+
+    sw = sub.add_parser("sweep", help="run the (refsize x k x d x engine) matrix")
+    sw.add_argument("--refsizes", type=int, nargs="+", default=[1_000_000])
+    sw.add_argument("--ks", type=int, nargs="+", default=[1, 2, 3])
+    sw.add_argument("--ds", type=int, nargs="+", default=[64, 128])
+    sw.add_argument("--engines", nargs="+", default=["xla"])
+    sw.add_argument("--numqueries", type=int, default=65536)
+    sw.add_argument("--length", type=int, default=120)
+    sw.add_argument("--iterations", type=int, default=3)
+    sw.add_argument("--output", default=None)
+    sw.set_defaults(fn=cmd_sweep)
+
+    de = sub.add_parser("dumpentry", help="print entry counters/bitmaps (debug)")
+    de.add_argument("index")
+    de.add_argument("entry", type=int)
+    de.add_argument("--num", type=int, default=1)
+    de.set_defaults(fn=cmd_dumpentry)
 
     df = sub.add_parser("diff", help="compare two .res interval files")
     df.add_argument("a")
