@@ -58,10 +58,11 @@ def test_data_parallel_rejects_ragged_batch(rng, mesh):
         engine.search(np.zeros((30, 8), np.uint8))
 
 
+@pytest.mark.parametrize("routing", ["allgather", "ring"])
 @pytest.mark.parametrize("k,d", [(1, 32), (2, 64)])
-def test_sharded_index_matches_oracle(rng, mesh, k, d):
+def test_sharded_index_matches_oracle(rng, mesh, k, d, routing):
     codes, index = _mk(rng, k, d, n=8192)
-    engine = ShardedIndexEngine(index, mesh)
+    engine = ShardedIndexEngine(index, mesh, routing=routing)
     qlen = 12 * k
     starts = rng.integers(0, len(codes) - qlen, size=56)
     queries = np.stack([codes[s : s + qlen] for s in starts])
@@ -73,10 +74,11 @@ def test_sharded_index_matches_oracle(rng, mesh, k, d):
     )
 
 
-def test_sharded_index_small_table(rng, mesh):
+@pytest.mark.parametrize("routing", ["allgather", "ring"])
+def test_sharded_index_small_table(rng, mesh, routing):
     # Fewer entries than devices: padding must keep lookups correct.
     codes, index = _mk(rng, 2, 64, n=200)  # 4 entries on 8 devices
-    engine = ShardedIndexEngine(index, mesh)
+    engine = ShardedIndexEngine(index, mesh, routing=routing)
     starts = rng.integers(0, len(codes) - 8, size=32)
     queries = np.stack([codes[s : s + 8] for s in starts])
     np.testing.assert_array_equal(

@@ -175,10 +175,60 @@ def _sharded_lf_step(occ_shard, bitmaps_shard, dollar, cfg, axis, interval, code
     return combined[jax.lax.axis_index(axis)]
 
 
-class ShardedIndexEngine:
-    """Entry-table-sharded search for indexes larger than one chip's HBM."""
+def _sharded_lf_step_ring(occ_shard, bitmaps_shard, dollar, cfg, axis, interval, code):
+    """One LF round with ring routing: the (request, partial-answer) block
+    ppermutes around the mesh ring; each hop a chip answers the requests
+    whose entry lives in its shard. D hops of B_local x 16 B traffic instead
+    of one D x B_local all-gather — same total bytes, but per-chip peak
+    memory stays O(B_local) (the point of this mode is capacity; SURVEY.md
+    section 7 'sharded the entry table ... route lookups with ppermute')."""
+    k, d, nb, e_local = cfg
+    dpos, dbase, dblock = dollar
+    n_dev = jax.lax.axis_size(axis)
+    my_shard = jax.lax.axis_index(axis).astype(_U32)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
-    def __init__(self, index: KStepFMIndex, mesh: Mesh):
+    block = interval // _U32(d)
+
+    def answer_owned(g_block, g_code, g_interval):
+        owner = g_block // _U32(e_local)
+        local_idx = jnp.where(owner == my_shard, g_block - my_shard * _U32(e_local), 0)
+        cnt = occ_shard[local_idx, g_code]
+        rows = bitmaps_shard[local_idx]
+        masks = _boundary_masks(g_interval % _U32(d), nb)
+        matched = _match_words(rows, g_code, k) & masks
+        count = jnp.sum(jax.lax.population_count(matched), axis=-1)
+        hit = (
+            (g_block[..., None] == dblock)
+            & (g_code[..., None] == dbase)
+            & (g_interval[..., None] > dpos)
+        )
+        count -= jnp.sum(hit.astype(_U32), axis=-1)
+        return jnp.where(owner == my_shard, cnt + count, _U32(0))
+
+    req = jnp.stack([block, code, interval], axis=-1)  # [B_local, 3]
+    ans = answer_owned(block, code, interval)
+
+    def hop(_, carry):
+        req, ans = carry
+        req = jax.lax.ppermute(req, axis, perm)
+        ans = jax.lax.ppermute(ans, axis, perm)
+        ans = ans + answer_owned(req[:, 0], req[:, 1], req[:, 2])
+        return req, ans
+
+    req, ans = jax.lax.fori_loop(0, n_dev - 1, hop, (req, ans))
+    # one final rotation brings each chip's answers home
+    return jax.lax.ppermute(ans, axis, perm)
+
+
+class ShardedIndexEngine:
+    """Entry-table-sharded search for indexes larger than one chip's HBM.
+
+    routing="allgather" (default): every chip all-gathers all requests,
+    answers its own, psum combines. routing="ring": requests ppermute around
+    the ring, O(B_local) peak memory per chip."""
+
+    def __init__(self, index: KStepFMIndex, mesh: Mesh, routing: str = "allgather"):
         if isinstance(index, AltCountersIndex):
             raise NotImplementedError(
                 "sharded-index mode uses the baseline counter layout"
@@ -208,6 +258,9 @@ class ShardedIndexEngine:
             jax.device_put(np.asarray(index.dollar_block, np.uint32), repl),
         )
 
+        if routing not in ("allgather", "ring"):
+            raise ValueError(f"unknown routing {routing!r}")
+        step = _sharded_lf_step if routing == "allgather" else _sharded_lf_step_ring
         k, d = self.config.k, self.config.d
         cfg = (k, d, self.config.words_per_plane, e_local)
         axis = self.axis
@@ -221,8 +274,8 @@ class ShardedIndexEngine:
 
             def body(carry, code):
                 lo, hi = carry
-                lo = _sharded_lf_step(occ_shard, bitmaps_shard, dollar, cfg, axis, lo, code)
-                hi = _sharded_lf_step(occ_shard, bitmaps_shard, dollar, cfg, axis, hi, code)
+                lo = step(occ_shard, bitmaps_shard, dollar, cfg, axis, lo, code)
+                hi = step(occ_shard, bitmaps_shard, dollar, cfg, axis, hi, code)
                 return (lo, hi), None
 
             (lo, hi), _ = jax.lax.scan(body, (lo0, hi0), codes)
