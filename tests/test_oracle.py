@@ -91,3 +91,37 @@ def test_fuse_query_kmers_layout():
     # round 1: j=1 -> level0 = C(1), level1 = A(0): 1
     assert codes.shape == (2, 1)
     assert codes[0, 0] == 11 and codes[1, 0] == 1
+
+
+def test_one_base_text():
+    # 1-base reference: bwtsize=2, one block, dollar corrections everywhere.
+    from tpufm.config import IndexConfig
+    from tpufm.engine.oracle import search_oracle
+    from tpufm.engine.xla import XLAEngine
+    from tpufm.index.builder import build_index
+
+    for base in range(4):
+        codes = np.array([base], np.uint8)
+        index = build_index(codes, IndexConfig(k=1, d=32), sa_method="naive")
+        q = np.array([[base], [(base + 1) % 4]], np.uint8)
+        got = search_oracle(index, q)
+        assert got[0, 1] - got[0, 0] == 1  # the base occurs once
+        assert got[1, 1] - got[1, 0] == 0  # the other base does not
+        np.testing.assert_array_equal(XLAEngine(index).search(q), got)
+
+
+def test_query_len_not_divisible_by_k_raises():
+    from tpufm.config import IndexConfig
+    from tpufm.engine.xla import XLAEngine
+    from tpufm.index.builder import build_index
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=300, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=2, d=32), sa_method="doubling")
+    eng = XLAEngine(index)
+    try:
+        eng.search(np.zeros((4, 7), np.uint8))
+    except ValueError as e:
+        assert "not divisible" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
