@@ -96,3 +96,17 @@ def test_xla_wave_chunking(rng):
     whole = engine.search(queries)
     waved = engine.search(queries, wave=32)  # 3 full waves + tail of 4
     np.testing.assert_array_equal(whole, waved)
+
+
+def test_xla_lut_cache_roundtrip(rng, tmp_path):
+    codes, index = _mk(rng, 2, 32, 700)
+    cache = str(tmp_path / "lut.npz")
+    a = XLAEngine(index, lut_m=4, lut_cache=cache)
+    import os
+
+    assert os.path.exists(cache)
+    b = XLAEngine(index, lut_m=4, lut_cache=cache)  # loads, not rebuilds
+    starts = rng.integers(0, len(codes) - 24, size=32)
+    queries = np.stack([codes[s : s + 24] for s in starts])
+    np.testing.assert_array_equal(a.search(queries), b.search(queries))
+    np.testing.assert_array_equal(a.search(queries), search_oracle(index, queries))

@@ -285,6 +285,7 @@ class XLAEngine:
         layout: str | None = None,
         pad_words: int | None = None,
         lut_m: int = 0,
+        lut_cache: str | None = None,
     ):
         """pad_words: pad each fused entry row to this many uint32 words
         (e.g. 128 = 512 B rows). Measured on TPU v5e, the XLA gather hits a
@@ -344,7 +345,17 @@ class XLAEngine:
         self.tables = tables
 
         if lut_m:
-            tables["lut"] = self._build_prefix_lut(lut_m)
+            lut = None
+            if lut_cache is not None:
+                import os
+
+                if os.path.exists(lut_cache):
+                    lut = put(np.load(lut_cache)["lut"])
+            if lut is None:
+                lut = self._build_prefix_lut(lut_m)
+                if lut_cache is not None:
+                    np.savez(lut_cache, lut=np.asarray(jax.device_get(lut)))
+            tables["lut"] = lut
 
         self._search = jax.jit(
             make_search_fn(
