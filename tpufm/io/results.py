@@ -8,20 +8,15 @@ import numpy as np
 
 
 def write_results(path, intervals: np.ndarray) -> None:
-    """intervals: uint32 [n, 2]."""
+    """intervals: uint32 [n, 2]. Byte-identical to reference writeResults."""
     intervals = np.asarray(intervals)
-    with open(path, "w") as fp:
-        fp.write(f"{intervals.shape[0]}\n")
-        for lo, hi in intervals:
-            fp.write(f"{int(lo)} {int(hi)}\n")
+    with open(path, "wb") as fp:
+        fp.write(f"{intervals.shape[0]}\n".encode())
+        np.savetxt(fp, intervals, fmt="%u %u")
 
 
 def load_results(path) -> np.ndarray:
     with open(path) as fp:
         n = int(fp.readline())
-        out = np.empty((n, 2), dtype=np.uint32)
-        for i in range(n):
-            lo, hi = fp.readline().split()
-            out[i, 0] = int(lo)
-            out[i, 1] = int(hi)
+        out = np.loadtxt(fp, dtype=np.uint32, max_rows=n).reshape(n, 2)
     return out
