@@ -114,7 +114,6 @@ def build_index(
     ncounters = config.num_counters
     nb = config.words_per_plane
     nentries = config.num_entries(bwtsize)
-    padded = nentries * d
 
     sa = suffix_array(codes, method=sa_method)  # int64 [bwtsize]
 
@@ -130,27 +129,44 @@ def build_index(
     if np.unique(dollar_pos).size != k:
         raise AssertionError("internal: dollar positions not unique")
 
-    # Level codes and fused k-mer per BWT position, '$' read as 'A'.
-    kmer = np.zeros(bwtsize, dtype=np.uint32)
+    # Level codes per BWT position, '$' read as 'A'. Computed (like the
+    # per-block counts below) in d-aligned chunks: at 3 Gbase the one-shot
+    # vectorized formulation materializes ~100 GB of int64 temporaries
+    # (block ids, fused k-mers, flattened bincount keys) and OOMs a 128 GB
+    # host; chunking bounds the peak at SA + levels + counters (~55 GB).
+    chunk = max(d, (1 << 27) // d * d)
     levels = np.empty((k, bwtsize), dtype=np.uint8)
+    for start in range(0, bwtsize, chunk):
+        sl = sa[start : start + chunk]
+        for i in range(k):
+            prev = sl - (1 + i)
+            prev[prev < 0] += bwtsize  # mod N without a division
+            levels[i, start : start + chunk] = t_codes[prev]
+    del sa
+
+    dollar_base = np.zeros(k, dtype=np.uint32)
     for i in range(k):
-        prev = sa - (1 + i)
-        prev[prev < 0] += bwtsize  # mod N without a division
-        levels[i] = t_codes[prev]
-        kmer |= levels[i].astype(np.uint32) << np.uint32(2 * i)
-
-    dollar_base = kmer[dollar_pos].astype(np.uint32)
-
-    # Valid positions: not a '$' in any level (reference checkPositionBWT).
-    valid = np.ones(bwtsize, dtype=bool)
-    valid[dollar_pos] = False
+        dollar_base |= levels[i, dollar_pos].astype(np.uint32) << np.uint32(2 * i)
 
     # --- Per-block Occ counts, dollar-exclusive -------------------------
-    block_ids = np.arange(bwtsize, dtype=np.int64) // d
-    flat = block_ids * ncounters + kmer
-    counts = np.bincount(
-        flat[valid], minlength=nentries * ncounters
-    ).reshape(nentries, ncounters)
+    counts = np.zeros((nentries, ncounters), dtype=np.int64)
+    for start in range(0, bwtsize, chunk):
+        stop = min(start + chunk, bwtsize)
+        km = np.zeros(stop - start, dtype=np.int64)
+        for i in range(k):
+            km |= levels[i, start:stop].astype(np.int64) << (2 * i)
+        rel_block = (np.arange(start, stop, dtype=np.int64) - start) // d
+        km += rel_block * ncounters
+        # Valid positions: not a '$' in any level (reference checkPositionBWT).
+        for dp in dollar_pos:
+            if start <= dp < stop:
+                km[dp - start] = -1
+        km = km[km >= 0]
+        b0 = start // d
+        nb_chunk = -(-(stop - start) // d)
+        counts[b0 : b0 + nb_chunk] += np.bincount(
+            km, minlength=nb_chunk * ncounters
+        ).reshape(nb_chunk, ncounters)
     totals = counts.sum(axis=0)
 
     # Exclusive prefix over blocks, plus the end-of-text sentinel row.
@@ -167,14 +183,21 @@ def build_index(
 
     occ_u32 = occ.astype(np.uint32)
 
-    # --- Bitmaps ---------------------------------------------------------
+    # --- Bitmaps (chunked like the counts pass) --------------------------
     bitmaps = np.zeros((nentries + 1, k, 2, nb), dtype=np.uint32)
-    pad_bits = np.zeros((k, padded - bwtsize), dtype=np.uint8)
-    for plane in range(2):
-        bits = (levels >> plane) & 1  # [k, bwtsize]
-        bits = np.concatenate([bits, pad_bits], axis=1)
-        words = pack_bitplane_words(bits.reshape(k, nentries, nb, 32))
-        bitmaps[:nentries, :, plane, :] = words.transpose(1, 0, 2)
+    for start in range(0, bwtsize, chunk):
+        stop = min(start + chunk, bwtsize)
+        seg = levels[:, start:stop]
+        seg_pad = -(stop - start) % d
+        if seg_pad:
+            seg = np.concatenate(
+                [seg, np.zeros((k, seg_pad), dtype=np.uint8)], axis=1
+            )
+        b0, nb_chunk = start // d, seg.shape[1] // d
+        for plane in range(2):
+            bits = (seg >> plane) & 1  # [k, chunk]
+            words = pack_bitplane_words(bits.reshape(k, nb_chunk, nb, 32))
+            bitmaps[b0 : b0 + nb_chunk, :, plane, :] = words.transpose(1, 0, 2)
 
     return KStepFMIndex(
         config=config,
