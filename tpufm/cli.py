@@ -113,7 +113,12 @@ def _make_engine(index, args):
     from tpufm.index.layouts import make_alt_counters
     from tpufm.index.builder import KStepFMIndex
 
-    if getattr(args, "engine", "xla") == "xla-ac" and isinstance(index, KStepFMIndex):
+    engine = getattr(args, "engine", "xla")
+    if engine == "pallas":
+        from tpufm.engine.pallas_kernel import PallasEngine
+
+        return PallasEngine(index, lut_m=getattr(args, "lut", 0))
+    if engine == "xla-ac" and isinstance(index, KStepFMIndex):
         index = make_alt_counters(index)
     return XLAEngine(
         index,
@@ -252,7 +257,7 @@ def main(argv=None):
     s.add_argument("qrysize", type=int)
     s.add_argument("numqueries", type=int)
     s.add_argument("--iterations", type=int, default=5)
-    s.add_argument("--engine", default="xla", choices=["xla", "xla-ac"])
+    s.add_argument("--engine", default="xla", choices=["xla", "xla-ac", "pallas"])
     s.add_argument("--lut", type=int, default=0,
                    help="prefix-LUT length m (collapses the first m chars "
                         "of every query into one gather)")
