@@ -159,3 +159,14 @@ def test_search_result_parity_ac(tmp_path, rng, k, d):
     ac = make_alt_counters(index)
     np.testing.assert_array_equal(search_oracle(ac, queries), expected)
     np.testing.assert_array_equal(XLAEngine(ac).search(queries), expected)
+
+
+def test_saved_reference_byte_parity(tmp_path, rng):
+    # reference saveRef re-emits <ref>.<size>.fa (common/common.c:88-130);
+    # tpufm write_reference must produce the same bytes.
+    bins, codes, n, fmi = _setup(tmp_path, rng, 1, 64)
+    theirs = tmp_path / f"ref.fa.{n}.fa"
+    assert theirs.exists(), "reference builder did not re-emit the FASTA"
+    mine = tmp_path / "mine.fa"
+    write_reference(mine, decode_bases(codes))
+    assert mine.read_bytes() == theirs.read_bytes()
