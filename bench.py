@@ -23,7 +23,7 @@ def main():
         refsize=int(os.environ.get("TPUFM_BENCH_REFSIZE", 10_000_000)),
         k=int(os.environ.get("TPUFM_BENCH_K", 3)),
         d=int(os.environ.get("TPUFM_BENCH_D", 128)),
-        num_queries=int(os.environ.get("TPUFM_BENCH_QUERIES", 524288)),
+        num_queries=int(os.environ.get("TPUFM_BENCH_QUERIES", 1048576)),
         query_len=int(os.environ.get("TPUFM_BENCH_LEN", 120)),
         iterations=int(os.environ.get("TPUFM_BENCH_ITERS", 5)),
         engine=os.environ.get("TPUFM_BENCH_ENGINE", "xla"),

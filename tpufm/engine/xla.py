@@ -372,9 +372,10 @@ class XLAEngine:
             self.tables, self.bwtsize, self.config.k, self.config.d, m
         )
 
-    #: reads per device wave: gather throughput flattens past ~512K reads and
-    #: the per-round [wave, 2, W] transients stay small (measured, docs/PERF.md)
-    WAVE = 1 << 19
+    #: reads per device wave: measured flagship throughput peaks at 1M reads
+    #: (1.22M reads/s vs 1.18M at 512K) and collapses at 2M (717K — the
+    #: row-gather lowering degrades); per-round transients stay ~700 MB
+    WAVE = 1 << 20
 
     def search(self, queries, wave: int | None = None) -> np.ndarray:
         """queries: uint8 [B, L] 2-bit codes. Returns uint32 [B, 2].
