@@ -125,3 +125,16 @@ def test_encoding_matches_reference_bit_tricks():
     expect = [ref_base2index(b) for b in range(256)]
     assert got.tolist() == expect
     assert encode_bases(b"ACGTacgtN").tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 2]
+
+
+def test_search_stats_math():
+    from tpufm.utils.profiling import search_stats
+
+    s = search_stats(
+        seconds_per_pass=2.0, num_reads=1000, read_len=120, k=3,
+        entry_bytes=352, hbm_bw=1e9,
+    )
+    assert s["reads_per_s"] == 500
+    assert s["rounds_per_s"] == 500 * 40
+    assert s["gathers_per_s"] == 1000 * 40  # 2 ends x 40 rounds x 500 reads/s
+    assert abs(s["fraction_of_hbm_sol"] - 1000 * 40 * 352 / 1e9) < 1e-12
