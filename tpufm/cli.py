@@ -120,9 +120,13 @@ def _make_engine(index, args):
         return PallasEngine(index, lut_m=getattr(args, "lut", 0))
     if engine == "xla-ac" and isinstance(index, KStepFMIndex):
         index = make_alt_counters(index)
+    lut_m = getattr(args, "lut", 0)
     return XLAEngine(
         index,
-        lut_m=getattr(args, "lut", 0),
+        lut_m=lut_m,
+        # cache the device-built LUT next to the index: subsequent searches
+        # load it instead of re-running the 4^m m-mer batch search
+        lut_cache=f"{args.index}.lut{lut_m}.npz" if lut_m else None,
         pad_words=getattr(args, "pad_words", None),
     )
 
