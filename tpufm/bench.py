@@ -164,6 +164,7 @@ def run_bench(
             "reads_per_s": round(reads_s),
             "seconds_per_pass": search_s,
             "reference_cpu_seconds_per_pass": ref_s,
+            "reference_cpu_cores": os.cpu_count() if ref_s else None,
             "speed_of_light_steps_per_s": round(sol_steps_s),
             "fraction_of_sol": round(steps_s / sol_steps_s, 4),
             "build_seconds": round(build_s, 1),
