@@ -110,3 +110,14 @@ def test_xla_lut_cache_roundtrip(rng, tmp_path):
     queries = np.stack([codes[s : s + 24] for s in starts])
     np.testing.assert_array_equal(a.search(queries), b.search(queries))
     np.testing.assert_array_equal(a.search(queries), search_oracle(index, queries))
+
+
+def test_xla_search_device_waved(rng):
+    import jax.numpy as jnp
+
+    codes, index = _mk(rng, 2, 32, 600)
+    engine = XLAEngine(index)
+    starts = rng.integers(0, len(codes) - 24, size=96)
+    queries = np.stack([codes[s : s + 24] for s in starts])
+    out = engine.search_device_waved(jnp.asarray(queries), wave=32)
+    np.testing.assert_array_equal(np.asarray(out), search_oracle(index, queries))

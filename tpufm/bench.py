@@ -110,10 +110,36 @@ def run_bench(
 
     # NOTE: timing uses a true host-fetch barrier per pass — block_until_ready
     # is unreliable on tunneled device platforms (see utils/timer.device_sync).
-    if num_queries > XLAEngine.WAVE:
-        # Reference-protocol scale (10M reads): stream through the chip in
-        # 512K-read waves; timing includes the host<->device streaming, as
-        # the wave pipeline is the deliverable at this size.
+    if num_queries > XLAEngine.WAVE and engine == "xla":
+        # Reference-protocol scale (e.g. 10M reads): device-resident
+        # lax.map over 1M-read waves when the padded batch fits on device,
+        # else the pipelined host-streaming path.
+        wave = XLAEngine.WAVE
+        pad = -num_queries % wave
+        qpad = (
+            np.concatenate([queries, np.zeros((pad, query_len), np.uint8)])
+            if pad
+            else queries
+        )
+        if qpad.nbytes <= 2 << 30:
+            qd = jax.device_put(jnp.asarray(qpad, jnp.uint8))
+            from tpufm.utils.timer import device_sync
+
+            device_sync(eng.search_device_waved(qd))  # warm/compile
+            t0 = time.perf_counter()
+            for _ in range(iterations):
+                out = eng.search_device_waved(qd)
+                device_sync(out)
+            search_s = (time.perf_counter() - t0) / iterations
+            out = out[:num_queries]
+        else:
+            eng.search(queries[:wave])  # warm/compile
+            t0 = time.perf_counter()
+            for _ in range(iterations):
+                res = eng.search(queries)
+            search_s = (time.perf_counter() - t0) / iterations
+            out = jnp.asarray(res)
+    elif num_queries > XLAEngine.WAVE:
         eng.search(queries[: XLAEngine.WAVE])  # warm/compile
         t0 = time.perf_counter()
         for _ in range(iterations):

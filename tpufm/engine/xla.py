@@ -423,6 +423,33 @@ class XLAEngine:
         """Device-to-device search (no host transfer), for benchmarking."""
         return self._search(self.tables, _U32(self.bwtsize), queries)
 
+    def search_device_waved(self, queries, wave: int | None = None):
+        """Device-resident search of a batch larger than one wave: a
+        lax.map over [n_waves, wave, L] keeps per-round gather transients at
+        wave size (one 10M-read pass = ten 1M-read waves inside one jit,
+        no host round-trips). B must be a multiple of `wave`."""
+        wave = wave or self.WAVE
+        B, L = queries.shape
+        if B % wave:
+            raise ValueError(f"batch {B} not a multiple of wave {wave}")
+        if not hasattr(self, "_search_waved"):
+            fn = make_search_fn(
+                self.config.k,
+                self.config.d,
+                self.alt_counters,
+                layout=self.layout,
+                lut_m=self.lut_m,
+            )
+
+            def waved(tables, bwtsize, q3):
+                return jax.lax.map(lambda w: fn(tables, bwtsize, w), q3)
+
+            self._search_waved = jax.jit(waved)
+        out = self._search_waved(
+            self.tables, _U32(self.bwtsize), queries.reshape(B // wave, wave, L)
+        )
+        return out.reshape(B, 2)
+
 
 def build_prefix_lut(tables, bwtsize, k: int, d: int, m: int):
     """uint32 [4^m, 2]: the SA interval of every m-mer, computed on device
