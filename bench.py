@@ -17,12 +17,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     from tpufm.bench import run_bench
 
-    # Flagship: k=3 d=128 fused rows + 12-mer prefix LUT — the fastest
-    # measured single-chip configuration (docs/PERF.md).
+    # Flagship: k=3, d by reference size (128 small / 192 large), fused rows
+    # + 12-mer prefix LUT — the fastest measured single-chip configuration
+    # (docs/PERF.md, tpufm.config.recommend_config).
+    from tpufm.config import recommend_config
+
+    refsize = int(os.environ.get("TPUFM_BENCH_REFSIZE", 10_000_000))
+    rec = recommend_config(refsize)
     record = run_bench(
-        refsize=int(os.environ.get("TPUFM_BENCH_REFSIZE", 10_000_000)),
-        k=int(os.environ.get("TPUFM_BENCH_K", 3)),
-        d=int(os.environ.get("TPUFM_BENCH_D", 128)),
+        refsize=refsize,
+        k=int(os.environ.get("TPUFM_BENCH_K", rec["k"])),
+        d=int(os.environ.get("TPUFM_BENCH_D", rec["d"])),
         num_queries=int(os.environ.get("TPUFM_BENCH_QUERIES", 1048576)),
         query_len=int(os.environ.get("TPUFM_BENCH_LEN", 120)),
         iterations=int(os.environ.get("TPUFM_BENCH_ITERS", 5)),
