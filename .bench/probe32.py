@@ -1,0 +1,30 @@
+import sys, time
+sys.path.insert(0, "/root/repo")
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.bench/jaxcache")
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+from tpufm import build_index, IndexConfig
+from tpufm.engine.xla import XLAEngine
+from tpufm.io.genreads import generate_reads
+from tpufm.utils.timer import timed_device_passes
+
+rng = np.random.default_rng(0)
+B = 2**20
+codes = rng.integers(0, 4, size=100_000_000, dtype=np.uint8)
+q = generate_reads(codes, 120, B, seed=7)
+qd = jax.device_put(jnp.asarray(q, jnp.uint8))
+
+i192 = build_index(codes, IndexConfig(k=3, d=192))
+for pad in (256, 160):
+    eng = XLAEngine(i192, lut_m=12, pad_words=pad)
+    tb = eng.tables["entries"].nbytes / 1e6
+    mean_s, min_s = timed_device_passes(lambda: eng.search_device(qd), iterations=3)
+    print(f"100M d=192 pad={pad:3d} (tab {tb:6.0f} MB): {min_s:.3f}s  reads/s={B/min_s:10,.0f}", flush=True)
+    del eng
+del i192
+i32 = build_index(codes, IndexConfig(k=3, d=32))
+eng = XLAEngine(i32, lut_m=12)
+tb = eng.tables["entries"].nbytes / 1e6
+mean_s, min_s = timed_device_passes(lambda: eng.search_device(qd), iterations=3)
+print(f"100M d= 32 natural (tab {tb:6.0f} MB): {min_s:.3f}s  reads/s={B/min_s:10,.0f}", flush=True)
