@@ -26,12 +26,21 @@ def test_pallas_engine_matches_oracle(rng, k, d):
     )
 
 
-def test_pallas_engine_rejects_bad_tile(rng):
+def test_pallas_engine_any_batch_size(rng):
+    # batches that are not tile multiples (and smaller than one tile) are
+    # padded inside the round kernel — a floor grid would silently return
+    # garbage for the tail / the whole batch.
+    from tpufm.engine.oracle import search_oracle
+
     codes = rng.integers(0, 4, size=500, dtype=np.uint8)
     index = build_index(codes, IndexConfig(k=2, d=64), sa_method="doubling")
     engine = PallasEngine(index, tile=64, interpret=True)
-    with pytest.raises(ValueError, match="multiple of tile"):
-        engine.search(np.zeros((30, 8), np.uint8))
+    for n in (1, 30, 33):
+        starts = rng.integers(0, len(codes) - 8, size=n)
+        queries = np.stack([codes[s : s + 8] for s in starts])
+        np.testing.assert_array_equal(
+            engine.search(queries), search_oracle(index, queries)
+        )
 
 
 def test_pallas_engine_with_lut(rng):

@@ -121,3 +121,15 @@ def test_xla_search_device_waved(rng):
     queries = np.stack([codes[s : s + 24] for s in starts])
     out = engine.search_device_waved(jnp.asarray(queries), wave=32)
     np.testing.assert_array_equal(np.asarray(out), search_oracle(index, queries))
+
+
+def test_xla_lut_cache_invalidated_on_index_change(rng, tmp_path):
+    # a stale LUT cache from a DIFFERENT index must be rejected, not loaded
+    cache = str(tmp_path / "lut.npz")
+    codes1, index1 = _mk(rng, 2, 32, 700)
+    XLAEngine(index1, lut_m=4, lut_cache=cache)  # writes cache for index1
+    codes2, index2 = _mk(rng, 2, 32, 900)        # different reference
+    eng2 = XLAEngine(index2, lut_m=4, lut_cache=cache)
+    starts = rng.integers(0, len(codes2) - 24, size=32)
+    queries = np.stack([codes2[s : s + 24] for s in starts])
+    np.testing.assert_array_equal(eng2.search(queries), search_oracle(index2, queries))

@@ -32,9 +32,9 @@ def _enable_compile_cache():
         pass
 
 
-def measure_reference_cpu(codes, k, d, queries, iterations, workdir) -> float | None:
-    """Seconds per pass of the reference fmIndexSearchCPU on this host, or
-    None when the toolchain is unavailable."""
+def measure_reference_cpu(codes, k, d, queries, workdir) -> float | None:
+    """Seconds per pass of the reference fmIndexSearchCPU on this host (its
+    own mean-of-5 TIME: protocol), or None when the toolchain is unavailable."""
     sys.path.insert(0, str(Path(__file__).parent.parent / "tests"))
     try:
         from refparity import build_reference_binaries, run
@@ -103,8 +103,16 @@ def run_bench(
 
     if engine == "xla-ac":
         eng = XLAEngine(make_alt_counters(index))
-    else:
+    elif engine == "xla-split":
+        eng = XLAEngine(index, layout="split")
+    elif engine == "pallas":
+        from tpufm.engine.pallas_kernel import PallasEngine
+
+        eng = PallasEngine(index, lut_m=lut_m)
+    elif engine == "xla":
         eng = XLAEngine(index, lut_m=lut_m, pad_words=pad_words)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
 
     from tpufm.utils.timer import timed_device_passes
 
@@ -173,7 +181,7 @@ def run_bench(
     ref_s = None
     if compare_reference:
         ref_s = measure_reference_cpu(
-            codes, k, d, queries, iterations,
+            codes, k, d, queries,
             Path(__file__).parent.parent / ".bench" / "refrun",
         )
 

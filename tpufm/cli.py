@@ -80,10 +80,9 @@ def cmd_transform(args):
 
 def cmd_genreads(args):
     codes = read_reference(args.reference, args.refsize)
-    rng = np.random.default_rng(args.seed)
-    starts = rng.integers(0, args.refsize - args.length + 1, size=args.num)
-    idx = starts[:, None] + np.arange(args.length)[None, :]
-    reads = codes[idx]
+    reads, starts = generate_reads(
+        codes, args.length, args.num, seed=args.seed, return_starts=True
+    )
     out = args.output or f"Q-{args.num}_B-{args.length}_R-{args.refsize}.qry"
     write_reads_fasta(out, reads, starts)
     print(f"wrote {out} ({args.num} reads x {args.length} bp)")
@@ -183,13 +182,21 @@ def cmd_dumpentry(args):
     """Print one entry's counters + bitmap words — the transforms' argv-gated
     checksum/debug mode (reference src/transformIndexBitmaps.c:197-267,
     src/transformIndexAlternateCounters.c:301-385)."""
+    from tpufm.index.layouts import AltCountersIndex
+
     index = _load_any_index(args.index)
-    for e in range(args.entry, min(args.entry + args.num, index.nentries + 1)):
+    if isinstance(index, AltCountersIndex):
+        occ, base = index.occ_slim, index.base
+        label = "counters (slim half)"
+    else:
+        occ, base = index.occ, index
+        label = "counters"
+    for e in range(args.entry, min(args.entry + args.num, base.nentries + 1)):
         print(f"entry {e}:")
-        print("  counters:", index.occ[e].tolist())
-        for lvl in range(index.config.k):
+        print(f"  {label}:", occ[e].tolist())
+        for lvl in range(base.config.k):
             for plane in range(2):
-                words = [f"{w:08x}" for w in index.bitmaps[e, lvl, plane]]
+                words = [f"{w:08x}" for w in base.bitmaps[e, lvl, plane]]
                 print(f"  bwt{lvl} plane{plane}: {' '.join(words)}")
 
 

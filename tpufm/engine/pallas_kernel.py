@@ -1,9 +1,9 @@
 """Pallas TPU kernels for the backward-search hot loop.
 
-Division of labor (measured on v5e, see docs/PERF.md):
-  * the data-dependent entry gather is left to XLA — its gather lowering
-    sustains 44-65M rows/s, ~4x what a hand-written per-row DMA pipeline
-    reaches (17M rows/s), so a manual Pallas gather would be a pessimization;
+Division of labor (measured honestly on v5e, see docs/PERF.md):
+  * the data-dependent entry gather is left to XLA — its gather runtime has
+    a fast path a hand-rolled per-row DMA pipeline did not match, and this
+    engine lands within 3% of the pure-XLA one;
   * the per-round rank computation (boundary masks, plane select/complement,
     AND-reduce, popcount, counter select, '$' corrections, interval update)
     is fused into ONE VPU kernel over the gathered rows — the tpufm
@@ -89,7 +89,7 @@ def _lf_round_kernel(
 
 def make_lf_round(k: int, d: int, tile: int = 2048, interpret: bool = False):
     """Returns lf_round(rows [N, W], intervals [N], codes [N], dollar [3, k])
-    -> new intervals [N], with N a multiple of `tile`."""
+    -> new intervals [N]; any N (the tail is padded to a tile multiple)."""
     nb = d // 32
     ncounters = 4**k
     w = 2 * k * nb + ncounters
@@ -99,8 +99,15 @@ def make_lf_round(k: int, d: int, tile: int = 2048, interpret: bool = False):
 
     def lf_round(rows, intervals, codes, dollar):
         n = rows.shape[0]
-        grid = (n // tile,)
-        return pl.pallas_call(
+        # Pad the flattened end-batch to a tile multiple: a floor grid would
+        # silently leave the tail (or, for n < tile, ALL) outputs as garbage.
+        pad = -n % tile
+        if pad:
+            rows = jnp.concatenate([rows, jnp.zeros((pad, w), _U32)])
+            intervals = jnp.concatenate([intervals, jnp.zeros(pad, _U32)])
+            codes = jnp.concatenate([codes, jnp.zeros(pad, _U32)])
+        grid = ((n + pad) // tile,)
+        out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -114,9 +121,10 @@ def make_lf_round(k: int, d: int, tile: int = 2048, interpret: bool = False):
                     (tile, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
                 ),
             ),
-            out_shape=jax.ShapeDtypeStruct((n, 1), _U32),
+            out_shape=jax.ShapeDtypeStruct((n + pad, 1), _U32),
             interpret=interpret,
         )(dollar, rows, intervals[:, None], codes[:, None])[:, 0]
+        return out[:n] if pad else out
 
     return lf_round
 
@@ -126,9 +134,9 @@ def make_pallas_search_fn(
 ):
     """Jittable batch search with XLA gathers + the Pallas round kernel.
 
-    (tables, bwtsize, queries[B, L]) -> uint32 [B, 2]. B*2 must be a multiple
-    of `tile`. lut_m > 0: start from the 4^lut_m x 2 prefix LUT in
-    tables['lut'] (see tpufm.engine.xla.make_search_fn).
+    (tables, bwtsize, queries[B, L]) -> uint32 [B, 2], any B.
+    lut_m > 0: start from the 4^lut_m x 2 prefix LUT in tables['lut']
+    (see tpufm.engine.xla.make_search_fn).
     """
     from tpufm.engine.xla import fuse_prefix_codes, fuse_round_codes
 
@@ -180,6 +188,12 @@ class PallasEngine:
         interpret: bool = False,
         lut_m: int = 0,
     ):
+        from tpufm.index.layouts import AltCountersIndex
+
+        if isinstance(index, AltCountersIndex):
+            # The Pallas kernel consumes the baseline fused layout; intervals
+            # are identical either way, so search the underlying base index.
+            index = index.base
         self.config = index.config
         self.bwtsize = index.bwtsize
         self.tile = tile
@@ -211,11 +225,9 @@ class PallasEngine:
         )
 
     def search(self, queries) -> np.ndarray:
+        # Any batch size: the round kernel pads its flattened end-batch to a
+        # tile multiple internally.
         q = jnp.asarray(queries, jnp.uint8)
-        if (q.shape[0] * 2) % self.tile:
-            raise ValueError(
-                f"batch*2 = {q.shape[0] * 2} must be a multiple of tile={self.tile}"
-            )
         out = self._search(self.tables, _U32(self.bwtsize), q)
         return np.asarray(jax.device_get(out))
 

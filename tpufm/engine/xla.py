@@ -345,16 +345,35 @@ class XLAEngine:
         self.tables = tables
 
         if lut_m:
+            # Cache key: the LUT is only valid for THIS index — fingerprint
+            # the parameters plus index content (occ sentinel row + dollar
+            # metadata change whenever the reference text does).
+            fp = np.concatenate(
+                [
+                    np.asarray(
+                        [self.config.k, self.config.d, lut_m, self.bwtsize],
+                        np.uint64,
+                    ),
+                    base.dollar_pos.astype(np.uint64),
+                    base.occ[-1].astype(np.uint64),
+                ]
+            )
             lut = None
             if lut_cache is not None:
                 import os
 
                 if os.path.exists(lut_cache):
-                    lut = put(np.load(lut_cache)["lut"])
+                    z = np.load(lut_cache)
+                    if "fingerprint" in z and np.array_equal(z["fingerprint"], fp):
+                        lut = put(z["lut"])
             if lut is None:
                 lut = self._build_prefix_lut(lut_m)
                 if lut_cache is not None:
-                    np.savez(lut_cache, lut=np.asarray(jax.device_get(lut)))
+                    np.savez(
+                        lut_cache,
+                        lut=np.asarray(jax.device_get(lut)),
+                        fingerprint=fp,
+                    )
             tables["lut"] = lut
 
         self._search = jax.jit(

@@ -11,17 +11,20 @@ from tpufm.utils.encoding import decode_bases
 
 
 def generate_reads(
-    codes: np.ndarray, length: int, num: int, seed: int = 0
-) -> np.ndarray:
+    codes: np.ndarray, length: int, num: int, seed: int = 0,
+    return_starts: bool = False,
+):
     """Sample `num` reads of `length` bases from 2-bit codes. Returns
-    uint8 [num, length]."""
+    uint8 [num, length] (and the int64 [num] start positions when
+    return_starts is set)."""
     n = codes.shape[0]
     if length > n:
         raise ValueError(f"read length {length} exceeds reference size {n}")
     rng = np.random.default_rng(seed)
     starts = rng.integers(0, n - length + 1, size=num, dtype=np.int64)
     idx = starts[:, None] + np.arange(length, dtype=np.int64)[None, :]
-    return codes[idx]
+    reads = codes[idx]
+    return (reads, starts) if return_starts else reads
 
 
 def write_reads_fasta(path, reads: np.ndarray, starts=None) -> None:

@@ -47,54 +47,58 @@ def run_sweep(
 
     for refsize in refsizes:
         codes = rng.integers(0, 4, size=refsize, dtype=np.uint8)
-        for k, d, engine in itertools.product(ks, ds, engines):
+        queries = generate_reads(codes, query_len, num_queries, seed=seed + 1)
+        for k, d in itertools.product(ks, ds):
             if query_len % k:
                 continue
             cfg = IndexConfig(k=k, d=d)
             t0 = time.perf_counter()
+            # one build per (refsize, k, d): shared across engine variants
             index = build_index(codes, cfg)
             build_s = time.perf_counter() - t0
 
-            queries = generate_reads(codes, query_len, num_queries, seed=seed + 1)
-            if engine == "xla-ac":
-                eng = XLAEngine(make_alt_counters(index))
-            elif engine == "xla-split":
-                eng = XLAEngine(index, layout="split")
-            else:
-                eng = XLAEngine(index)
-
-            from tpufm.utils.timer import timed_device_passes
-
             qd = jax.device_put(jnp.asarray(queries, jnp.uint8))
-            dt, _ = timed_device_passes(
-                lambda: eng.search_device(qd), iterations=iterations
-            )
-            out = eng.search_device(qd)
+            for engine in engines:
+                if engine == "xla-ac":
+                    eng = XLAEngine(make_alt_counters(index))
+                elif engine == "xla-split":
+                    eng = XLAEngine(index, layout="split")
+                else:
+                    eng = XLAEngine(index)
 
-            exact = None
-            if verify:
-                spot = np.asarray(jax.device_get(out))[:128]
-                exact = bool((spot == search_oracle(index, queries[:128])).all())
+                from tpufm.utils.timer import timed_device_passes
 
-            rec = {
-                "refsize": refsize,
-                "k": k,
-                "d": d,
-                "engine": engine,
-                "num_queries": num_queries,
-                "query_len": query_len,
-                "build_s": round(build_s, 2),
-                "seconds_per_pass": dt,
-                "reads_per_s": round(num_queries / dt),
-                "steps_per_s": round(num_queries * (query_len // k) / dt),
-                "bit_exact": exact,
-            }
-            records.append(rec)
-            line = json.dumps(rec)
-            print(line, flush=True)
-            if fh:
-                fh.write(line + "\n")
-                fh.flush()
+                dt, _ = timed_device_passes(
+                    lambda: eng.search_device(qd), iterations=iterations
+                )
+                out = eng.search_device(qd)
+
+                exact = None
+                if verify:
+                    spot = np.asarray(jax.device_get(out))[:128]
+                    exact = bool(
+                        (spot == search_oracle(index, queries[:128])).all()
+                    )
+
+                rec = {
+                    "refsize": refsize,
+                    "k": k,
+                    "d": d,
+                    "engine": engine,
+                    "num_queries": num_queries,
+                    "query_len": query_len,
+                    "build_s": round(build_s, 2),
+                    "seconds_per_pass": dt,
+                    "reads_per_s": round(num_queries / dt),
+                    "steps_per_s": round(num_queries * (query_len // k) / dt),
+                    "bit_exact": exact,
+                }
+                records.append(rec)
+                line = json.dumps(rec)
+                print(line, flush=True)
+                if fh:
+                    fh.write(line + "\n")
+                    fh.flush()
     if fh:
         fh.close()
     return records
