@@ -46,3 +46,17 @@ def test_sentinel_rank_zero(rng):
     sa = suffix_array_doubling(codes)
     assert sa[0] == 64  # the '$' suffix sorts first
     assert sorted(sa.tolist()) == list(range(65))
+
+
+def test_native_large_random(rng):
+    # ~1M-base random text: exercises deep SA-IS recursion levels.
+    if suffix_array_native(np.zeros(4, dtype=np.uint8)) is None:
+        pytest.skip("native SA-IS library unavailable")
+    codes = rng.integers(0, 4, size=1_000_000, dtype=np.uint8)
+    sa = suffix_array_native(codes)
+    assert sa[0] == 1_000_000
+    # spot-check sortedness at 1000 random adjacent pairs
+    idx = rng.integers(1, 1_000_000, size=1000)
+    for i in idx:
+        a, b = int(sa[i]), int(sa[i + 1])
+        assert codes.tobytes()[a:a+64] <= codes.tobytes()[b:b+64]
