@@ -100,3 +100,24 @@ def test_cli_dumpentry_and_sweep(tmp_path, ref, monkeypatch, capsys):
 
     rec = _json.loads((tmp_path / "sweep.jsonl").read_text().splitlines()[0])
     assert rec["bit_exact"] and rec["k"] == 2
+
+
+def test_cli_locate(tmp_path, ref, monkeypatch):
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    cli.main(["genreads", str(path), str(n), "16", "24", "--seed", "9"])
+    qry = f"Q-24_B-16_R-{n}.qry"
+    cli.main(["locate", str(path), str(n), qry, "16", "24",
+              "--k", "2", "--d", "32", "--sample-rate", "8", "--max-hits", "8"])
+    lines = (tmp_path / (qry + ".pos")).read_text().splitlines()
+    assert len(lines) == 24
+    # every sampled read must report its own sampling position
+    from tpufm.io.fasta import load_queries
+
+    reads = load_queries(qry, 16, 24)
+    text = codes.tobytes()
+    for read, line in zip(reads, lines):
+        hits = [int(x) for x in line.split()]
+        assert hits, "sampled read must occur"
+        for h in hits:
+            assert text[h : h + 16] == read.tobytes()

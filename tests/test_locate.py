@@ -1,0 +1,69 @@
+"""locate() extension: sampled-SA position resolution (beyond the reference,
+which only reports interval counts — docs/ROADMAP.md)."""
+
+import numpy as np
+import pytest
+
+from tpufm.config import IndexConfig
+from tpufm.engine.oracle import search_oracle
+from tpufm.index.builder import build_index
+from tpufm.index.locate import build_locate, locate_oracle, locate_hits
+from tpufm.index.suffix_array import suffix_array
+
+
+def naive_positions(text: np.ndarray, pattern: np.ndarray):
+    t, p = text.tobytes(), pattern.tobytes()
+    out, start = [], 0
+    while True:
+        i = t.find(p, start)
+        if i < 0:
+            return sorted(out)
+        out.append(i)
+        start = i + 1
+
+
+@pytest.mark.parametrize("s,d", [(4, 32), (32, 64), (7, 32)])
+def test_locate_oracle_resolves_every_row(rng, s, d):
+    codes = rng.integers(0, 4, size=1200, dtype=np.uint8)
+    sa = suffix_array(codes, method="doubling")
+    loc = build_locate(codes, sample_rate=s, d=d, sa=sa)
+    rows = np.arange(len(codes) + 1, dtype=np.uint32)
+    got = locate_oracle(loc, rows)
+    np.testing.assert_array_equal(got, sa.astype(np.uint32))
+
+
+def test_locate_hits_match_naive(rng):
+    codes = rng.integers(0, 4, size=3000, dtype=np.uint8)
+    sa = suffix_array(codes, method="doubling")
+    index = build_index(codes, IndexConfig(k=2, d=64), sa=sa)
+    loc = build_locate(codes, sample_rate=16, d=64, sa=sa)
+
+    qlen = 6
+    starts = rng.integers(0, 3000 - qlen, size=24)
+    queries = np.stack([codes[st : st + qlen] for st in starts])
+    iv = search_oracle(index, queries)
+    pos = locate_hits(loc, iv, max_hits=32)
+    for q, (lo, hi), row in zip(queries, iv, pos):
+        expect = naive_positions(codes, q)[:32]
+        got = sorted(int(x) for x in row if x != 0xFFFFFFFF)
+        assert got == expect, (q.tolist(), lo, hi)
+
+
+def test_locate_engine_matches_oracle(rng):
+    from tpufm.engine.xla import LocateEngine
+
+    codes = rng.integers(0, 4, size=2000, dtype=np.uint8)
+    sa = suffix_array(codes, method="doubling")
+    loc = build_locate(codes, sample_rate=8, d=32, sa=sa)
+    eng = LocateEngine(loc)
+    rows = np.arange(len(codes) + 1, dtype=np.uint32)
+    np.testing.assert_array_equal(eng.locate_rows(rows), sa.astype(np.uint32))
+
+    index = build_index(codes, IndexConfig(k=2, d=64), sa=sa)
+    qlen = 8
+    starts = rng.integers(0, 2000 - qlen, size=16)
+    queries = np.stack([codes[st : st + qlen] for st in starts])
+    iv = search_oracle(index, queries)
+    np.testing.assert_array_equal(
+        eng.locate_hits(iv, max_hits=16), locate_hits(loc, iv, max_hits=16)
+    )

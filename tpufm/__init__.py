@@ -17,15 +17,19 @@ Layer map (TPU-native redesign of SURVEY.md section 1):
   tpufm.utils     — base encoding, timers, run records
 """
 
-from tpufm.config import IndexConfig, Layout
+from tpufm.config import IndexConfig, Layout, recommend_config
 from tpufm.index.builder import build_index, KStepFMIndex
+from tpufm.index.locate import build_locate, LocateIndex
 
 __version__ = "0.1.0"
 
 __all__ = [
     "IndexConfig",
     "Layout",
+    "recommend_config",
     "build_index",
     "KStepFMIndex",
+    "build_locate",
+    "LocateIndex",
     "__version__",
 ]

@@ -200,6 +200,30 @@ def cmd_dumpentry(args):
                 print(f"  bwt{lvl} plane{plane}: {' '.join(words)}")
 
 
+def cmd_locate(args):
+    """Search + resolve text positions (tpufm extension — the reference only
+    reports interval counts). Builds index + sampled-SA tables from one
+    suffix sort, writes '<out>: one line per query: pos pos ...'."""
+    from tpufm.engine.xla import XLAEngine, LocateEngine
+    from tpufm.index.locate import build_locate
+    from tpufm.index.suffix_array import suffix_array
+
+    codes = read_reference(args.reference, args.refsize)
+    sa = suffix_array(codes)
+    index = build_index(codes, IndexConfig(k=args.k, d=args.d), sa=sa)
+    loc = build_locate(codes, sample_rate=args.sample_rate, d=args.d, sa=sa)
+    queries = load_queries(args.queries, args.qrysize, args.numqueries)
+
+    intervals = XLAEngine(index).search(queries)
+    pos = LocateEngine(loc).locate_hits(intervals, max_hits=args.max_hits)
+
+    out = args.output or f"{args.queries}.pos"
+    with open(out, "w") as fp:
+        for row in pos:
+            fp.write(" ".join(str(int(x)) for x in row if x != 0xFFFFFFFF) + "\n")
+    print(f"wrote {out} ({queries.shape[0]} queries, max {args.max_hits} hits each)")
+
+
 def cmd_diff(args):
     """Compare two .res files — formalizes the reference's manual
     cross-implementation diffing (SURVEY.md section 4)."""
@@ -300,6 +324,19 @@ def main(argv=None):
     sw.add_argument("--iterations", type=int, default=3)
     sw.add_argument("--output", default=None)
     sw.set_defaults(fn=cmd_sweep)
+
+    lc = sub.add_parser("locate", help="search + text positions (extension)")
+    lc.add_argument("reference")
+    lc.add_argument("refsize", type=int)
+    lc.add_argument("queries")
+    lc.add_argument("qrysize", type=int)
+    lc.add_argument("numqueries", type=int)
+    lc.add_argument("--k", type=int, default=2)
+    lc.add_argument("--d", type=int, default=64)
+    lc.add_argument("--sample-rate", type=int, default=32)
+    lc.add_argument("--max-hits", type=int, default=16)
+    lc.add_argument("--output", default=None)
+    lc.set_defaults(fn=cmd_locate)
 
     de = sub.add_parser("dumpentry", help="print entry counters/bitmaps (debug)")
     de.add_argument("index")

@@ -481,3 +481,134 @@ def build_prefix_lut(tables, bwtsize, k: int, d: int, m: int):
         codes = jnp.arange(start, start + wave, dtype=_U32)
         parts.append(fn(tables, _U32(bwtsize), decode_prefix_codes(codes, m)))
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def make_locate_fn(d: int, sample_rate: int):
+    """Jittable batched locate: (tables, rows uint32 [N]) -> SA values [N].
+
+    Per iteration (at most `sample_rate`), every lane gathers its block's
+    fused locate row (mark bits + mark rank + LF1 entry) and either resolves
+    against the sample table or takes one single-step LF hop. Lanes finish
+    independently; finished lanes idle (masked) until the fixed trip count
+    ends — the TPU formulation of the classic sampled-SA walk.
+    """
+    nb = d // 32
+    bmw = 2 * nb  # k=1 bitmap words
+
+    def locate(tables, rows):
+        mrow_t = tables["mark"]        # [E+1, nb + 1]: mark words | mark_rank
+        ent_t = tables["lf1_entries"]  # [E+1, 2*nb + 4]
+        samples = tables["samples"]    # [n_sampled]
+        dpos = tables["dollar_pos"]    # [1]
+        dbase = tables["dollar_base"]  # [1]
+        dblock = tables["dollar_block"]
+
+        N = rows.shape[0]
+        p0 = rows.astype(_U32)
+        out0 = jnp.full(N, _U32(0xFFFFFFFF))
+        done0 = jnp.zeros(N, dtype=bool)
+        steps0 = jnp.zeros(N, dtype=_U32)
+
+        def body(_, carry):
+            p, steps, out, done = carry
+            block = p // _U32(d)
+            off = p % _U32(d)
+            mrow = mrow_t[block]                      # [N, nb+1]
+            mark_words = mrow[:, :nb]
+            mark_rank = mrow[:, nb]
+            word = jnp.take_along_axis(
+                mark_words, (off // _U32(32)).astype(jnp.int32)[:, None], axis=1
+            )[:, 0]
+            marked = ((word >> (_U32(31) - (off % _U32(32)))) & _U32(1)) != 0
+            pre = jnp.sum(
+                jax.lax.population_count(mark_words & _boundary_masks(off, nb)),
+                axis=-1,
+            )
+            rank = jnp.minimum(mark_rank + pre, _U32(samples.shape[0] - 1))
+            resolved = samples[rank] + steps
+            newly = marked & ~done
+            out = jnp.where(newly, resolved, out)
+            done = done | marked
+
+            # single-step LF hop (masked out for finished lanes)
+            ent = ent_t[block]                        # [N, 2*nb + 4]
+            sh = _U32(31) - (off % _U32(32))
+            w0 = jnp.take_along_axis(
+                ent[:, :nb], (off // _U32(32)).astype(jnp.int32)[:, None], axis=1
+            )[:, 0]
+            w1 = jnp.take_along_axis(
+                ent[:, nb:bmw], (off // _U32(32)).astype(jnp.int32)[:, None], axis=1
+            )[:, 0]
+            c = ((w0 >> sh) & _U32(1)) | (((w1 >> sh) & _U32(1)) << _U32(1))
+            cnt = jnp.take_along_axis(
+                ent[:, bmw:], c.astype(jnp.int32)[:, None], axis=1
+            )[:, 0]
+            bm = ent[:, :bmw].reshape(N, 1, 2, nb)
+            matched = _match_words(bm, c, 1) & _boundary_masks(off, nb)
+            count = jnp.sum(jax.lax.population_count(matched), axis=-1)
+            hit = (
+                (block[:, None] == dblock)
+                & (c[:, None] == dbase)
+                & (p[:, None] > dpos)
+            )
+            count -= jnp.sum(hit.astype(_U32), axis=-1)
+            p_next = cnt + count
+            p = jnp.where(done, p, p_next)
+            steps = jnp.where(done, steps, steps + _U32(1))
+            return p, steps, out, done
+
+        _, _, out, _ = jax.lax.fori_loop(
+            0, sample_rate, body, (p0, steps0, out0, done0)
+        )
+        return out
+
+    return locate
+
+
+class LocateEngine:
+    """Device-resident sampled-SA locate (tpufm extension, docs/ROADMAP.md).
+
+    Resolves BWT rows (or whole search intervals) to text positions using the
+    tables built by tpufm.index.locate.build_locate."""
+
+    def __init__(self, loc, device=None):
+        from tpufm.index.locate import LocateIndex
+
+        assert isinstance(loc, LocateIndex)
+        lf1 = loc.lf1
+        self.d = lf1.config.d
+        self.sample_rate = loc.sample_rate
+        rows = lf1.occ.shape[0]
+        put = functools.partial(jax.device_put, device=device)
+        self.tables = {
+            "mark": put(
+                np.concatenate(
+                    [loc.mark_words, loc.mark_rank[:, None]], axis=1
+                ).astype(np.uint32)
+            ),
+            "lf1_entries": put(
+                np.concatenate([lf1.bitmaps.reshape(rows, -1), lf1.occ], axis=1)
+            ),
+            "samples": put(loc.samples),
+            "dollar_pos": put(lf1.dollar_pos),
+            "dollar_base": put(lf1.dollar_base),
+            "dollar_block": put(np.asarray(lf1.dollar_block, np.uint32)),
+        }
+        self._locate = jax.jit(make_locate_fn(self.d, self.sample_rate))
+
+    def locate_rows(self, rows) -> np.ndarray:
+        """BWT rows uint32 [N] -> SA values uint32 [N]."""
+        out = self._locate(self.tables, jnp.asarray(rows, jnp.uint32))
+        return np.asarray(jax.device_get(out))
+
+    def locate_hits(self, intervals, max_hits: int) -> np.ndarray:
+        """uint32 [B, 2] search intervals -> uint32 [B, max_hits] text
+        positions, padded with 0xFFFFFFFF past each interval's count."""
+        intervals = np.asarray(intervals)
+        lo = intervals[:, 0].astype(np.int64)
+        width = (intervals[:, 1].astype(np.int64) - lo).clip(0, max_hits)
+        cols = np.arange(max_hits, dtype=np.int64)[None, :]
+        valid = cols < width[:, None]
+        rows = np.where(valid, lo[:, None] + cols, 0).astype(np.uint32)
+        pos = self.locate_rows(rows.reshape(-1)).reshape(intervals.shape[0], max_hits)
+        return np.where(valid, pos, np.uint32(0xFFFFFFFF))

@@ -96,10 +96,14 @@ def build_index(
     reference,
     config: IndexConfig = IndexConfig(),
     sa_method: str = "auto",
+    sa: np.ndarray | None = None,
 ) -> KStepFMIndex:
     """Build a k-step FM-index from a DNA reference.
 
     reference: str/bytes of ACGT, or a uint8 array of 2-bit codes.
+    sa: optional precomputed suffix array of codes + sentinel (int64
+    [n+1], sa[0] == n) — lets callers build several indexes / locate
+    tables from one suffix sort.
     """
     if isinstance(reference, (str, bytes, bytearray)):
         codes = encode_bases(reference)
@@ -115,7 +119,10 @@ def build_index(
     nb = config.words_per_plane
     nentries = config.num_entries(bwtsize)
 
-    sa = suffix_array(codes, method=sa_method)  # int64 [bwtsize]
+    if sa is None:
+        sa = suffix_array(codes, method=sa_method)  # int64 [bwtsize]
+    elif sa.shape[0] != bwtsize:
+        raise ValueError(f"sa has {sa.shape[0]} entries, expected {bwtsize}")
 
     # T with '$' -> 'A' (code 0): the bitmap/counter alphabet never sees '$'.
     t_codes = np.empty(bwtsize, dtype=np.uint8)
