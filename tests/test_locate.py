@@ -67,3 +67,27 @@ def test_locate_engine_matches_oracle(rng):
     np.testing.assert_array_equal(
         eng.locate_hits(iv, max_hits=16), locate_hits(loc, iv, max_hits=16)
     )
+
+
+def test_build_locate_accepts_text_input(rng):
+    # str/bytes/ASCII inputs must be normalized exactly like build_index
+    codes = rng.integers(0, 4, size=400, dtype=np.uint8)
+    text = bytes(b"ACGT"[c] for c in codes)
+    loc_txt = build_locate(text, sample_rate=8, d=32, sa_method="doubling")
+    loc_codes = build_locate(codes, sample_rate=8, d=32, sa_method="doubling")
+    np.testing.assert_array_equal(loc_txt.samples, loc_codes.samples)
+
+
+def test_locate_engine_rejects_non_k1():
+    from tpufm.engine.xla import LocateEngine
+    from tpufm.index.locate import LocateIndex
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=300, dtype=np.uint8)
+    k2 = build_index(codes, IndexConfig(k=2, d=32), sa_method="doubling")
+    bogus = LocateIndex(lf1=k2, sample_rate=8,
+                        mark_words=np.zeros((1, 1), np.uint32),
+                        mark_rank=np.zeros(1, np.uint32),
+                        samples=np.zeros(1, np.uint32))
+    with pytest.raises(ValueError, match="k=1"):
+        LocateEngine(bogus)

@@ -133,3 +133,17 @@ def test_xla_lut_cache_invalidated_on_index_change(rng, tmp_path):
     starts = rng.integers(0, len(codes2) - 24, size=32)
     queries = np.stack([codes2[s : s + 24] for s in starts])
     np.testing.assert_array_equal(eng2.search(queries), search_oracle(index2, queries))
+
+
+def test_xla_lut_cache_path_without_npz_suffix(rng, tmp_path):
+    # np.savez appends .npz — the load path must match or the cache never hits
+    import os
+
+    codes, index = _mk(rng, 2, 32, 500)
+    cache = str(tmp_path / "mylut")  # no .npz
+    XLAEngine(index, lut_m=4, lut_cache=cache)
+    assert os.path.exists(cache + ".npz")
+    # second construction must LOAD (mtime unchanged)
+    m0 = os.path.getmtime(cache + ".npz")
+    XLAEngine(index, lut_m=4, lut_cache=cache)
+    assert os.path.getmtime(cache + ".npz") == m0

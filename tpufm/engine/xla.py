@@ -348,10 +348,19 @@ class XLAEngine:
             # Cache key: the LUT is only valid for THIS index — fingerprint
             # the parameters plus index content (occ sentinel row + dollar
             # metadata change whenever the reference text does).
+            import zlib
+
+            stride = max(1, base.occ.shape[0] // 4096)
             fp = np.concatenate(
                 [
                     np.asarray(
-                        [self.config.k, self.config.d, lut_m, self.bwtsize],
+                        [
+                            self.config.k,
+                            self.config.d,
+                            lut_m,
+                            self.bwtsize,
+                            zlib.crc32(np.ascontiguousarray(base.occ[::stride])),
+                        ],
                         np.uint64,
                     ),
                     base.dollar_pos.astype(np.uint64),
@@ -362,6 +371,8 @@ class XLAEngine:
             if lut_cache is not None:
                 import os
 
+                if not lut_cache.endswith(".npz"):
+                    lut_cache += ".npz"  # np.savez appends it; keep load/save paired
                 if os.path.exists(lut_cache):
                     z = np.load(lut_cache)
                     if "fingerprint" in z and np.array_equal(z["fingerprint"], fp):
@@ -578,6 +589,11 @@ class LocateEngine:
 
         assert isinstance(loc, LocateIndex)
         lf1 = loc.lf1
+        if lf1.config.k != 1:
+            raise ValueError(
+                f"LocateIndex.lf1 must be a k=1 index (got k={lf1.config.k}); "
+                "the locate walk takes single-character LF steps"
+            )
         self.d = lf1.config.d
         self.sample_rate = loc.sample_rate
         rows = lf1.occ.shape[0]
@@ -609,11 +625,8 @@ class LocateEngine:
     def locate_hits(self, intervals, max_hits: int) -> np.ndarray:
         """uint32 [B, 2] search intervals -> uint32 [B, max_hits] text
         positions, padded with 0xFFFFFFFF past each interval's count."""
-        intervals = np.asarray(intervals)
-        lo = intervals[:, 0].astype(np.int64)
-        width = (intervals[:, 1].astype(np.int64) - lo).clip(0, max_hits)
-        cols = np.arange(max_hits, dtype=np.int64)[None, :]
-        valid = cols < width[:, None]
-        rows = np.where(valid, lo[:, None] + cols, 0).astype(np.uint32)
-        pos = self.locate_rows(rows.reshape(-1)).reshape(intervals.shape[0], max_hits)
+        from tpufm.index.locate import expand_intervals
+
+        rows, valid = expand_intervals(intervals, max_hits)
+        pos = self.locate_rows(rows.reshape(-1)).reshape(rows.shape)
         return np.where(valid, pos, np.uint32(0xFFFFFFFF))

@@ -92,6 +92,17 @@ def pack_bitplane_words(bits: np.ndarray) -> np.ndarray:
     return (by[..., 0] << 24) | (by[..., 1] << 16) | (by[..., 2] << 8) | by[..., 3]
 
 
+def normalize_reference(reference) -> np.ndarray:
+    """str/bytes ACGT text or uint8 array -> 2-bit codes (shared by every
+    builder entry point so SA and index always see the same encoding)."""
+    if isinstance(reference, (str, bytes, bytearray)):
+        return encode_bases(reference)
+    codes = np.asarray(reference, dtype=np.uint8)
+    if codes.size and codes.max() > 3:
+        codes = encode_bases(codes)
+    return codes
+
+
 def build_index(
     reference,
     config: IndexConfig = IndexConfig(),
@@ -105,12 +116,7 @@ def build_index(
     [n+1], sa[0] == n) — lets callers build several indexes / locate
     tables from one suffix sort.
     """
-    if isinstance(reference, (str, bytes, bytearray)):
-        codes = encode_bases(reference)
-    else:
-        codes = np.asarray(reference, dtype=np.uint8)
-        if codes.size and codes.max() > 3:
-            codes = encode_bases(codes)
+    codes = normalize_reference(reference)
 
     k, d = config.k, config.d
     n = int(codes.shape[0])

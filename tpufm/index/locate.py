@@ -21,7 +21,12 @@ import dataclasses
 import numpy as np
 
 from tpufm.config import IndexConfig
-from tpufm.index.builder import KStepFMIndex, build_index, pack_bitplane_words
+from tpufm.index.builder import (
+    KStepFMIndex,
+    build_index,
+    normalize_reference,
+    pack_bitplane_words,
+)
 from tpufm.index.suffix_array import suffix_array
 
 _U32 = np.uint32
@@ -56,7 +61,7 @@ def build_locate(
     sa_method: str = "auto",
 ) -> LocateIndex:
     """Build locate tables for a reference (2-bit codes or ACGT text)."""
-    codes = np.asarray(reference, dtype=np.uint8)
+    codes = normalize_reference(reference)
     n = int(codes.shape[0])
     bwtsize = n + 1
     if sa is None:
@@ -133,10 +138,23 @@ def locate_oracle(loc: LocateIndex, positions: np.ndarray) -> np.ndarray:
 
 def _popcount_prefix(words_rows: np.ndarray, off: np.ndarray, nb: int) -> np.ndarray:
     """#set bits strictly before in-block offset `off` in each [nb]-word row."""
-    from tpufm.bitops import boundary_masks
+    from tpufm.bitops import boundary_masks, popcount_rows
 
     masks = boundary_masks(off.astype(_U32), nb)  # keeps the top `off` bits
-    return np.bitwise_count(words_rows & masks).astype(np.int64).sum(axis=-1)
+    return popcount_rows(words_rows & masks)
+
+
+def expand_intervals(intervals: np.ndarray, max_hits: int):
+    """uint32 [B, 2] -> (rows uint32 [B, max_hits], valid bool [B, max_hits]):
+    the first max_hits BWT rows of each interval, 0-filled past its count.
+    Shared by the oracle and device locate paths."""
+    intervals = np.asarray(intervals)
+    lo = intervals[:, 0].astype(np.int64)
+    width = (intervals[:, 1].astype(np.int64) - lo).clip(0, max_hits)
+    cols = np.arange(max_hits, dtype=np.int64)[None, :]
+    valid = cols < width[:, None]
+    rows = np.where(valid, lo[:, None] + cols, 0).astype(np.uint32)
+    return rows, valid
 
 
 def locate_hits(
@@ -147,12 +165,6 @@ def locate_hits(
     intervals: uint32 [B, 2] from a search. Returns uint32 [B, max_hits],
     padded with 0xFFFFFFFF past each interval's count (R - L).
     """
-    intervals = np.asarray(intervals)
-    B = intervals.shape[0]
-    lo = intervals[:, 0].astype(np.int64)
-    width = (intervals[:, 1].astype(np.int64) - lo).clip(0, max_hits)
-    cols = np.arange(max_hits, dtype=np.int64)[None, :]
-    valid = cols < width[:, None]
-    rows = np.where(valid, lo[:, None] + cols, 0)
-    pos = locate_oracle(loc, rows.reshape(-1)).reshape(B, max_hits)
+    rows, valid = expand_intervals(intervals, max_hits)
+    pos = locate_oracle(loc, rows.reshape(-1)).reshape(rows.shape)
     return np.where(valid, pos, np.uint32(0xFFFFFFFF)).astype(_U32)
