@@ -104,5 +104,5 @@ def build_reference_binaries(k: int, d: int) -> dict[str, Path] | None:
 
 def run(cmd, cwd):
     return subprocess.run(
-        [str(c) for c in cmd], cwd=cwd, check=True, capture_output=True, timeout=600
+        [str(c) for c in cmd], cwd=cwd, check=True, capture_output=True, timeout=3600
     )
