@@ -144,17 +144,27 @@ void sais_rec(const T* s, sidx* SA, sidx n, sidx K) {
 extern "C" {
 
 // Suffix array of text + implicit smallest sentinel. sa has n+1 slots.
+// Returns 0 on success, -1 on bad arguments, -2 on allocation failure,
+// -3 if any input byte is 255 (the +1 sentinel shift would wrap it to 0
+// and silently collide with the sentinel).
 int tpufm_sais_u8(const uint8_t* text, int64_t n, int64_t* sa) {
   if (n < 0 || !sa || (n > 0 && !text)) return -1;
   if (n == 0) {
     sa[0] = 0;
     return 0;
   }
-  // Shift symbols by +1 so 0 is free for the sentinel.
-  std::vector<uint8_t> t(static_cast<size_t>(n) + 1);
-  for (int64_t i = 0; i < n; ++i) t[i] = static_cast<uint8_t>(text[i] + 1);
-  t[n] = 0;
-  sais_rec<uint8_t>(t.data(), sa, n + 1, 256);
+  try {
+    // Shift symbols by +1 so 0 is free for the sentinel.
+    std::vector<uint8_t> t(static_cast<size_t>(n) + 1);
+    for (int64_t i = 0; i < n; ++i) {
+      if (text[i] == 255) return -3;
+      t[i] = static_cast<uint8_t>(text[i] + 1);
+    }
+    t[n] = 0;
+    sais_rec<uint8_t>(t.data(), sa, n + 1, 256);
+  } catch (const std::bad_alloc&) {
+    return -2;  // keep the C ABI contract: no exception crosses ctypes
+  }
   return 0;
 }
 

@@ -138,3 +138,22 @@ def test_search_stats_math():
     assert s["rounds_per_s"] == 500 * 40
     assert s["gathers_per_s"] == 1000 * 40  # 2 ends x 40 rounds x 500 reads/s
     assert abs(s["fraction_of_hbm_sol"] - 1000 * 40 * 352 / 1e9) < 1e-12
+
+
+@pytest.mark.parametrize("n", [777, 895])  # 895: bwtsize % 64 == 0 corner
+def test_ac_image_reconstructs_full_occ(tmp_path, rng, n):
+    # loading a tag-200 image must yield a COMPLETE base index (full occ),
+    # not a zeros-occ husk that silently corrupts any baseline-engine use
+    from tpufm.engine.xla import XLAEngine
+
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    built = build_index(codes, IndexConfig(k=2, d=64), sa_method="doubling")
+    path = tmp_path / f"recon_{n}.fmi.ac"
+    write_fmi(path, built, Layout.ALT_COUNTERS)
+    loaded, _ = read_fmi(path)
+    np.testing.assert_array_equal(loaded.base.occ, built.occ)
+    starts = rng.integers(0, n - 16, size=32)
+    queries = np.stack([codes[s : s + 16] for s in starts])
+    np.testing.assert_array_equal(
+        XLAEngine(loaded.base).search(queries), search_oracle(built, queries)
+    )

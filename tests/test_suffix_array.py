@@ -60,3 +60,12 @@ def test_native_large_random(rng):
     for i in idx:
         a, b = int(sa[i]), int(sa[i + 1])
         assert codes.tobytes()[a:a+64] <= codes.tobytes()[b:b+64]
+
+
+def test_native_rejects_byte_255(rng):
+    # 255 + 1 would wrap to the sentinel symbol; the library must refuse,
+    # not silently return a wrong SA.
+    if suffix_array_native(np.zeros(4, dtype=np.uint8)) is None:
+        pytest.skip("native SA-IS library unavailable")
+    with pytest.raises(RuntimeError, match="code -3"):
+        suffix_array_native(np.array([255, 1, 255, 0], np.uint8))

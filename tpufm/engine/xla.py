@@ -321,21 +321,7 @@ class XLAEngine:
             "dollar_block": put(np.asarray(base.dollar_block, dtype=np.uint32)),
         }
         if layout == "fused":
-            rows = base.occ.shape[0]
-            entries = np.concatenate(
-                [base.bitmaps.reshape(rows, -1), base.occ], axis=1
-            )
-            if pad_words and pad_words > entries.shape[1]:
-                entries = np.concatenate(
-                    [
-                        entries,
-                        np.zeros(
-                            (rows, pad_words - entries.shape[1]), dtype=np.uint32
-                        ),
-                    ],
-                    axis=1,
-                )
-            tables["entries"] = put(entries)
+            tables["entries"] = put(build_fused_entries(base, pad_words))
         else:
             tables["bitmaps"] = put(base.bitmaps)
             if self.alt_counters:
@@ -345,47 +331,7 @@ class XLAEngine:
         self.tables = tables
 
         if lut_m:
-            # Cache key: the LUT is only valid for THIS index — fingerprint
-            # the parameters plus index content (occ sentinel row + dollar
-            # metadata change whenever the reference text does).
-            import zlib
-
-            stride = max(1, base.occ.shape[0] // 4096)
-            fp = np.concatenate(
-                [
-                    np.asarray(
-                        [
-                            self.config.k,
-                            self.config.d,
-                            lut_m,
-                            self.bwtsize,
-                            zlib.crc32(np.ascontiguousarray(base.occ[::stride])),
-                        ],
-                        np.uint64,
-                    ),
-                    base.dollar_pos.astype(np.uint64),
-                    base.occ[-1].astype(np.uint64),
-                ]
-            )
-            lut = None
-            if lut_cache is not None:
-                import os
-
-                if not lut_cache.endswith(".npz"):
-                    lut_cache += ".npz"  # np.savez appends it; keep load/save paired
-                if os.path.exists(lut_cache):
-                    z = np.load(lut_cache)
-                    if "fingerprint" in z and np.array_equal(z["fingerprint"], fp):
-                        lut = put(z["lut"])
-            if lut is None:
-                lut = self._build_prefix_lut(lut_m)
-                if lut_cache is not None:
-                    np.savez(
-                        lut_cache,
-                        lut=np.asarray(jax.device_get(lut)),
-                        fingerprint=fp,
-                    )
-            tables["lut"] = lut
+            tables["lut"] = lut_with_cache(tables, base, lut_m, lut_cache, put)
 
         self._search = jax.jit(
             make_search_fn(
@@ -630,3 +576,59 @@ class LocateEngine:
         rows, valid = expand_intervals(intervals, max_hits)
         pos = self.locate_rows(rows.reshape(-1)).reshape(rows.shape)
         return np.where(valid, pos, np.uint32(0xFFFFFFFF))
+
+
+def build_fused_entries(base: KStepFMIndex, pad_words: int | None = None) -> np.ndarray:
+    """Host-side fused entry table: [E+1, 2k*nb + 4^k (+pad)] uint32 — the
+    on-device layout shared by every fused-layout engine."""
+    rows = base.occ.shape[0]
+    entries = np.concatenate([base.bitmaps.reshape(rows, -1), base.occ], axis=1)
+    if pad_words and pad_words > entries.shape[1]:
+        entries = np.concatenate(
+            [entries, np.zeros((rows, pad_words - entries.shape[1]), np.uint32)],
+            axis=1,
+        )
+    return entries
+
+
+def lut_with_cache(tables, base: KStepFMIndex, lut_m: int, lut_cache, put):
+    """Load the prefix LUT from a validated cache file or build it on device.
+
+    The cache carries a fingerprint of the index (k/d/m/bwtsize, dollar
+    positions, occ sentinel row, CRC of strided occ rows): a stale cache
+    from a different index rebuilds instead of silently corrupting results.
+    `put` places the loaded array (device / sharding of the caller's choice).
+    """
+    import zlib
+
+    cfg = base.config
+    stride = max(1, base.occ.shape[0] // 4096)
+    fp = np.concatenate(
+        [
+            np.asarray(
+                [
+                    cfg.k,
+                    cfg.d,
+                    lut_m,
+                    base.bwtsize,
+                    zlib.crc32(np.ascontiguousarray(base.occ[::stride])),
+                ],
+                np.uint64,
+            ),
+            base.dollar_pos.astype(np.uint64),
+            base.occ[-1].astype(np.uint64),
+        ]
+    )
+    if lut_cache is not None:
+        import os
+
+        if not lut_cache.endswith(".npz"):
+            lut_cache += ".npz"  # np.savez appends it; keep load/save paired
+        if os.path.exists(lut_cache):
+            z = np.load(lut_cache)
+            if "fingerprint" in z and np.array_equal(z["fingerprint"], fp):
+                return put(z["lut"])
+    lut = build_prefix_lut(tables, base.bwtsize, cfg.k, cfg.d, lut_m)
+    if lut_cache is not None:
+        np.savez(lut_cache, lut=np.asarray(jax.device_get(lut)), fingerprint=fp)
+    return put(np.asarray(jax.device_get(lut)))

@@ -152,8 +152,6 @@ def read_fmi(path) -> tuple[KStepFMIndex, Layout]:
         bitmaps[:nentries] = bm.reshape(nentries, k, 2, nb)
 
     if layout.has_slim_counters:
-        # Rebuild the full-width occ rows is not needed for searching with the
-        # AC engine; reconstruct only the logical wrapper.
         occ = np.zeros((nentries + 1, cfg.num_counters), dtype=np.uint32)
         index = KStepFMIndex(
             config=cfg,
@@ -198,6 +196,7 @@ def read_fmi(path) -> tuple[KStepFMIndex, Layout]:
             if half2 == 0:
                 safety[0] += np.uint32(d)
             occ_slim[nentries + 1] = safety
+        _reconstruct_full_occ(index, occ_slim)
         return AltCountersIndex(base=index, occ_slim=occ_slim), layout
 
     occ = np.zeros((nentries + 1, cfg.num_counters), dtype=np.uint32)
@@ -245,3 +244,60 @@ def load_npz(path) -> KStepFMIndex:
         dollar_pos=z["dollar_pos"],
         dollar_base=z["dollar_base"],
     )
+
+
+def _reconstruct_full_occ(index: KStepFMIndex, occ_slim: np.ndarray) -> None:
+    """Fill index.occ (in place) from the slim alternate-counters rows so a
+    tag-200/201 image loads back into a COMPLETE logical index.
+
+    Stored halves copy straight across (even entries hold counters [0, S),
+    odd entries [S, 2S)). The complementary half of entry e equals the NEXT
+    row's stored values minus this block's dollar-exclusive k-mer counts
+    (occ[e+1, c] = occ[e, c] + count_excl(e, c)); the counts come from a
+    bitmap popcount per k-mer, with '$'s and last-block padding (which read
+    as 'A' k-mers) subtracted. The sentinel row's complementary half comes
+    from the safety row (minus its deliberate +d on k-mer 0, see
+    tpufm.index.layouts.AltCountersIndex).
+    """
+    from tpufm.bitops import match_words, popcount_rows
+
+    cfg = index.config
+    S = cfg.num_slim_counters
+    E = index.nentries
+    occ = index.occ
+    even = np.arange(E) % 2 == 0
+
+    # Stored halves.
+    occ[:E][even, :S] = occ_slim[:E][even]
+    occ[:E][~even, S:] = occ_slim[:E][~even]
+    half_E = S if E % 2 else 0
+    occ[E, half_E : half_E + S] = occ_slim[E]
+
+    # Dollar-exclusive per-block counts for every k-mer (bitmap popcount,
+    # minus '$'s, minus the padding-'A's of the final block).
+    bm = index.bitmaps[:E]
+    counts = np.empty((E, cfg.num_counters), dtype=np.int64)
+    for c in range(cfg.num_counters):
+        counts[:, c] = popcount_rows(match_words(bm, np.uint32(c), cfg.k))
+    dblock = np.asarray(index.dollar_block, np.int64)
+    for i in range(cfg.k):
+        counts[dblock[i], int(index.dollar_base[i])] -= 1
+    pad = E * cfg.d - index.bwtsize
+    if pad:
+        counts[E - 1, 0] -= pad
+
+    # Complementary halves: next row's stored values minus this block's
+    # counts over those columns.
+    nxt = occ_slim[1 : E + 1].astype(np.int64)
+    comp_lo = ~even  # odd entries store the high half -> low is complementary
+    occ[:E][even, S:] = (nxt[even] - counts[even][:, S:]).astype(np.uint32)
+    occ[:E][comp_lo, :S] = (nxt[comp_lo] - counts[comp_lo][:, :S]).astype(np.uint32)
+
+    # Sentinel complementary half: last real entry plus its block's counts
+    # (occ[E] = occ[E-1] + count_excl(E-1) — valid for every column, and the
+    # in-file safety row is only populated in the bwtsize % d == 0 case).
+    half2 = S - half_E
+    occ[E, half2 : half2 + S] = (
+        occ[E - 1, half2 : half2 + S].astype(np.int64)
+        + counts[E - 1, half2 : half2 + S]
+    ).astype(np.uint32)

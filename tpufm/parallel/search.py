@@ -64,6 +64,8 @@ class DataParallelEngine:
         index: KStepFMIndex | AltCountersIndex,
         mesh: Mesh,
         lut_m: int = 0,
+        lut_cache: str | None = None,
+        pad_words: int | None = None,
     ):
         if isinstance(index, AltCountersIndex):
             base, self.alt_counters = index.base, True
@@ -85,22 +87,18 @@ class DataParallelEngine:
         }
         layout = "split" if self.alt_counters else "fused"
         if layout == "fused":
-            rows = base.occ.shape[0]
-            tables["entries"] = put(
-                np.concatenate([base.bitmaps.reshape(rows, -1), base.occ], axis=1)
-            )
+            from tpufm.engine.xla import build_fused_entries
+
+            tables["entries"] = put(build_fused_entries(base, pad_words))
         else:
             tables["bitmaps"] = put(base.bitmaps)
             tables["occ_slim"] = put(index.occ_slim)
         self.tables = tables
 
         if lut_m:
-            from tpufm.engine.xla import build_prefix_lut
+            from tpufm.engine.xla import lut_with_cache
 
-            lut = build_prefix_lut(
-                tables, self.bwtsize, self.config.k, self.config.d, lut_m
-            )
-            tables["lut"] = jax.device_put(lut, replicated)
+            tables["lut"] = lut_with_cache(tables, base, lut_m, lut_cache, put)
 
         self.batch_sharding = NamedSharding(mesh, P(self.axis, None))
         search = make_search_fn(
@@ -134,26 +132,14 @@ class DataParallelEngine:
         return self._search(self.tables, _U32(self.bwtsize), queries_sharded)
 
 
-def _sharded_lf_step(occ_shard, bitmaps_shard, dollar, cfg, axis, interval, code):
-    """One LF round with the entry table sharded along the block axis.
-
-    occ_shard: [E_local, 4^k]; bitmaps_shard: [E_local, k, 2, nb] — this
-    chip's contiguous slice of entries. interval/code: [B_local] (this chip's
-    query shard). Requests are all-gathered, answered by the owning shard,
-    and psum-combined.
-    """
+def _answer_owned(
+    occ_shard, bitmaps_shard, dollar, cfg, my_shard, g_block, g_code, g_interval
+):
+    """Answer the LF lookups whose entry lives in this chip's shard; zero for
+    the rest. Shared by both sharded routings so they cannot diverge."""
     k, d, nb, e_local = cfg
     dpos, dbase, dblock = dollar
 
-    block = interval // _U32(d)
-    # All-gather this round's requests from every chip: [D, B_local, 3]
-    req = jnp.stack([block, code, interval], axis=-1)
-    all_req = jax.lax.all_gather(req, axis)  # [D, B_local, 3]
-    D, Bl, _ = all_req.shape
-    flat = all_req.reshape(D * Bl, 3)
-    g_block, g_code, g_interval = flat[:, 0], flat[:, 1], flat[:, 2]
-
-    my_shard = jax.lax.axis_index(axis).astype(_U32)
     owner = g_block // _U32(e_local)
     local_idx = jnp.where(owner == my_shard, g_block - my_shard * _U32(e_local), 0)
 
@@ -169,8 +155,30 @@ def _sharded_lf_step(occ_shard, bitmaps_shard, dollar, cfg, axis, interval, code
         & (g_interval[..., None] > dpos)
     )
     count -= jnp.sum(hit.astype(_U32), axis=-1)
-    answer = jnp.where(owner == my_shard, cnt + count, _U32(0))
+    return jnp.where(owner == my_shard, cnt + count, _U32(0))
 
+
+def _sharded_lf_step(occ_shard, bitmaps_shard, dollar, cfg, axis, interval, code):
+    """One LF round with the entry table sharded along the block axis.
+
+    occ_shard: [E_local, 4^k]; bitmaps_shard: [E_local, k, 2, nb] — this
+    chip's contiguous slice of entries. interval/code: [B_local] (this chip's
+    query shard). Requests are all-gathered, answered by the owning shard,
+    and psum-combined.
+    """
+    d = cfg[1]
+    block = interval // _U32(d)
+    # All-gather this round's requests from every chip: [D, B_local, 3]
+    req = jnp.stack([block, code, interval], axis=-1)
+    all_req = jax.lax.all_gather(req, axis)  # [D, B_local, 3]
+    D, Bl, _ = all_req.shape
+    flat = all_req.reshape(D * Bl, 3)
+
+    my_shard = jax.lax.axis_index(axis).astype(_U32)
+    answer = _answer_owned(
+        occ_shard, bitmaps_shard, dollar, cfg, my_shard,
+        flat[:, 0], flat[:, 1], flat[:, 2],
+    )
     combined = jax.lax.psum(answer.reshape(D, Bl), axis)  # [D, B_local]
     return combined[jax.lax.axis_index(axis)]
 
@@ -182,8 +190,7 @@ def _sharded_lf_step_ring(occ_shard, bitmaps_shard, dollar, cfg, axis, interval,
     of one D x B_local all-gather — same total bytes, but per-chip peak
     memory stays O(B_local) (the point of this mode is capacity; SURVEY.md
     section 7 'sharded the entry table ... route lookups with ppermute')."""
-    k, d, nb, e_local = cfg
-    dpos, dbase, dblock = dollar
+    d = cfg[1]
     n_dev = jax.lax.axis_size(axis)
     my_shard = jax.lax.axis_index(axis).astype(_U32)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
@@ -191,20 +198,10 @@ def _sharded_lf_step_ring(occ_shard, bitmaps_shard, dollar, cfg, axis, interval,
     block = interval // _U32(d)
 
     def answer_owned(g_block, g_code, g_interval):
-        owner = g_block // _U32(e_local)
-        local_idx = jnp.where(owner == my_shard, g_block - my_shard * _U32(e_local), 0)
-        cnt = occ_shard[local_idx, g_code]
-        rows = bitmaps_shard[local_idx]
-        masks = _boundary_masks(g_interval % _U32(d), nb)
-        matched = _match_words(rows, g_code, k) & masks
-        count = jnp.sum(jax.lax.population_count(matched), axis=-1)
-        hit = (
-            (g_block[..., None] == dblock)
-            & (g_code[..., None] == dbase)
-            & (g_interval[..., None] > dpos)
+        return _answer_owned(
+            occ_shard, bitmaps_shard, dollar, cfg, my_shard,
+            g_block, g_code, g_interval,
         )
-        count -= jnp.sum(hit.astype(_U32), axis=-1)
-        return jnp.where(owner == my_shard, cnt + count, _U32(0))
 
     req = jnp.stack([block, code, interval], axis=-1)  # [B_local, 3]
     ans = answer_owned(block, code, interval)
@@ -273,10 +270,14 @@ class ShardedIndexEngine:
             hi0 = _pvary(jnp.full(B, bwtsize, dtype=_U32), axis)
 
             def body(carry, code):
+                # Stack both interval ends into ONE request block per round:
+                # half the collective launches (one all_gather+psum or one
+                # ring circulation instead of two) for the same payload.
                 lo, hi = carry
-                lo = step(occ_shard, bitmaps_shard, dollar, cfg, axis, lo, code)
-                hi = step(occ_shard, bitmaps_shard, dollar, cfg, axis, hi, code)
-                return (lo, hi), None
+                iv = jnp.concatenate([lo, hi])
+                code2 = jnp.concatenate([code, code])
+                iv = step(occ_shard, bitmaps_shard, dollar, cfg, axis, iv, code2)
+                return (iv[:B], iv[B:]), None
 
             (lo, hi), _ = jax.lax.scan(body, (lo0, hi0), codes)
             return jnp.stack([lo, hi], axis=1)
