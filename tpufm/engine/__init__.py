@@ -1,4 +1,4 @@
 from tpufm.engine.oracle import search_oracle, lf_step_oracle
-from tpufm.engine.xla import XLAEngine
+from tpufm.engine.xla import XLAEngine, LocateEngine
 
-__all__ = ["search_oracle", "lf_step_oracle", "XLAEngine"]
+__all__ = ["search_oracle", "lf_step_oracle", "XLAEngine", "LocateEngine"]
