@@ -23,16 +23,32 @@ def main():
     from tpufm.config import recommend_config
 
     refsize = int(os.environ.get("TPUFM_BENCH_REFSIZE", 10_000_000))
-    rec = recommend_config(refsize)
+    query_len = int(os.environ.get("TPUFM_BENCH_LEN", 120))
+    rec = recommend_config(refsize, query_len=query_len)
+    k = int(os.environ.get("TPUFM_BENCH_K", rec["k"]))
+    if "TPUFM_BENCH_LUT" in os.environ:
+        lut_m = int(os.environ["TPUFM_BENCH_LUT"])
+    elif k == rec["k"]:
+        lut_m = rec["lut_m"]
+    else:
+        # user-overridden k: largest m <= 12 compatible with k and the length
+        lut_m = next(
+            (
+                m
+                for m in range(12, 0, -1)
+                if m % k == 0 and (query_len - m) % k == 0
+            ),
+            0,
+        )
     record = run_bench(
         refsize=refsize,
-        k=int(os.environ.get("TPUFM_BENCH_K", rec["k"])),
+        k=k,
         d=int(os.environ.get("TPUFM_BENCH_D", rec["d"])),
         num_queries=int(os.environ.get("TPUFM_BENCH_QUERIES", 1048576)),
-        query_len=int(os.environ.get("TPUFM_BENCH_LEN", 120)),
+        query_len=query_len,
         iterations=int(os.environ.get("TPUFM_BENCH_ITERS", 5)),
         engine=os.environ.get("TPUFM_BENCH_ENGINE", "xla"),
-        lut_m=int(os.environ.get("TPUFM_BENCH_LUT", 12)),
+        lut_m=lut_m,
     )
     print(json.dumps(record))
 

@@ -102,6 +102,29 @@ def test_cli_dumpentry_and_sweep(tmp_path, ref, monkeypatch, capsys):
     assert rec["bit_exact"] and rec["k"] == 2
 
 
+def test_sweep_engine_dispatch():
+    """Unknown engine names must raise (round-1 bug: they silently became
+    XLAEngine rows); pallas and lut_m rows must dispatch for real."""
+    import pytest
+
+    from tpufm.sweep import run_sweep
+
+    with pytest.raises(ValueError, match="unknown engine"):
+        run_sweep(refsizes=(4096,), ks=(2,), ds=(32,), engines=("palas",),
+                  num_queries=32, query_len=12, iterations=1)
+
+    recs = run_sweep(
+        refsizes=(4096,), ks=(2,), ds=(32,),
+        engines=("xla", "pallas", "xla-split"), lut_ms=(0, 4),
+        num_queries=64, query_len=12, iterations=1,
+    )
+    by = {(r["engine"], r["lut_m"]) for r in recs}
+    # split has no LUT path -> that combo is skipped, everything else present
+    assert by == {("xla", 0), ("xla", 4), ("pallas", 0), ("pallas", 4),
+                  ("xla-split", 0)}
+    assert all(r["bit_exact"] for r in recs)
+
+
 def test_cli_locate(tmp_path, ref, monkeypatch):
     path, n, codes = ref
     monkeypatch.chdir(tmp_path)

@@ -171,6 +171,7 @@ def cmd_sweep(args):
         ks=tuple(args.ks),
         ds=tuple(args.ds),
         engines=tuple(args.engines),
+        lut_ms=tuple(args.luts),
         num_queries=args.numqueries,
         query_len=args.length,
         iterations=args.iterations,
@@ -318,7 +319,10 @@ def main(argv=None):
     sw.add_argument("--refsizes", type=int, nargs="+", default=[1_000_000])
     sw.add_argument("--ks", type=int, nargs="+", default=[1, 2, 3])
     sw.add_argument("--ds", type=int, nargs="+", default=[64, 128])
-    sw.add_argument("--engines", nargs="+", default=["xla"])
+    sw.add_argument("--engines", nargs="+", default=["xla"],
+                    help="any of: xla xla-split xla-ac pallas")
+    sw.add_argument("--luts", nargs="+", type=int, default=[0],
+                    help="prefix-LUT m values to sweep (0 = no LUT)")
     sw.add_argument("--numqueries", type=int, default=65536)
     sw.add_argument("--length", type=int, default=120)
     sw.add_argument("--iterations", type=int, default=3)

@@ -194,6 +194,10 @@ class PallasEngine:
             # The Pallas kernel consumes the baseline fused layout; intervals
             # are identical either way, so search the underlying base index.
             index = index.base
+        if not interpret and jax.default_backend() == "cpu":
+            # Mosaic compiles for TPU only; on the CPU backend (tests,
+            # virtual meshes) the kernel runs in interpret mode transparently.
+            interpret = True
         self.config = index.config
         self.bwtsize = index.bwtsize
         self.tile = tile

@@ -17,11 +17,36 @@ from pathlib import Path
 import numpy as np
 
 
+#: engines run_sweep can dispatch (unknown names raise — a typo'd engine
+#: must never silently produce records labeled with a different engine).
+SWEEP_ENGINES = ("xla", "xla-split", "xla-ac", "pallas")
+
+
+def _make_engine(engine: str, index, lut_m: int):
+    """Engine factory for sweep rows. Returns None for combinations that do
+    not exist (split/ac layouts have no LUT path); raises on unknown names."""
+    from tpufm.engine.xla import XLAEngine
+    from tpufm.index.layouts import make_alt_counters
+
+    if engine == "xla":
+        return XLAEngine(index, lut_m=lut_m)
+    if engine == "pallas":
+        from tpufm.engine.pallas_kernel import PallasEngine
+
+        return PallasEngine(index, lut_m=lut_m)
+    if engine == "xla-split":
+        return XLAEngine(index, layout="split") if lut_m == 0 else None
+    if engine == "xla-ac":
+        return XLAEngine(make_alt_counters(index)) if lut_m == 0 else None
+    raise ValueError(f"unknown engine {engine!r}; known: {SWEEP_ENGINES}")
+
+
 def run_sweep(
     refsizes=(1_000_000,),
     ks=(1, 2),
     ds=(64,),
     engines=("xla",),
+    lut_ms=(0,),
     num_queries: int = 65536,
     query_len: int = 120,
     iterations: int = 3,
@@ -29,17 +54,19 @@ def run_sweep(
     out_path: str | None = None,
     verify: bool = True,
 ):
-    """Run the (refsize x k x d x engine) matrix; returns a list of records
-    and optionally appends them as JSON lines to out_path."""
+    """Run the (refsize x k x d x engine x lut_m) matrix; returns a list of
+    records and optionally appends them as JSON lines to out_path."""
     import jax
     import jax.numpy as jnp
 
     from tpufm.config import IndexConfig
     from tpufm.engine.oracle import search_oracle
-    from tpufm.engine.xla import XLAEngine
     from tpufm.index.builder import build_index
-    from tpufm.index.layouts import make_alt_counters
     from tpufm.io.genreads import generate_reads
+
+    for engine in engines:  # validate the whole matrix up front
+        if engine not in SWEEP_ENGINES:
+            raise ValueError(f"unknown engine {engine!r}; known: {SWEEP_ENGINES}")
 
     records = []
     rng = np.random.default_rng(seed)
@@ -58,13 +85,12 @@ def run_sweep(
             build_s = time.perf_counter() - t0
 
             qd = jax.device_put(jnp.asarray(queries, jnp.uint8))
-            for engine in engines:
-                if engine == "xla-ac":
-                    eng = XLAEngine(make_alt_counters(index))
-                elif engine == "xla-split":
-                    eng = XLAEngine(index, layout="split")
-                else:
-                    eng = XLAEngine(index)
+            for engine, lut_m in itertools.product(engines, lut_ms):
+                if lut_m and (lut_m % k or (query_len - lut_m) % k):
+                    continue
+                eng = _make_engine(engine, index, lut_m)
+                if eng is None:
+                    continue
 
                 from tpufm.utils.timer import timed_device_passes
 
@@ -85,6 +111,7 @@ def run_sweep(
                     "k": k,
                     "d": d,
                     "engine": engine,
+                    "lut_m": lut_m,
                     "num_queries": num_queries,
                     "query_len": query_len,
                     "build_s": round(build_s, 2),

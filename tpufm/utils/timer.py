@@ -51,9 +51,10 @@ def device_sync(x) -> None:
     import jax
     import numpy as np
 
+    # Fetch one element of EVERY leaf: a pytree whose leaves come from
+    # independent dispatches is only fully done when each has materialized.
     for leaf in jax.tree.leaves(x):
         np.asarray(jax.device_get(leaf.ravel()[:1]))
-        break
 
 
 def timed_device_passes(fn, iterations: int = 5, warmup: int = 1):
