@@ -27,10 +27,17 @@ from tpufm.utils.encoding import decode_bases
 
 from refparity import build_reference_binaries, run
 
-CONFIGS = [(1, 64), (2, 64), (2, 32), (3, 32), (4, 32), (2, 128), (3, 128)]
+# Covers the reference's CPU d ladder {32, 64, 128} and its full GPU d
+# ladder {192, 256, 448, 960} (reference makefile:217-230).
+CONFIGS = [
+    (1, 64), (2, 64), (2, 32), (3, 32), (4, 32), (2, 128), (3, 128),
+    (3, 192), (2, 256), (2, 448), (1, 960),
+]
 
 
 def _setup(tmp_path, rng, k, d, n=3000):
+    # guarantee several entries even at the largest sampling rates
+    n = max(n, 4 * d)
     bins = build_reference_binaries(k, d)
     if bins is None:
         pytest.skip("reference toolchain unavailable")
@@ -60,7 +67,7 @@ def test_builder_byte_parity(tmp_path, rng, k, d):
     )
 
 
-@pytest.mark.parametrize("k,d", [(1, 64), (2, 64), (2, 32)])
+@pytest.mark.parametrize("k,d", [(1, 64), (2, 64), (2, 32), (2, 192)])
 def test_transform_byte_parity(tmp_path, rng, k, d):
     bins, codes, n, fmi = _setup(tmp_path, rng, k, d)
     index = build_index(codes, IndexConfig(k=k, d=d))
@@ -139,7 +146,7 @@ def test_search_result_parity(tmp_path, rng, k, d):
     np.testing.assert_array_equal(XLAEngine(index).search(queries), expected)
 
 
-@pytest.mark.parametrize("k,d", [(1, 64), (2, 64), (3, 32)])
+@pytest.mark.parametrize("k,d", [(1, 64), (2, 64), (3, 32), (4, 32)])
 def test_search_result_parity_ac(tmp_path, rng, k, d):
     bins, codes, n, fmi = _setup(tmp_path, rng, k, d)
     qlen = 12 * k
