@@ -1,0 +1,124 @@
+"""Pallas-owned HBM row gather: the TPU counterpart of the reference's
+warp-cooperative coalesced entry fetch (reference
+src/fmIndexGPU-Coop-1Step.cu:148-224, where TPR lanes cooperatively load one
+Occ entry per request).
+
+`make_dma_gather(E, W, ...)` builds a pallas_call that gathers N rows of a
+[E, W] uint32 table by explicit per-row async DMA (HBM -> VMEM output
+block), keeping `outstanding` copies in flight, with the index stream staged
+HBM -> SMEM in aligned chunks. It is a drop-in replacement for the XLA
+gather `table[idx]` and is exposed end-to-end as
+``XLAEngine(gather="dma")``.
+
+MEASURED RESULT (TPU v5e, docs/PERF.md "Owning the gather"): this path is
+issue-rate bound at ~19M rows/s — each DMA start/wait pair costs ~53 ns of
+scalar core work, insensitive to the number of outstanding copies (R=8 vs
+128: 14.7 vs 18.3M rows/s) and to memory randomness (all-same-row: 18.7M).
+The XLA gather runtime sustains ~97M rows/s on the same shapes, so the
+engine keeps XLA's gather by default; this kernel is in the tree as the
+measured evidence and as the building block for sharded-index DMA routing.
+
+Hardware constraints that shape the kernel:
+  * HBM slices DMA'd to SMEM must be 1024-element aligned -> CHUNK = 1024.
+  * Row DMAs require the minor dimension be a multiple of 128 words
+    (512 B) -> tables must be padded (``build_fused_entries(pad_words=...)``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: index-stream staging granule (HBM->SMEM 1-D DMA alignment requirement)
+CHUNK = 1024
+
+
+def _gather_kernel(idx_ref, ent_ref, out_ref, idx_smem, sems, idx_sem, *, R):
+    """One grid step gathers CHUNK rows into its VMEM output block.
+
+    idx_ref: [N] int32 in HBM; ent_ref: [E, W] uint32 in HBM (unblocked);
+    out_ref: [CHUNK, W] VMEM block; R DMAs stay in flight.
+    """
+    c = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        idx_ref.at[pl.ds(c * CHUNK, CHUNK)], idx_smem, idx_sem
+    )
+    cp.start()
+    cp.wait()
+
+    def issue(j, _):
+        slot = jax.lax.rem(j, R)
+
+        @pl.when(j >= R)
+        def _():
+            prev = idx_smem[j - R]
+            pltpu.make_async_copy(
+                ent_ref.at[prev], out_ref.at[j - R], sems.at[slot]
+            ).wait()
+
+        pltpu.make_async_copy(
+            ent_ref.at[idx_smem[j]], out_ref.at[j], sems.at[slot]
+        ).start()
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, issue, 0)
+
+    def drain(j, _):
+        slot = jax.lax.rem(j, R)
+        pltpu.make_async_copy(
+            ent_ref.at[idx_smem[j]], out_ref.at[j], sems.at[slot]
+        ).wait()
+        return 0
+
+    jax.lax.fori_loop(CHUNK - R, CHUNK, drain, 0)
+
+
+def make_dma_gather(E: int, W: int, outstanding: int = 32, interpret: bool = False):
+    """Returns gather(table [E, W] uint32, idx [N] int32/uint32) -> [N, W].
+
+    W must be a multiple of 128 (the row-DMA minor-dim alignment); N is
+    padded to a CHUNK multiple internally (extra rows gather row 0 and are
+    dropped).
+    """
+    if W % 128:
+        raise ValueError(
+            f"dma gather rows must be a multiple of 128 words (512 B), got {W}; "
+            "pad the table (build_fused_entries(pad_words=...))"
+        )
+    R = outstanding
+    if R < 1 or R > CHUNK:
+        raise ValueError(f"outstanding must be in [1, {CHUNK}], got {R}")
+    kernel = functools.partial(_gather_kernel, R=R)
+
+    def gather(table, idx):
+        n = idx.shape[0]
+        pad = -n % CHUNK
+        idx = jnp.asarray(idx, jnp.int32)
+        if pad:
+            idx = jnp.concatenate([idx, jnp.zeros(pad, jnp.int32)])
+        out = pl.pallas_call(
+            kernel,
+            grid=((n + pad) // CHUNK,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (CHUNK, W), lambda c: (c, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n + pad, W), jnp.uint32),
+            scratch_shapes=[
+                pltpu.SMEM((CHUNK,), jnp.int32),
+                pltpu.SemaphoreType.DMA((R,)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(idx, table)
+        return out[:n] if pad else out
+
+    return gather

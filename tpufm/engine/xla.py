@@ -54,7 +54,7 @@ def _match_words(rows, code, k: int):
     return out
 
 
-def lf_step_fused(tables: dict, cfg: tuple, interval, code):
+def lf_step_fused(tables: dict, cfg: tuple, interval, code, gather_fn=None):
     """Fused-row k-step LF for both interval ends at once.
 
     TPU-native layout choice: measurement on v5e shows XLA row gathers are
@@ -73,7 +73,13 @@ def lf_step_fused(tables: dict, cfg: tuple, interval, code):
     k, d, nb = cfg
     bmw = 2 * k * nb
     block = interval // _U32(d)
-    rows = tables["entries"][block]  # [B, 2, W] — the only HBM gather
+    if gather_fn is None:
+        rows = tables["entries"][block]  # [B, 2, W] — the only HBM gather
+    else:
+        # Pallas-owned DMA gather (engine/dma_gather.py): flat [2B] row
+        # stream, reshaped back to both ends.
+        flat = gather_fn(tables["entries"], block.reshape(-1))
+        rows = flat.reshape(block.shape + (flat.shape[-1],))
     bm_rows = rows[..., :bmw].reshape(rows.shape[:-1] + (k, 2, nb))
     cnt = jnp.take_along_axis(
         rows[..., bmw:], (code[:, None, None] + _U32(0)).astype(jnp.int32), axis=-1
@@ -197,6 +203,7 @@ def make_search_fn(
     alt_counters: bool = False,
     layout: str = "fused",
     lut_m: int = 0,
+    gather_fn=None,
 ):
     """Build the jittable batch search: (tables, bwtsize, queries) -> [B, 2].
 
@@ -241,7 +248,7 @@ def make_search_fn(
                 return iv0
 
             def body(iv, code):
-                return lf_step_fused(tables, cfg, iv, code), None
+                return lf_step_fused(tables, cfg, iv, code, gather_fn), None
 
             iv, _ = jax.lax.scan(body, iv0, codes)
             return iv
@@ -286,6 +293,7 @@ class XLAEngine:
         pad_words: int | None = None,
         lut_m: int = 0,
         lut_cache: str | None = None,
+        gather: str = "xla",
     ):
         """pad_words: pad each fused entry row to this many uint32 words
         (e.g. 128 = 512 B rows). Measured on TPU v5e, the XLA gather hits a
@@ -296,6 +304,12 @@ class XLAEngine:
         lut_m: precompute a 4^lut_m x 2 interval LUT on device (one batched
         backward-search of every lut_m-mer, built with this same engine) and
         start every query lut_m characters in — eliminating lut_m/k rounds.
+
+        gather: "xla" (default — the XLA gather runtime, fastest measured) or
+        "dma" (the Pallas per-row async-copy gather, engine/dma_gather.py —
+        issue-rate bound at ~19M rows/s on v5e, kept for evidence and as the
+        sharded-routing building block). "dma" pads rows to a 128-word
+        multiple (the DMA alignment requirement).
         """
         if isinstance(index, AltCountersIndex):
             base = index.base
@@ -320,8 +334,24 @@ class XLAEngine:
             "dollar_base": put(base.dollar_base),
             "dollar_block": put(np.asarray(base.dollar_block, dtype=np.uint32)),
         }
+        if gather not in ("xla", "dma"):
+            raise ValueError(f"unknown gather {gather!r} (use 'xla' or 'dma')")
+        gather_fn = None
+        if gather == "dma":
+            if layout != "fused":
+                raise ValueError("gather='dma' requires the fused layout")
+            w = 2 * base.config.k * (base.config.d // 32) + base.config.num_counters
+            pad_words = max(pad_words or 0, -(-w // 128) * 128)
         if layout == "fused":
             tables["entries"] = put(build_fused_entries(base, pad_words))
+            if gather == "dma":
+                from tpufm.engine.dma_gather import make_dma_gather
+
+                gather_fn = make_dma_gather(
+                    tables["entries"].shape[0],
+                    tables["entries"].shape[1],
+                    interpret=jax.default_backend() == "cpu",
+                )
         else:
             tables["bitmaps"] = put(base.bitmaps)
             if self.alt_counters:
@@ -333,6 +363,7 @@ class XLAEngine:
         if lut_m:
             tables["lut"] = lut_with_cache(tables, base, lut_m, lut_cache, put)
 
+        self._gather_fn = gather_fn
         self._search = jax.jit(
             make_search_fn(
                 self.config.k,
@@ -340,6 +371,7 @@ class XLAEngine:
                 self.alt_counters,
                 layout=layout,
                 lut_m=lut_m,
+                gather_fn=gather_fn,
             )
         )
 
@@ -415,6 +447,7 @@ class XLAEngine:
                 self.alt_counters,
                 layout=self.layout,
                 lut_m=self.lut_m,
+                gather_fn=self._gather_fn,
             )
 
             def waved(tables, bwtsize, q3):
