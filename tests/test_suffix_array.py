@@ -69,3 +69,26 @@ def test_native_rejects_byte_255(rng):
         pytest.skip("native SA-IS library unavailable")
     with pytest.raises(RuntimeError, match="code -3"):
         suffix_array_native(np.array([255, 1, 255, 0], np.uint8))
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 3, 10, 100, 1000, 4097])
+def test_device_matches_doubling(rng, n):
+    # Prefix doubling ON the device (CPU backend in tests; same program on
+    # TPU) must be bit-identical to the host paths.
+    from tpufm.index.sa_device import suffix_array_device
+
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    np.testing.assert_array_equal(
+        suffix_array_device(codes), suffix_array_doubling(codes)
+    )
+
+
+def test_device_repetitive_text():
+    # Worst case for doubling: heavy repeats force the full log rounds.
+    from tpufm.index.sa_device import suffix_array_device
+
+    for pat in [b"\x00", b"\x00\x01", b"\x03\x03\x00", b"\x00\x01\x02\x03"]:
+        codes = np.frombuffer(pat * 700, dtype=np.uint8).copy()
+        np.testing.assert_array_equal(
+            suffix_array_device(codes), suffix_array_doubling(codes)
+        )

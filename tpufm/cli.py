@@ -30,6 +30,10 @@ from tpufm.utils.encoding import decode_bases
 
 
 def _load_any_index(path: str):
+    if path.endswith(".tpufm"):
+        from tpufm.index.store import load_store
+
+        return load_store(path)
     if path.endswith(".npz"):
         return load_npz(path)
     index, _ = read_fmi(path)
@@ -46,13 +50,23 @@ def cmd_build(args):
         print(f"auto config: k={args.k} d={args.d} (recommend lut_m={rec['lut_m']})")
     cfg = IndexConfig(k=args.k, d=args.d)
     t0 = time.perf_counter()
-    index = build_index(codes, cfg)
+    if args.on_device:
+        from tpufm.index.builder_device import build_index_device
+
+        index = build_index_device(codes, cfg)
+    else:
+        index = build_index(codes, cfg, sa_method=args.sa)
     print(f"built k={args.k} d={args.d} bwtsize={index.bwtsize} "
-          f"entries={index.nentries} in {time.perf_counter() - t0:.1f}s")
+          f"entries={index.nentries} in {time.perf_counter() - t0:.1f}s"
+          f"{' (on device)' if args.on_device else ''}")
     # Reference-compatible name: <ref>.<size>.<d>fmi<k>steps.fmi
     # (reference src/genFMindex.c:162)
     out = args.output or f"{args.reference}.{args.refsize}.{args.d}fmi{args.k}steps.fmi"
-    if out.endswith(".npz"):
+    if out.endswith(".tpufm"):
+        from tpufm.index.store import save_store
+
+        save_store(out, index)
+    elif out.endswith(".npz"):
         save_npz(out, index)
     else:
         write_fmi(out, index, Layout.BASELINE)
@@ -204,15 +218,30 @@ def cmd_dumpentry(args):
 def cmd_locate(args):
     """Search + resolve text positions (tpufm extension — the reference only
     reports interval counts). Builds index + sampled-SA tables from one
-    suffix sort, writes '<out>: one line per query: pos pos ...'."""
+    suffix sort — or, with --from-store PREFIX, loads prebuilt
+    PREFIX.search.tpufm + PREFIX.locate.tpufm and runs with NO rebuild.
+    --store PREFIX persists both after a build. Writes '<out>: one line per
+    query: pos pos ...'."""
     from tpufm.engine.xla import XLAEngine, LocateEngine
     from tpufm.index.locate import build_locate
     from tpufm.index.suffix_array import suffix_array
 
-    codes = read_reference(args.reference, args.refsize)
-    sa = suffix_array(codes)
-    index = build_index(codes, IndexConfig(k=args.k, d=args.d), sa=sa)
-    loc = build_locate(codes, sample_rate=args.sample_rate, d=args.d, sa=sa)
+    if args.from_store:
+        from tpufm.index.store import load_store
+
+        index = load_store(f"{args.from_store}.search.tpufm")
+        loc = load_store(f"{args.from_store}.locate.tpufm")
+    else:
+        codes = read_reference(args.reference, args.refsize)
+        sa = suffix_array(codes)
+        index = build_index(codes, IndexConfig(k=args.k, d=args.d), sa=sa)
+        loc = build_locate(codes, sample_rate=args.sample_rate, d=args.d, sa=sa)
+        if args.store:
+            from tpufm.index.store import save_store
+
+            save_store(f"{args.store}.search.tpufm", index)
+            save_store(f"{args.store}.locate.tpufm", loc)
+            print(f"stored {args.store}.search.tpufm + {args.store}.locate.tpufm")
     queries = load_queries(args.queries, args.qrysize, args.numqueries)
 
     intervals = XLAEngine(index).search(queries)
@@ -265,7 +294,15 @@ def main(argv=None):
     b.add_argument("--d", type=int, default=64)
     b.add_argument("--auto", action="store_true",
                    help="pick the measured-best (k, d) for this refsize")
-    b.add_argument("--output", default=None)
+    b.add_argument("--output", default=None,
+                   help=".fmi (reference format), .npz, or .tpufm "
+                        "(mmap-able store — instant genome-scale reload)")
+    b.add_argument("--sa", default="auto",
+                   choices=["auto", "native", "doubling", "device"],
+                   help="suffix-sort backend; 'device' sorts on the TPU")
+    b.add_argument("--on-device", action="store_true",
+                   help="build the whole index on the accelerator "
+                        "(tpufm/index/builder_device.py)")
     b.add_argument("--save-ref", action="store_true")
     b.set_defaults(fn=cmd_build)
 
@@ -339,6 +376,11 @@ def main(argv=None):
     lc.add_argument("--d", type=int, default=64)
     lc.add_argument("--sample-rate", type=int, default=32)
     lc.add_argument("--max-hits", type=int, default=16)
+    lc.add_argument("--store", default=None, metavar="PREFIX",
+                    help="persist PREFIX.search.tpufm + PREFIX.locate.tpufm")
+    lc.add_argument("--from-store", default=None, metavar="PREFIX",
+                    help="load prebuilt stores; reference/refsize are "
+                         "ignored (pass '-' 0)")
     lc.add_argument("--output", default=None)
     lc.set_defaults(fn=cmd_locate)
 

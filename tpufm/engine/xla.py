@@ -611,14 +611,17 @@ class LocateEngine:
         return np.where(valid, pos, np.uint32(0xFFFFFFFF))
 
 
-def build_fused_entries(base: KStepFMIndex, pad_words: int | None = None) -> np.ndarray:
-    """Host-side fused entry table: [E+1, 2k*nb + 4^k (+pad)] uint32 — the
-    on-device layout shared by every fused-layout engine."""
+def build_fused_entries(base: KStepFMIndex, pad_words: int | None = None):
+    """Fused entry table: [E+1, 2k*nb + 4^k (+pad)] uint32 — the on-device
+    layout shared by every fused-layout engine. Works on host (numpy) and
+    device (jnp) tables alike; a device-built index (builder_device.py,
+    return_host=False) is fused in place with no host round trip."""
+    xp = jnp if isinstance(base.occ, jax.Array) else np
     rows = base.occ.shape[0]
-    entries = np.concatenate([base.bitmaps.reshape(rows, -1), base.occ], axis=1)
+    entries = xp.concatenate([base.bitmaps.reshape(rows, -1), base.occ], axis=1)
     if pad_words and pad_words > entries.shape[1]:
-        entries = np.concatenate(
-            [entries, np.zeros((rows, pad_words - entries.shape[1]), np.uint32)],
+        entries = xp.concatenate(
+            [entries, xp.zeros((rows, pad_words - entries.shape[1]), xp.uint32)],
             axis=1,
         )
     return entries

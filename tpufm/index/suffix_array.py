@@ -132,7 +132,9 @@ def suffix_array(codes: np.ndarray, method: str = "auto") -> np.ndarray:
     """Suffix array of codes + sentinel. codes: uint8 values in [0, 254].
 
     method: "auto" (native if available, else doubling), "native",
-    "doubling", or "naive".
+    "doubling", "naive", or "device" (parallel prefix doubling ON the
+    accelerator — tpufm/index/sa_device.py, the TPU-native counterpart of
+    the reference's OpenMP-parallel suffix sort).
     """
     codes = np.asarray(codes, dtype=np.uint8)
     if method == "auto":
@@ -145,6 +147,10 @@ def suffix_array(codes: np.ndarray, method: str = "auto") -> np.ndarray:
         return sa
     if method == "doubling":
         return suffix_array_doubling(codes)
+    if method == "device":
+        from tpufm.index.sa_device import suffix_array_device
+
+        return suffix_array_device(codes)
     if method == "naive":
         return suffix_array_naive(codes)
     raise ValueError(f"unknown method {method!r}")
