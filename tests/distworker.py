@@ -1,0 +1,53 @@
+"""Multi-process SPMD worker for tests/test_multiprocess.py.
+
+Each process joins a jax.distributed cluster (CPU backend, 2 virtual
+devices per process), builds the SAME tiny index deterministically, runs
+DataParallelEngine over the GLOBAL mesh, and writes its view of the
+replicated result. Run: python distworker.py <coordinator> <nproc> <pid>
+<outdir>."""
+
+import os
+import sys
+
+coordinator, nproc, pid, outdir = (
+    sys.argv[1],
+    int(sys.argv[2]),
+    int(sys.argv[3]),
+    sys.argv[4],
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# The session sitecustomize imports jax at interpreter startup (axon TPU
+# plugin) and consumes JAX_PLATFORMS — override via jax.config before any
+# backend initializes (same dance as tests/conftest.py).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+
+import numpy as np  # noqa: E402
+
+from tpufm.config import IndexConfig  # noqa: E402
+from tpufm.index.builder import build_index  # noqa: E402
+from tpufm.io.genreads import generate_reads  # noqa: E402
+from tpufm.parallel import initialize_distributed, make_mesh  # noqa: E402
+from tpufm.parallel.search import DataParallelEngine  # noqa: E402
+
+initialize_distributed(coordinator, num_processes=nproc, process_id=pid)
+
+assert jax.process_count() == nproc
+assert len(jax.devices()) == 2 * nproc
+
+rng = np.random.default_rng(7)
+codes = rng.integers(0, 4, size=4096, dtype=np.uint8)
+index = build_index(codes, IndexConfig(k=2, d=32))
+queries = generate_reads(codes, 24, 64, seed=8)
+
+mesh = make_mesh()  # all 2*nproc global devices
+eng = DataParallelEngine(index, mesh, lut_m=4)
+out = eng.search(queries)
+
+np.save(os.path.join(outdir, f"result_{pid}.npy"), out)
+print(f"worker {pid}: ok", flush=True)

@@ -1,0 +1,68 @@
+"""Multi-host bring-up, actually exercised: 2 OS processes x 2 virtual CPU
+devices join one jax.distributed cluster and run DataParallelEngine over
+the global 4-device mesh (BASELINE.md scaling design; SURVEY.md section 5
+'distributed communication backend'). Every process's replicated result
+must be bit-exact vs the single-process oracle."""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_data_parallel(tmp_path):
+    from tpufm.config import IndexConfig
+    from tpufm.engine.oracle import search_oracle
+    from tpufm.index.builder import build_index
+    from tpufm.io.genreads import generate_reads
+
+    worker = Path(__file__).parent / "distworker.py"
+    coordinator = f"127.0.0.1:{_free_port()}"
+    nproc = 2
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coordinator, str(nproc), str(pid),
+             str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    # The deterministic workload the workers ran (same seeds).
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, size=4096, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=2, d=32))
+    queries = generate_reads(codes, 24, 64, seed=8)
+    expect = search_oracle(index, queries)
+
+    for pid in range(nproc):
+        got = np.load(tmp_path / f"result_{pid}.npy")
+        np.testing.assert_array_equal(got, expect)

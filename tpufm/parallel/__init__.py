@@ -1,4 +1,9 @@
-from tpufm.parallel.mesh import make_mesh
+from tpufm.parallel.mesh import initialize_distributed, make_mesh
 from tpufm.parallel.search import DataParallelEngine, ShardedIndexEngine
 
-__all__ = ["make_mesh", "DataParallelEngine", "ShardedIndexEngine"]
+__all__ = [
+    "initialize_distributed",
+    "make_mesh",
+    "DataParallelEngine",
+    "ShardedIndexEngine",
+]

@@ -52,6 +52,19 @@ def _shard_map():
     return shard_map
 
 
+def put_global(x, sharding):
+    """Place a host array with `sharding` — multi-process safe.
+
+    Single process: plain device_put. Multi-process (jax.distributed): every
+    process holds the same full host array and contributes its addressable
+    shards via make_array_from_callback — the standard SPMD bring-up for
+    replicated tables and batch-sharded queries on multi-host slices."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 class DataParallelEngine:
     """Replicated-index, batch-sharded search over a 1-D device mesh.
 
@@ -79,7 +92,7 @@ class DataParallelEngine:
         self.bwtsize = base.bwtsize
 
         replicated = NamedSharding(mesh, P())
-        put = functools.partial(jax.device_put, device=replicated)
+        put = functools.partial(put_global, sharding=replicated)
         tables = {
             "dollar_pos": put(base.dollar_pos),
             "dollar_base": put(base.dollar_base),
@@ -122,7 +135,7 @@ class DataParallelEngine:
             raise ValueError(
                 f"batch {queries.shape[0]} not divisible by mesh size {n}; pad it"
             )
-        return jax.device_put(jnp.asarray(queries, jnp.uint8), self.batch_sharding)
+        return put_global(np.asarray(queries, np.uint8), self.batch_sharding)
 
     def search(self, queries) -> np.ndarray:
         out = self._search(self.tables, _U32(self.bwtsize), self.shard_queries(queries))
