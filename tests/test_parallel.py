@@ -111,3 +111,76 @@ def test_multichip_bench_smoke():
     )
     assert rec["detail"]["bit_exact_vs_oracle"]
     assert rec["detail"]["devices"] == 4
+
+
+@pytest.mark.parametrize("routing", ["allgather", "ring"])
+def test_sharded_index_with_lut_and_waves(rng, mesh, routing):
+    # The upgraded design point: prefix LUT (built with the sharded engine
+    # itself) + wave streaming with a tail wave needing padding.
+    codes, index = _mk(rng, 2, 64, n=8192)
+    engine = ShardedIndexEngine(index, mesh, routing=routing, lut_m=4)
+    qlen = 24
+    starts = rng.integers(0, len(codes) - qlen, size=150)
+    queries = np.stack([codes[s : s + qlen] for s in starts])
+    queries = np.concatenate(
+        [queries, rng.integers(0, 4, size=(10, qlen), dtype=np.uint8)]
+    )  # 160 reads, streamed as 3 waves of 64 (tail padded)
+    np.testing.assert_array_equal(
+        engine.search(queries, wave=64), search_oracle(index, queries)
+    )
+
+
+def test_sharded_ring_odd_local_batch(rng, mesh):
+    # Odd per-chip batch exercises the half-block padding in the
+    # double-buffered ring.
+    codes, index = _mk(rng, 2, 64, n=4096)
+    engine = ShardedIndexEngine(index, mesh, routing="ring")
+    starts = rng.integers(0, len(codes) - 8, size=24)  # 3 rows/chip -> halves pad
+    queries = np.stack([codes[s : s + 8] for s in starts])
+    np.testing.assert_array_equal(
+        engine.search(queries), search_oracle(index, queries)
+    )
+
+
+@pytest.mark.skipif(
+    "not config.getoption('--scale', default=False) and "
+    "not __import__('os').environ.get('TPUFM_SCALE_TESTS')",
+    reason="set TPUFM_SCALE_TESTS=1 (several minutes: 100 Mbase build)",
+)
+def test_sharded_index_at_scale(rng, mesh):
+    """VERDICT round-1 item 3: sharded mode at its design point — a
+    >=100 Mbase index sharded over the 8-device mesh (per-device shard ~41MB
+    = a real fraction of the table), prefix LUT, wave streaming, both
+    routings, verified against the oracle on sampled reads."""
+    import json
+    import time
+
+    n = 100_000_000
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    cfg = IndexConfig(k=3, d=128)
+    t0 = time.time()
+    index = build_index(codes, cfg)
+    build_s = time.time() - t0
+
+    qlen, B = 120, 4096
+    starts = rng.integers(0, n - qlen, size=B - 64)
+    queries = np.stack([codes[s : s + qlen] for s in starts])
+    queries = np.concatenate(
+        [queries, rng.integers(0, 4, size=(64, qlen), dtype=np.uint8)]
+    )
+    expect = search_oracle(index, queries)
+
+    rec = {"refsize": n, "k": 3, "d": 128, "entries": index.nentries,
+           "devices": 8, "build_s": round(build_s, 1), "routings": {}}
+    for routing in ("allgather", "ring"):
+        eng = ShardedIndexEngine(index, mesh, routing=routing, lut_m=6)
+        t0 = time.time()
+        out = eng.search(queries, wave=1024)  # 4 waves stream through
+        dt = time.time() - t0
+        np.testing.assert_array_equal(out, expect)
+        rec["routings"][routing] = {
+            "seconds": round(dt, 2), "bit_exact": True,
+            "shard_rows": eng.e_local,
+            "shard_mb": round(eng.e_local * (cfg.bitmap_words + 64) * 4 / 2**20, 1),
+        }
+    print(json.dumps(rec))

@@ -197,12 +197,16 @@ def _sharded_lf_step(occ_shard, bitmaps_shard, dollar, cfg, axis, interval, code
 
 
 def _sharded_lf_step_ring(occ_shard, bitmaps_shard, dollar, cfg, axis, interval, code):
-    """One LF round with ring routing: the (request, partial-answer) block
-    ppermutes around the mesh ring; each hop a chip answers the requests
-    whose entry lives in its shard. D hops of B_local x 16 B traffic instead
-    of one D x B_local all-gather — same total bytes, but per-chip peak
-    memory stays O(B_local) (the point of this mode is capacity; SURVEY.md
-    section 7 'sharded the entry table ... route lookups with ppermute')."""
+    """One LF round with double-buffered ring routing.
+
+    The local request block is split into two half-blocks that circulate the
+    ring phase-shifted by one tick: on every tick one half is being ANSWERED
+    by its resident chip while the other half is IN TRANSIT (ppermute). The
+    two operations have no data dependency inside a tick, so XLA's
+    latency-hiding scheduler can run the collective concurrently with the
+    rank compute — the 'double-buffered against compute' design point of
+    SURVEY.md section 7 (total bytes unchanged vs the naive ring: D hops of
+    B_local x 16 B; per-chip peak memory stays O(B_local))."""
     d = cfg[1]
     n_dev = jax.lax.axis_size(axis)
     my_shard = jax.lax.axis_index(axis).astype(_U32)
@@ -216,29 +220,100 @@ def _sharded_lf_step_ring(occ_shard, bitmaps_shard, dollar, cfg, axis, interval,
             g_block, g_code, g_interval,
         )
 
-    req = jnp.stack([block, code, interval], axis=-1)  # [B_local, 3]
-    ans = answer_owned(block, code, interval)
+    B = interval.shape[0]
+    half = (B + 1) // 2
+    pad = 2 * half - B
+    req = jnp.stack([block, code, interval], axis=-1)  # [B, 3]
+    if pad:
+        req = jnp.concatenate([req, jnp.zeros((pad, 3), _U32)])
+    ans = jnp.zeros(2 * half, _U32)
 
-    def hop(_, carry):
-        req, ans = carry
-        req = jax.lax.ppermute(req, axis, perm)
-        ans = jax.lax.ppermute(ans, axis, perm)
-        ans = ans + answer_owned(req[:, 0], req[:, 1], req[:, 2])
-        return req, ans
+    def compute(req2, ans2, h):
+        """Answer half h in place."""
+        r = jax.lax.dynamic_slice_in_dim(req2, h * half, half)
+        a = jax.lax.dynamic_slice_in_dim(ans2, h * half, half)
+        a = a + answer_owned(r[:, 0], r[:, 1], r[:, 2])
+        return jax.lax.dynamic_update_slice_in_dim(ans2, a, h * half, 0)
 
-    req, ans = jax.lax.fori_loop(0, n_dev - 1, hop, (req, ans))
-    # one final rotation brings each chip's answers home
-    return jax.lax.ppermute(ans, axis, perm)
+    def transit(req2, ans2, h):
+        """ppermute half h one hop."""
+        r = jax.lax.dynamic_slice_in_dim(req2, h * half, half)
+        a = jax.lax.dynamic_slice_in_dim(ans2, h * half, half)
+        r = jax.lax.ppermute(r, axis, perm)
+        a = jax.lax.ppermute(a, axis, perm)
+        return (
+            jax.lax.dynamic_update_slice_in_dim(req2, r, h * half, 0),
+            jax.lax.dynamic_update_slice_in_dim(ans2, a, h * half, 0),
+        )
+
+    if n_dev == 1:  # degenerate ring: answer everything at home
+        ans = compute(req, ans, 0)
+        ans = compute(req, ans, 1)
+        return ans[:B]
+
+    # Schedule (both halves start at home chip c; D = n_dev):
+    #   tick 0:      compute H0@c
+    #   tick 1:      transit H0 -> c+1   || compute H1@c
+    #   tick 2s:     transit H1 -> c+s   || compute H0@c+s
+    #   tick 2s+1:   transit H0 -> c+s+1 || compute H1@c+s
+    #   ... H0 finishes at tick 2(D-1), H1's last compute is the epilogue.
+    # Every tick's transit and compute touch DIFFERENT halves — no data
+    # dependency, so the collective overlaps the rank compute.
+    ans = compute(req, ans, 0)
+    req, ans = transit(req, ans, 0)
+    ans = compute(req, ans, 1)
+
+    def tickn(t, carry):
+        req2, ans2 = carry
+        phase = jax.lax.rem(t, 2)
+
+        def even(args):  # transit half 1, compute half 0 (arrived last tick)
+            r2, a2 = transit(*args, 1)
+            return r2, compute(r2, a2, 0)
+
+        def odd(args):  # transit half 0, compute half 1
+            r2, a2 = transit(*args, 0)
+            return r2, compute(r2, a2, 1)
+
+        return jax.lax.cond(phase == 0, even, odd, (req2, ans2))
+
+    req, ans = jax.lax.fori_loop(2, 2 * n_dev - 1, tickn, (req, ans))
+    # Epilogue: H0 (answered by all D chips, at c+D-1) rides home while H1
+    # takes its final answer at c+D-1; then H1 rides home.
+    req, ans = transit(req, ans, 0)
+    ans = compute(req, ans, 1)
+    req, ans = transit(req, ans, 1)
+    return ans[:B]
 
 
 class ShardedIndexEngine:
     """Entry-table-sharded search for indexes larger than one chip's HBM.
 
     routing="allgather" (default): every chip all-gathers all requests,
-    answers its own, psum combines. routing="ring": requests ppermute around
-    the ring, O(B_local) peak memory per chip."""
+    answers its own, psum combines. routing="ring": the double-buffered
+    ring — requests ppermute around the mesh with the collective overlapping
+    the rank compute, O(B_local) peak memory per chip.
 
-    def __init__(self, index: KStepFMIndex, mesh: Mesh, routing: str = "allgather"):
+    lut_m > 0 replicates a 4^lut_m x 2 prefix LUT (built with this engine's
+    OWN sharded search, so it is bit-exact by construction) and starts every
+    query lut_m characters in — the same round elimination as the
+    single-chip engine, which matters MORE here (each eliminated round is a
+    full collective circulation).
+
+    Batches larger than `wave` stream through the mesh in device-sized
+    waves with pipelined dispatch (constant device memory for 10M-read
+    inputs; see docs/DISTRIBUTED.md for the traffic model)."""
+
+    #: per-chip rows per wave; total wave = WAVE_PER_CHIP * n_dev
+    WAVE_PER_CHIP = 1 << 17
+
+    def __init__(
+        self,
+        index: KStepFMIndex,
+        mesh: Mesh,
+        routing: str = "allgather",
+        lut_m: int = 0,
+    ):
         if isinstance(index, AltCountersIndex):
             raise NotImplementedError(
                 "sharded-index mode uses the baseline counter layout"
@@ -247,7 +322,11 @@ class ShardedIndexEngine:
         self.axis = mesh.axis_names[0]
         self.config = index.config
         self.bwtsize = index.bwtsize
+        self.lut_m = lut_m
         n_dev = mesh.devices.size
+        k = self.config.k
+        if lut_m and lut_m % k:
+            raise ValueError(f"lut_m={lut_m} must be a multiple of k={k}")
 
         # Pad entry rows so every shard holds the same count; the sentinel
         # row rides along inside the padded region.
@@ -260,61 +339,124 @@ class ShardedIndexEngine:
 
         shard_rows = NamedSharding(mesh, P(self.axis))
         repl = NamedSharding(mesh, P())
-        self.occ = jax.device_put(occ, shard_rows)
-        self.bitmaps = jax.device_put(bitmaps, shard_rows)
+        self.occ = put_global(occ, shard_rows)
+        self.bitmaps = put_global(bitmaps, shard_rows)
         self.dollar = (
-            jax.device_put(index.dollar_pos, repl),
-            jax.device_put(index.dollar_base, repl),
-            jax.device_put(np.asarray(index.dollar_block, np.uint32), repl),
+            put_global(index.dollar_pos, repl),
+            put_global(index.dollar_base, repl),
+            put_global(np.asarray(index.dollar_block, np.uint32), repl),
         )
 
         if routing not in ("allgather", "ring"):
             raise ValueError(f"unknown routing {routing!r}")
         step = _sharded_lf_step if routing == "allgather" else _sharded_lf_step_ring
-        k, d = self.config.k, self.config.d
+        d = self.config.d
         cfg = (k, d, self.config.words_per_plane, e_local)
         axis = self.axis
 
-        def search_local(occ_shard, bitmaps_shard, dollar, bwtsize, queries):
-            codes = fuse_round_codes(queries, k)
-            B = queries.shape[0]
-            # The carry is device-varying inside shard_map; mark it so.
-            lo0 = _pvary(jnp.zeros(B, dtype=_U32), axis)
-            hi0 = _pvary(jnp.full(B, bwtsize, dtype=_U32), axis)
+        def make_search(with_lut: bool):
+            def search_local(occ_shard, bitmaps_shard, dollar, lut, bwtsize, queries):
+                B, L = queries.shape
+                if with_lut:
+                    from tpufm.engine.xla import fuse_prefix_codes
 
-            def body(carry, code):
-                # Stack both interval ends into ONE request block per round:
-                # half the collective launches (one all_gather+psum or one
-                # ring circulation instead of two) for the same payload.
-                lo, hi = carry
-                iv = jnp.concatenate([lo, hi])
-                code2 = jnp.concatenate([code, code])
-                iv = step(occ_shard, bitmaps_shard, dollar, cfg, axis, iv, code2)
-                return (iv[:B], iv[B:]), None
+                    # iv0 inherits device-varying-ness from the query shard;
+                    # no pvary needed (varying -> varying pcast rejects).
+                    iv0 = lut[fuse_prefix_codes(queries, lut_m)]
+                    lo0, hi0 = iv0[:, 0], iv0[:, 1]
+                    codes = (
+                        fuse_round_codes(queries[:, : L - lut_m], k)
+                        if L > lut_m
+                        else jnp.zeros((0, B), _U32)
+                    )
+                else:
+                    codes = fuse_round_codes(queries, k)
+                    # The carry is device-varying inside shard_map; mark it so.
+                    lo0 = _pvary(jnp.zeros(B, dtype=_U32), axis)
+                    hi0 = _pvary(jnp.full(B, bwtsize, dtype=_U32), axis)
 
-            (lo, hi), _ = jax.lax.scan(body, (lo0, hi0), codes)
-            return jnp.stack([lo, hi], axis=1)
+                def body(carry, code):
+                    # Stack both interval ends into ONE request block per
+                    # round: half the collective launches (one all_gather+
+                    # psum or one ring circulation instead of two) for the
+                    # same payload.
+                    lo, hi = carry
+                    iv = jnp.concatenate([lo, hi])
+                    code2 = jnp.concatenate([code, code])
+                    iv = step(
+                        occ_shard, bitmaps_shard, dollar, cfg, axis, iv, code2
+                    )
+                    return (iv[:B], iv[B:]), None
 
-        shard_map = _shard_map()
+                (lo, hi), _ = jax.lax.scan(body, (lo0, hi0), codes)
+                return jnp.stack([lo, hi], axis=1)
 
-        self._search = jax.jit(
-            shard_map(
-                search_local,
-                mesh=mesh,
-                in_specs=(P(axis), P(axis), (P(), P(), P()), P(), P(axis, None)),
-                out_specs=P(axis, None),
+            return jax.jit(
+                _shard_map()(
+                    search_local,
+                    mesh=mesh,
+                    in_specs=(
+                        P(axis),
+                        P(axis),
+                        (P(), P(), P()),
+                        P(),
+                        P(),
+                        P(axis, None),
+                    ),
+                    out_specs=P(axis, None),
+                )
             )
-        )
 
-    def search(self, queries) -> np.ndarray:
-        n = self.mesh.devices.size
-        if queries.shape[0] % n:
-            raise ValueError(f"batch not divisible by mesh size {n}")
-        q = jax.device_put(
-            jnp.asarray(queries, jnp.uint8),
+        self.lut = put_global(np.zeros((1, 2), np.uint32), repl)  # placeholder
+        self._search_nolut = make_search(False)
+        self._search = make_search(True) if lut_m else self._search_nolut
+        if lut_m:
+            self.lut = put_global(self._build_lut(lut_m), repl)
+
+    def _build_lut(self, m: int) -> np.ndarray:
+        """SA interval of every m-mer, computed with THIS sharded engine
+        (wave-chunked over the 4^m codes, LUT-less program)."""
+        from tpufm.engine.xla import decode_prefix_codes
+
+        n = 4**m
+        wave = min(n, self.WAVE_PER_CHIP * self.mesh.devices.size)
+        parts = []
+        for start in range(0, n, wave):
+            codes = np.arange(start, start + wave, dtype=np.uint32)
+            q = np.asarray(decode_prefix_codes(jnp.asarray(codes), m))
+            parts.append(self._run_wave(q, self._search_nolut))
+        return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def _run_wave(self, queries: np.ndarray, program=None) -> np.ndarray:
+        q = put_global(
+            np.asarray(queries, np.uint8),
             NamedSharding(self.mesh, P(self.axis, None)),
         )
-        out = self._search(
-            self.occ, self.bitmaps, self.dollar, _U32(self.bwtsize), q
+        out = (program or self._search)(
+            self.occ, self.bitmaps, self.dollar, self.lut, _U32(self.bwtsize), q
         )
         return np.asarray(jax.device_get(out))
+
+    def search(self, queries, wave: int | None = None) -> np.ndarray:
+        """uint8 [B, L] -> uint32 [B, 2]. B must divide by the mesh size;
+        batches beyond `wave` (default WAVE_PER_CHIP * n_dev) stream in
+        padded fixed-shape waves so device memory stays constant."""
+        n = self.mesh.devices.size
+        queries = np.asarray(queries, dtype=np.uint8)
+        if queries.shape[0] % n:
+            raise ValueError(f"batch not divisible by mesh size {n}")
+        wave = wave or self.WAVE_PER_CHIP * n
+        wave -= wave % n or 0
+        if queries.shape[0] <= wave:
+            return self._run_wave(queries)
+        outs = []
+        for start in range(0, queries.shape[0], wave):
+            chunk = queries[start : start + wave]
+            pad = wave - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, chunk.shape[1]), np.uint8)]
+                )
+            out = self._run_wave(chunk)
+            outs.append(out[: wave - pad] if pad else out)
+        return np.concatenate(outs)
