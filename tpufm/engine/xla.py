@@ -485,6 +485,18 @@ def make_locate_fn(d: int, sample_rate: int):
     nb = d // 32
     bmw = 2 * nb  # k=1 bitmap words
 
+    def _onehot_pick(mat, idx):
+        """mat [N, W], idx [N] -> mat[i, idx[i]] via one-hot sum — in-register
+        VPU select. A take_along_axis here lowers to ANOTHER device gather,
+        and dependent gathers serialize (measured: replacing the four
+        take_along_axis of the original body with one-hot picks took the
+        walk from 392K to >1M positions/s, docs/PERF.md)."""
+        col = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 1)
+        return jnp.sum(
+            jnp.where(col == idx.astype(jnp.int32)[:, None], mat, _U32(0)),
+            axis=1,
+        )
+
     def locate(tables, rows):
         # ONE fused row per block: LF1 bitmaps | LF1 counters | mark words |
         # mark rank — a single gather per walk iteration (two separate
@@ -505,36 +517,30 @@ def make_locate_fn(d: int, sample_rate: int):
             p, steps, out, done = carry
             block = p // _U32(d)
             off = p % _U32(d)
+            widx = off // _U32(32)
             frow = fused_t[block]                     # [N, 3*nb + 5]
             ent = frow[:, : bmw + 4]
             mark_words = frow[:, bmw + 4 : bmw + 4 + nb]
             mark_rank = frow[:, bmw + 4 + nb]
-            word = jnp.take_along_axis(
-                mark_words, (off // _U32(32)).astype(jnp.int32)[:, None], axis=1
-            )[:, 0]
+            word = _onehot_pick(mark_words, widx)
             marked = ((word >> (_U32(31) - (off % _U32(32)))) & _U32(1)) != 0
             pre = jnp.sum(
                 jax.lax.population_count(mark_words & _boundary_masks(off, nb)),
                 axis=-1,
             )
             rank = jnp.minimum(mark_rank + pre, _U32(samples.shape[0] - 1))
-            resolved = samples[rank] + steps
             newly = marked & ~done
-            out = jnp.where(newly, resolved, out)
+            # Record the sample RANK (resolved against the samples table once
+            # after the loop — one fewer gather per iteration).
+            out = jnp.where(newly, rank, out)
             done = done | marked
 
             # single-step LF hop (masked out for finished lanes)
             sh = _U32(31) - (off % _U32(32))
-            w0 = jnp.take_along_axis(
-                ent[:, :nb], (off // _U32(32)).astype(jnp.int32)[:, None], axis=1
-            )[:, 0]
-            w1 = jnp.take_along_axis(
-                ent[:, nb:bmw], (off // _U32(32)).astype(jnp.int32)[:, None], axis=1
-            )[:, 0]
+            w0 = _onehot_pick(ent[:, :nb], widx)
+            w1 = _onehot_pick(ent[:, nb:bmw], widx)
             c = ((w0 >> sh) & _U32(1)) | (((w1 >> sh) & _U32(1)) << _U32(1))
-            cnt = jnp.take_along_axis(
-                ent[:, bmw:], c.astype(jnp.int32)[:, None], axis=1
-            )[:, 0]
+            cnt = _onehot_pick(ent[:, bmw:], c)
             bm = ent[:, :bmw].reshape(N, 1, 2, nb)
             matched = _match_words(bm, c, 1) & _boundary_masks(off, nb)
             count = jnp.sum(jax.lax.population_count(matched), axis=-1)
@@ -549,10 +555,14 @@ def make_locate_fn(d: int, sample_rate: int):
             steps = jnp.where(done, steps, steps + _U32(1))
             return p, steps, out, done
 
-        _, _, out, _ = jax.lax.fori_loop(
+        _, steps, out, done = jax.lax.fori_loop(
             0, sample_rate, body, (p0, steps0, out0, done0)
         )
-        return out
+        # steps froze at mark time (the walk stops advancing it once done);
+        # unreachable/unmarked lanes (cannot happen for valid rows) keep the
+        # 0xFFFFFFFF sentinel.
+        resolved = samples[jnp.minimum(out, _U32(samples.shape[0] - 1))] + steps
+        return jnp.where(done, resolved, _U32(0xFFFFFFFF))
 
     return locate
 
