@@ -649,6 +649,8 @@ def lut_with_cache(tables, base: KStepFMIndex, lut_m: int, lut_cache, put):
 
     cfg = base.config
     stride = max(1, base.occ.shape[0] // 4096)
+    # np.asarray first: device-built tables (builder_device return_host=False)
+    # are jnp arrays, where .astype(uint64) silently truncates to uint32.
     fp = np.concatenate(
         [
             np.asarray(
@@ -657,12 +659,12 @@ def lut_with_cache(tables, base: KStepFMIndex, lut_m: int, lut_cache, put):
                     cfg.d,
                     lut_m,
                     base.bwtsize,
-                    zlib.crc32(np.ascontiguousarray(base.occ[::stride])),
+                    zlib.crc32(np.ascontiguousarray(np.asarray(base.occ[::stride]))),
                 ],
                 np.uint64,
             ),
-            base.dollar_pos.astype(np.uint64),
-            base.occ[-1].astype(np.uint64),
+            np.asarray(base.dollar_pos).astype(np.uint64),
+            np.asarray(base.occ[-1]).astype(np.uint64),
         ]
     )
     if lut_cache is not None:
