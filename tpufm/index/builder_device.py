@@ -160,13 +160,15 @@ def build_index_device(
 
     # counts corrections: each '$' position was counted as its 'A'-encoded
     # k-mer; the tail padding (E*d - big positions) was counted as k-mer 0.
-    sub = np.zeros((E, C), np.uint32)
+    # Applied as k+1 point scatters ON device (an [E, C] host correction
+    # array would re-upload ~334 MB at genome scale).
     for m in range(k):
-        sub[int(dollar_pos[m]) // d, int(dollar_base[m])] += 1
+        occ_counts = occ_counts.at[
+            int(dollar_pos[m]) // d, int(dollar_base[m])
+        ].add(np.uint32(0xFFFFFFFF))  # -1 in uint32
     pad = E * d - big
     if pad:
-        sub[E - 1, 0] += pad
-    occ_counts = occ_counts - jnp.asarray(sub)
+        occ_counts = occ_counts.at[E - 1, 0].add(np.uint32(-pad & 0xFFFFFFFF))
 
     # occ = exclusive per-block prefix + sentinel row, then Cb.
     occ = jnp.concatenate(
