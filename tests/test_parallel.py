@@ -58,7 +58,7 @@ def test_data_parallel_rejects_ragged_batch(rng, mesh):
         engine.search(np.zeros((30, 8), np.uint8))
 
 
-@pytest.mark.parametrize("routing", ["allgather", "ring"])
+@pytest.mark.parametrize("routing", ["allgather", "ring", "a2a"])
 @pytest.mark.parametrize("k,d", [(1, 32), (2, 64)])
 def test_sharded_index_matches_oracle(rng, mesh, k, d, routing):
     codes, index = _mk(rng, k, d, n=8192)
@@ -74,7 +74,7 @@ def test_sharded_index_matches_oracle(rng, mesh, k, d, routing):
     )
 
 
-@pytest.mark.parametrize("routing", ["allgather", "ring"])
+@pytest.mark.parametrize("routing", ["allgather", "ring", "a2a"])
 def test_sharded_index_small_table(rng, mesh, routing):
     # Fewer entries than devices: padding must keep lookups correct.
     codes, index = _mk(rng, 2, 64, n=200)  # 4 entries on 8 devices
@@ -113,7 +113,7 @@ def test_multichip_bench_smoke():
     assert rec["detail"]["devices"] == 4
 
 
-@pytest.mark.parametrize("routing", ["allgather", "ring"])
+@pytest.mark.parametrize("routing", ["allgather", "ring", "a2a"])
 def test_sharded_index_with_lut_and_waves(rng, mesh, routing):
     # The upgraded design point: prefix LUT (built with the sharded engine
     # itself) + wave streaming with a tail wave needing padding.
@@ -184,3 +184,14 @@ def test_sharded_index_at_scale(rng, mesh):
             "shard_mb": round(eng.e_local * (cfg.bitmap_words + 64) * 4 / 2**20, 1),
         }
     print(json.dumps(rec))
+
+
+def test_sharded_a2a_overflow_fallback(rng, mesh):
+    # Identical queries concentrate every request in one bucket: the a2a
+    # fast path must detect overflow and fall back, staying bit-exact.
+    codes, index = _mk(rng, 2, 64, n=4096)
+    engine = ShardedIndexEngine(index, mesh, routing="a2a")
+    q = np.repeat(codes[100:124][None, :], 64, axis=0)
+    np.testing.assert_array_equal(
+        engine.search(q), search_oracle(index, q)
+    )

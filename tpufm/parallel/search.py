@@ -286,6 +286,92 @@ def _sharded_lf_step_ring(occ_shard, bitmaps_shard, dollar, cfg, axis, interval,
     return ans[:B]
 
 
+def _sharded_lf_step_a2a(
+    occ_shard, bitmaps_shard, dollar, cfg, axis, interval, code, slack=2.0
+):
+    """One LF round with ragged-bucket all-to-all routing.
+
+    allgather/ring make every chip ANSWER all D x B_local requests (masked)
+    — capacity scaling only. Here each chip sorts its requests by owner
+    shard and sends each owner just its own bucket (fixed capacity
+    C = slack * B_local / D per destination, all_to_all both ways), cutting
+    per-chip answered rows from D*B_local to ~slack*B_local — a D/slack x
+    compute reduction. Early LF rounds are block-skewed (everyone starts
+    near the same entries), so a bucket can overflow; a replicated-predicate
+    `lax.cond` then falls back to the full all-gather step for that round —
+    bit-exactness is unconditional, the fast path is probabilistic (with a
+    prefix LUT the start blocks spread immediately and measured overflow is
+    rare after round 1)."""
+    k, d, nb, e_local = cfg
+    n_dev = jax.lax.axis_size(axis)
+    if n_dev == 1:
+        return _sharded_lf_step(
+            occ_shard, bitmaps_shard, dollar, cfg, axis, interval, code
+        )
+    B = interval.shape[0]
+    C = max(1, int(-(-B * slack // n_dev)))
+
+    block = interval // _U32(d)
+    owner = jnp.minimum(block // _U32(e_local), _U32(n_dev - 1))
+
+    # Sort requests by owner (stable keeps in-bucket order deterministic).
+    perm = jnp.argsort(owner, stable=True).astype(jnp.int32)
+    req_sorted = jnp.stack(
+        [block[perm], code[perm], interval[perm]], axis=-1
+    )  # [B, 3]
+    owner_sorted = owner[perm]
+
+    cnt = jnp.zeros(n_dev, _U32).at[owner].add(_U32(1))  # [D] histogram
+    off = jnp.concatenate(
+        [jnp.zeros(1, _U32), jnp.cumsum(cnt, dtype=_U32)[:-1]]
+    )
+    overflow = jax.lax.pmax(jnp.max(cnt), axis) > _U32(C)
+
+    def bucketed(_):
+        # Send buffer: destination d' gets rows [off[d'], off[d']+C) of the
+        # sorted stream (rows beyond cnt[d'] are duplicates of the next
+        # segment — the receiver masks them by ownership, and the
+        # write-back order makes their answer slots be overwritten).
+        pad_rows = jnp.zeros((C, 3), _U32)
+        rs = jnp.concatenate([req_sorted, pad_rows])
+        send = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(rs, off[d2], C)
+                for d2 in range(n_dev)
+            ]
+        )  # [D, C, 3]
+        recv = jax.lax.all_to_all(
+            send, axis, split_axis=0, concat_axis=0, tiled=True
+        )  # [D, C, 3] — recv[s] = chip s's bucket for me
+
+        flat = recv.reshape(n_dev * C, 3)
+        my_shard = jax.lax.axis_index(axis).astype(_U32)
+        ans = _answer_owned(
+            occ_shard, bitmaps_shard, dollar, cfg, my_shard,
+            flat[:, 0], flat[:, 1], flat[:, 2],
+        ).reshape(n_dev, C)
+        ans_back = jax.lax.all_to_all(
+            ans, axis, split_axis=0, concat_axis=0, tiled=True
+        )  # [D, C] — ans_back[d'] = owner d''s answers for my bucket
+
+        # Write back segments in destination order: segment d'+1's write
+        # starts at off[d'+1] = off[d'] + cnt[d'], overwriting segment d''s
+        # duplicate-row garbage. C trailing slots absorb the last segment's.
+        out_sorted = jnp.zeros(B + C, _U32)
+        for d2 in range(n_dev):
+            out_sorted = jax.lax.dynamic_update_slice_in_dim(
+                out_sorted, ans_back[d2], off[d2], 0
+            )
+        return jnp.zeros(B, _U32).at[perm].set(out_sorted[:B])
+
+    def fallback(_):
+        return _sharded_lf_step(
+            occ_shard, bitmaps_shard, dollar, cfg, axis, interval, code
+        )
+
+    return jax.lax.cond(overflow, fallback, bucketed, None)
+
+
 class ShardedIndexEngine:
     """Entry-table-sharded search for indexes larger than one chip's HBM.
 
@@ -347,9 +433,13 @@ class ShardedIndexEngine:
             put_global(np.asarray(index.dollar_block, np.uint32), repl),
         )
 
-        if routing not in ("allgather", "ring"):
+        if routing not in ("allgather", "ring", "a2a"):
             raise ValueError(f"unknown routing {routing!r}")
-        step = _sharded_lf_step if routing == "allgather" else _sharded_lf_step_ring
+        step = {
+            "allgather": _sharded_lf_step,
+            "ring": _sharded_lf_step_ring,
+            "a2a": _sharded_lf_step_a2a,
+        }[routing]
         d = self.config.d
         cfg = (k, d, self.config.words_per_plane, e_local)
         axis = self.axis
