@@ -91,3 +91,18 @@ def test_locate_engine_rejects_non_k1():
                         samples=np.zeros(1, np.uint32))
     with pytest.raises(ValueError, match="k=1"):
         LocateEngine(bogus)
+
+
+def test_locate_rows_wave_streaming(rng):
+    # Batches beyond one wave must stream in padded fixed-shape waves and
+    # agree with the single-shot path.
+    from tpufm.engine.xla import LocateEngine
+    from tpufm.index.locate import build_locate
+
+    codes = rng.integers(0, 4, size=5000, dtype=np.uint8)
+    loc = build_locate(codes, sample_rate=8, d=32)
+    eng = LocateEngine(loc)
+    rows = rng.integers(0, 5001, size=300, dtype=np.uint32)
+    np.testing.assert_array_equal(
+        eng.locate_rows(rows, wave=128), eng.locate_rows(rows)
+    )

@@ -53,3 +53,19 @@ def test_pallas_engine_with_lut(rng):
     np.testing.assert_array_equal(
         engine.search(queries), search_oracle(index, queries)
     )
+
+
+def test_pallas_wave_streaming(rng):
+    from tpufm.config import IndexConfig
+    from tpufm.engine.oracle import search_oracle
+    from tpufm.engine.pallas_kernel import PallasEngine
+    from tpufm.index.builder import build_index
+
+    codes = rng.integers(0, 4, size=6000, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=2, d=32))
+    starts = rng.integers(0, 5900, size=100)
+    queries = np.stack([codes[s : s + 24] for s in starts])
+    eng = PallasEngine(index, tile=256)
+    np.testing.assert_array_equal(
+        eng.search(queries, wave=32), search_oracle(index, queries)
+    )

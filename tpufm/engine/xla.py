@@ -606,10 +606,29 @@ class LocateEngine:
         }
         self._locate = jax.jit(make_locate_fn(self.d, self.sample_rate))
 
-    def locate_rows(self, rows) -> np.ndarray:
-        """BWT rows uint32 [N] -> SA values uint32 [N]."""
-        out = self._locate(self.tables, jnp.asarray(rows, jnp.uint32))
-        return np.asarray(jax.device_get(out))
+    #: rows per device wave — the same 1M-wave lesson as the search engine;
+    #: arbitrarily large hit sets stream in constant device memory
+    WAVE = 1 << 21
+
+    def locate_rows(self, rows, wave: int | None = None) -> np.ndarray:
+        """BWT rows uint32 [N] -> SA values uint32 [N]. Batches beyond
+        `wave` stream in fixed-shape padded waves."""
+        wave = wave or self.WAVE
+        rows = np.asarray(rows, dtype=np.uint32)
+        if rows.shape[0] <= wave:
+            out = self._locate(self.tables, jnp.asarray(rows))
+            return np.asarray(jax.device_get(out))
+        outs = []
+        for start in range(0, rows.shape[0], wave):
+            chunk = rows[start : start + wave]
+            pad = wave - chunk.shape[0]
+            if pad:  # keep one compiled shape
+                chunk = np.concatenate([chunk, np.zeros(pad, np.uint32)])
+            out = np.asarray(
+                jax.device_get(self._locate(self.tables, jnp.asarray(chunk)))
+            )
+            outs.append(out[: wave - pad] if pad else out)
+        return np.concatenate(outs)
 
     def locate_hits(self, intervals, max_hits: int) -> np.ndarray:
         """uint32 [B, 2] search intervals -> uint32 [B, max_hits] text
