@@ -20,6 +20,7 @@ Layer map (TPU-native redesign of SURVEY.md section 1):
 from tpufm.config import IndexConfig, Layout, recommend_config
 from tpufm.index.builder import build_index, KStepFMIndex
 from tpufm.index.locate import build_locate, LocateIndex
+from tpufm.index.store import save_store, load_store
 
 __version__ = "0.1.0"
 
@@ -31,5 +32,7 @@ __all__ = [
     "KStepFMIndex",
     "build_locate",
     "LocateIndex",
+    "save_store",
+    "load_store",
     "__version__",
 ]

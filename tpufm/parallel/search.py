@@ -305,8 +305,11 @@ def _sharded_lf_step_a2a(
     k, d, nb, e_local = cfg
     n_dev = jax.lax.axis_size(axis)
     if n_dev == 1:
-        return _sharded_lf_step(
-            occ_shard, bitmaps_shard, dollar, cfg, axis, interval, code
+        return (
+            _sharded_lf_step(
+                occ_shard, bitmaps_shard, dollar, cfg, axis, interval, code
+            ),
+            jnp.asarray(False),
         )
     B = interval.shape[0]
     C = max(1, int(-(-B * slack // n_dev)))
@@ -369,7 +372,10 @@ def _sharded_lf_step_a2a(
             occ_shard, bitmaps_shard, dollar, cfg, axis, interval, code
         )
 
-    return jax.lax.cond(overflow, fallback, bucketed, None)
+    # Returns the per-round overflow flag too, so callers can report how
+    # often the fallback fires (the fast path is the common case once a
+    # prefix LUT spreads the start blocks).
+    return jax.lax.cond(overflow, fallback, bucketed, None), overflow
 
 
 class ShardedIndexEngine:
@@ -473,13 +479,14 @@ class ShardedIndexEngine:
                     lo, hi = carry
                     iv = jnp.concatenate([lo, hi])
                     code2 = jnp.concatenate([code, code])
-                    iv = step(
+                    out = step(
                         occ_shard, bitmaps_shard, dollar, cfg, axis, iv, code2
                     )
-                    return (iv[:B], iv[B:]), None
+                    iv, ov = out if isinstance(out, tuple) else (out, False)
+                    return (iv[:B], iv[B:]), jnp.asarray(ov)
 
-                (lo, hi), _ = jax.lax.scan(body, (lo0, hi0), codes)
-                return jnp.stack([lo, hi], axis=1)
+                (lo, hi), ov = jax.lax.scan(body, (lo0, hi0), codes)
+                return jnp.stack([lo, hi], axis=1), ov
 
             return jax.jit(
                 _shard_map()(
@@ -493,7 +500,7 @@ class ShardedIndexEngine:
                         P(),
                         P(axis, None),
                     ),
-                    out_specs=P(axis, None),
+                    out_specs=(P(axis, None), P()),
                 )
             )
 
@@ -522,9 +529,12 @@ class ShardedIndexEngine:
             np.asarray(queries, np.uint8),
             NamedSharding(self.mesh, P(self.axis, None)),
         )
-        out = (program or self._search)(
+        out, overflow = (program or self._search)(
             self.occ, self.bitmaps, self.dollar, self.lut, _U32(self.bwtsize), q
         )
+        #: bool [rounds] — which rounds hit the a2a overflow fallback (all
+        #: False for the other routings); diagnostic for capacity tuning
+        self.last_overflow_rounds = np.asarray(jax.device_get(overflow))
         return np.asarray(jax.device_get(out))
 
     def search(self, queries, wave: int | None = None) -> np.ndarray:
