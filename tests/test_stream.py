@@ -1,0 +1,68 @@
+"""Resumable query-stream search: a run killed mid-stream must continue
+from the last completed wave and produce identical results."""
+
+import numpy as np
+import pytest
+
+from tpufm.config import IndexConfig
+from tpufm.engine.oracle import search_oracle
+from tpufm.engine.xla import XLAEngine
+from tpufm.index.builder import build_index
+from tpufm.io.genreads import generate_reads
+from tpufm.io.stream import search_resumable
+
+
+class _FlakyEngine:
+    """Engine wrapper that dies after `die_after` search calls."""
+
+    def __init__(self, engine, die_after):
+        self._engine = engine
+        self._left = die_after
+        self.calls = 0
+
+    def search(self, q):
+        if self._left == 0:
+            raise RuntimeError("simulated crash")
+        self._left -= 1
+        self.calls += 1
+        return self._engine.search(q)
+
+
+def test_search_resumable_roundtrip(tmp_path, rng):
+    codes = rng.integers(0, 4, size=20000, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=2, d=64))
+    queries = generate_reads(codes, 24, 100, seed=3)
+    expect = search_oracle(index, queries)
+    eng = XLAEngine(index)
+    out = tmp_path / "r.res"
+
+    # Crash after 2 of 4 waves...
+    flaky = _FlakyEngine(eng, die_after=2)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        search_resumable(flaky, queries, out, wave=32)
+    assert (tmp_path / "r.res.partial").exists()
+
+    # ...resume completes only the remaining waves and matches the oracle.
+    cont = _FlakyEngine(eng, die_after=99)
+    res = search_resumable(cont, queries, out, wave=32)
+    assert cont.calls == 2  # waves 3 and 4 only
+    np.testing.assert_array_equal(res, expect)
+    assert not (tmp_path / "r.res.partial").exists()
+    assert not (tmp_path / "r.res.progress").exists()
+
+
+def test_search_resumable_stale_checkpoint(tmp_path, rng):
+    # A checkpoint from a different workload shape must be ignored.
+    codes = rng.integers(0, 4, size=8000, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=2, d=32))
+    q1 = generate_reads(codes, 24, 64, seed=1)
+    q2 = generate_reads(codes, 24, 96, seed=2)
+    eng = XLAEngine(index)
+    out = tmp_path / "s.res"
+
+    flaky = _FlakyEngine(eng, die_after=1)
+    with pytest.raises(RuntimeError):
+        search_resumable(flaky, q1, out, wave=32)
+    # different total => restart from scratch, correct result
+    res = search_resumable(eng, q2, out, wave=32)
+    np.testing.assert_array_equal(res, search_oracle(index, q2))

@@ -106,6 +106,19 @@ def cmd_search(args):
     index = _load_any_index(args.index)
     queries = load_queries(args.queries, args.qrysize, args.numqueries)
     engine = _make_engine(index, args)
+    out = args.output or f"{args.index}.res.tpu"
+
+    if args.resume:
+        # Checkpointed stream: each completed wave persists; a killed run
+        # re-invoked with the same arguments continues where it stopped.
+        from tpufm.io.stream import search_resumable
+
+        t0 = time.perf_counter()
+        res = search_resumable(engine, queries, out)
+        print(f"TIME: \t {time.perf_counter() - t0}")
+        write_results(out, res)
+        print(f"wrote {out}")
+        return
 
     iters = args.iterations
     res = engine.search(queries)  # warm-up + compile
@@ -116,7 +129,6 @@ def cmd_search(args):
     # Same one-number protocol as the reference (common/searchQueries.c:117-118).
     print(f"TIME: \t {dt}")
 
-    out = args.output or f"{args.index}.res.tpu"
     write_results(out, res)
     print(f"wrote {out}")
 
@@ -335,6 +347,9 @@ def main(argv=None):
                    help="prefix-LUT length m (collapses the first m chars "
                         "of every query into one gather)")
     s.add_argument("--pad-words", type=int, default=None)
+    s.add_argument("--resume", action="store_true",
+                   help="checkpoint each wave; a re-run with the same "
+                        "arguments continues after a crash")
     s.add_argument("--output", default=None)
     s.set_defaults(fn=cmd_search)
 

@@ -524,14 +524,18 @@ class ShardedIndexEngine:
             parts.append(self._run_wave(q, self._search_nolut))
         return np.concatenate(parts) if len(parts) > 1 else parts[0]
 
-    def _run_wave(self, queries: np.ndarray, program=None) -> np.ndarray:
+    def _dispatch_wave(self, queries: np.ndarray, program=None):
+        """Async dispatch: returns device handles (no host sync)."""
         q = put_global(
             np.asarray(queries, np.uint8),
             NamedSharding(self.mesh, P(self.axis, None)),
         )
-        out, overflow = (program or self._search)(
+        return (program or self._search)(
             self.occ, self.bitmaps, self.dollar, self.lut, _U32(self.bwtsize), q
         )
+
+    def _run_wave(self, queries: np.ndarray, program=None) -> np.ndarray:
+        out, overflow = self._dispatch_wave(queries, program)
         #: bool [rounds] — which rounds hit the a2a overflow fallback (all
         #: False for the other routings); diagnostic for capacity tuning
         self.last_overflow_rounds = np.asarray(jax.device_get(overflow))
@@ -549,7 +553,10 @@ class ShardedIndexEngine:
         wave -= wave % n or 0
         if queries.shape[0] <= wave:
             return self._run_wave(queries)
+        # Pipelined waves: dispatches are async; keeping 2 in flight
+        # overlaps input staging and result drain with the mesh's compute.
         outs = []
+        pending = []
         for start in range(0, queries.shape[0], wave):
             chunk = queries[start : start + wave]
             pad = wave - chunk.shape[0]
@@ -557,6 +564,14 @@ class ShardedIndexEngine:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, chunk.shape[1]), np.uint8)]
                 )
-            out = self._run_wave(chunk)
-            outs.append(out[: wave - pad] if pad else out)
+            out, ov = self._dispatch_wave(chunk)
+            pending.append((out, ov, pad))
+            if len(pending) >= 2:
+                done, ov, dpad = pending.pop(0)
+                done = np.asarray(jax.device_get(done))
+                outs.append(done[: wave - dpad] if dpad else done)
+        for done, ov, dpad in pending:
+            self.last_overflow_rounds = np.asarray(jax.device_get(ov))
+            done = np.asarray(jax.device_get(done))
+            outs.append(done[: wave - dpad] if dpad else done)
         return np.concatenate(outs)
