@@ -195,3 +195,20 @@ def test_sharded_a2a_overflow_fallback(rng, mesh):
     np.testing.assert_array_equal(
         engine.search(q), search_oracle(index, q)
     )
+
+
+def test_sharded_wave_too_small_raises(rng, mesh):
+    codes, index = _mk(rng, 2, 64, n=512)
+    engine = ShardedIndexEngine(index, mesh)
+    with pytest.raises(ValueError, match="wave must be"):
+        engine.search(np.zeros((64, 8), np.uint8), wave=4)
+
+
+def test_sharded_tiny_lut_on_large_mesh(rng, mesh):
+    # 4^1 = 4 LUT codes on an 8-device mesh: the LUT build must pad its
+    # wave to a mesh multiple and trim, not crash at sharding.
+    codes, index = _mk(rng, 1, 32, n=2048)
+    engine = ShardedIndexEngine(index, mesh, routing="a2a", lut_m=1)
+    starts = rng.integers(0, len(codes) - 8, size=32)
+    q = np.stack([codes[s : s + 8] for s in starts])
+    np.testing.assert_array_equal(engine.search(q), search_oracle(index, q))

@@ -66,3 +66,20 @@ def test_search_resumable_stale_checkpoint(tmp_path, rng):
     # different total => restart from scratch, correct result
     res = search_resumable(eng, q2, out, wave=32)
     np.testing.assert_array_equal(res, search_oracle(index, q2))
+
+
+def test_search_resumable_torn_sidecar(tmp_path, rng):
+    # a crash mid-sidecar-write leaves invalid JSON: resume must restart
+    # cleanly instead of raising forever
+    codes = rng.integers(0, 4, size=8000, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=2, d=32))
+    q = generate_reads(codes, 24, 64, seed=1)
+    eng = XLAEngine(index)
+    out = tmp_path / "t.res"
+    flaky = _FlakyEngine(eng, die_after=1)
+    with pytest.raises(RuntimeError):
+        search_resumable(flaky, q, out, wave=32)
+    (tmp_path / "t.res.progress").write_text("{not json")
+    res = search_resumable(eng, q, out, wave=32)
+    np.testing.assert_array_equal(res, search_oracle(index, q))
+    assert res.flags.writeable  # np.fromfile copy, not a frombuffer view

@@ -92,3 +92,14 @@ def test_device_repetitive_text():
         np.testing.assert_array_equal(
             suffix_array_device(codes), suffix_array_doubling(codes)
         )
+
+
+def test_device_rejects_wide_alphabet(rng):
+    # the initial rank packs symbol+1 into 3 bits; larger symbols must be
+    # rejected loudly, not silently missorted
+    from tpufm.index.sa_device import suffix_array_device
+
+    codes = rng.integers(0, 200, size=100, dtype=np.uint8)
+    codes[0] = 100
+    with pytest.raises(ValueError, match=r"\[0, 6\]"):
+        suffix_array_device(codes)

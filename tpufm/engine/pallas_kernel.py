@@ -235,28 +235,17 @@ class PallasEngine:
         # Any batch size: the round kernel pads its flattened end-batch to a
         # tile multiple internally; batches beyond `wave` stream in
         # fixed-shape padded waves (one compiled shape, constant memory).
-        wave = wave or self.WAVE
-        queries = np.asarray(queries, dtype=np.uint8)
-        if queries.shape[0] <= wave:
-            out = self._search(
-                self.tables, _U32(self.bwtsize), jnp.asarray(queries)
-            )
-            return np.asarray(jax.device_get(out))
-        outs = []
-        for start in range(0, queries.shape[0], wave):
-            chunk = queries[start : start + wave]
-            pad = wave - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad, chunk.shape[1]), np.uint8)]
-                )
-            out = np.asarray(
-                jax.device_get(
-                    self._search(self.tables, _U32(self.bwtsize), jnp.asarray(chunk))
-                )
-            )
-            outs.append(out[: wave - pad] if pad else out)
-        return np.concatenate(outs)
+        from tpufm.utils.waves import stream_waves
+
+        return stream_waves(
+            np.asarray(queries, dtype=np.uint8),
+            wave or self.WAVE,
+            lambda q: self._search(
+                self.tables, _U32(self.bwtsize), jnp.asarray(q)
+            ),
+            lambda h: np.asarray(jax.device_get(h)),
+            depth=2,
+        )
 
     def search_device(self, queries):
         return self._search(self.tables, _U32(self.bwtsize), queries)

@@ -393,39 +393,23 @@ class XLAEngine:
         thread pool, common/searchQueries.c:84-95) — each wave is one jit
         call, so arbitrarily large read sets run in constant device memory.
         """
+        from tpufm.utils.waves import stream_waves
+
         wave = wave or self.WAVE
         queries = np.asarray(queries, dtype=np.uint8)
-        if queries.shape[0] <= wave:
-            out = self._search(
-                self.tables, _U32(self.bwtsize), jnp.asarray(queries)
-            )
-            return np.asarray(jax.device_get(out))
-        # Pipelined waves: dispatches are async, so keeping `depth` waves in
-        # flight overlaps host->device query staging and device->host result
-        # drain with the previous waves' compute (2x end-to-end on hosts with
-        # slow DMA paths; free on fast ones).
-        depth = 3
-        outs: list[np.ndarray] = []
-        pending: list[tuple[Any, int]] = []
-        for start in range(0, queries.shape[0], wave):
-            chunk = queries[start : start + wave]
-            pad = 0
-            if chunk.shape[0] < wave:
-                # keep one compiled shape: pad the tail wave
-                pad = wave - chunk.shape[0]
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad, chunk.shape[1]), np.uint8)]
-                )
-            out = self._search(self.tables, _U32(self.bwtsize), jnp.asarray(chunk))
-            pending.append((out, pad))
-            if len(pending) >= depth:
-                done, dpad = pending.pop(0)
-                done = np.asarray(jax.device_get(done))
-                outs.append(done[: wave - dpad] if dpad else done)
-        for done, dpad in pending:
-            done = np.asarray(jax.device_get(done))
-            outs.append(done[: wave - dpad] if dpad else done)
-        return np.concatenate(outs)
+        # Pipelined waves (depth 3): dispatches are async, so keeping several
+        # in flight overlaps host->device query staging and device->host
+        # result drain with the previous waves' compute (2x end-to-end on
+        # hosts with slow DMA paths; free on fast ones).
+        return stream_waves(
+            queries,
+            wave,
+            lambda q: self._search(
+                self.tables, _U32(self.bwtsize), jnp.asarray(q)
+            ),
+            lambda h: np.asarray(jax.device_get(h)),
+            depth=3,
+        )
 
     def search_device(self, queries):
         """Device-to-device search (no host transfer), for benchmarking."""
@@ -612,23 +596,16 @@ class LocateEngine:
 
     def locate_rows(self, rows, wave: int | None = None) -> np.ndarray:
         """BWT rows uint32 [N] -> SA values uint32 [N]. Batches beyond
-        `wave` stream in fixed-shape padded waves."""
-        wave = wave or self.WAVE
-        rows = np.asarray(rows, dtype=np.uint32)
-        if rows.shape[0] <= wave:
-            out = self._locate(self.tables, jnp.asarray(rows))
-            return np.asarray(jax.device_get(out))
-        outs = []
-        for start in range(0, rows.shape[0], wave):
-            chunk = rows[start : start + wave]
-            pad = wave - chunk.shape[0]
-            if pad:  # keep one compiled shape
-                chunk = np.concatenate([chunk, np.zeros(pad, np.uint32)])
-            out = np.asarray(
-                jax.device_get(self._locate(self.tables, jnp.asarray(chunk)))
-            )
-            outs.append(out[: wave - pad] if pad else out)
-        return np.concatenate(outs)
+        `wave` stream in fixed-shape padded waves, pipelined 2 deep."""
+        from tpufm.utils.waves import stream_waves
+
+        return stream_waves(
+            np.asarray(rows, dtype=np.uint32),
+            wave or self.WAVE,
+            lambda r: self._locate(self.tables, jnp.asarray(r)),
+            lambda h: np.asarray(jax.device_get(h)),
+            depth=2,
+        )
 
     def locate_hits(self, intervals, max_hits: int) -> np.ndarray:
         """uint32 [B, 2] search intervals -> uint32 [B, max_hits] text

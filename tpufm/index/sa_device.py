@@ -98,7 +98,11 @@ _steps = None
 
 def suffix_array_device_arr(codes_dev):
     """Device-resident SA: uint8 device array [n] -> uint32 device array
-    [n+1] (stays on device — the device builder consumes it in place)."""
+    [n+1] (stays on device — the device builder consumes it in place).
+
+    Symbols must be in [0, 6]: the initial rank packs symbol+1 into 3 bits
+    (callers with host arrays get this validated in suffix_array_device;
+    the device builder's normalize_reference guarantees 2-bit codes)."""
     global _steps
     import jax
     import jax.numpy as jnp
@@ -139,6 +143,13 @@ def suffix_array_device(codes: np.ndarray, device=None) -> np.ndarray:
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     if codes.shape[0] == 0:
         return np.zeros(1, dtype=np.int64)
+    if int(codes.max()) > 6:
+        # the initial rank packs symbol+1 into 3 bits; larger alphabets
+        # would silently corrupt adjacent symbols' key bits
+        raise ValueError(
+            "device suffix array supports symbols in [0, 6] "
+            f"(got max {int(codes.max())}); use method='native'/'doubling'"
+        )
     cd = jax.device_put(jnp.asarray(codes), device)
     order = suffix_array_device_arr(cd)
     return np.asarray(jax.device_get(order), dtype=np.int64)

@@ -37,7 +37,10 @@ def search_resumable(
     n_waves = -(-B // wave)
     state = {"total": B, "wave": wave, "done_waves": 0}
     if prog.exists() and part.exists():
-        prev = json.loads(prog.read_text())
+        try:
+            prev = json.loads(prog.read_text())
+        except (json.JSONDecodeError, OSError):
+            prev = {}  # torn sidecar (crash mid-write): restart from zero
         if (
             prev.get("total") == B
             and prev.get("wave") == wave
@@ -59,9 +62,13 @@ def search_resumable(
             fp.flush()
             os.fsync(fp.fileno())
             state["done_waves"] = w + 1
-            prog.write_text(json.dumps(state))
+            # atomic sidecar update: a crash mid-write must leave either the
+            # old or the new progress file, never torn JSON
+            tmp = prog.with_suffix(prog.suffix + ".tmp")
+            tmp.write_text(json.dumps(state))
+            os.replace(tmp, prog)
 
-    out = np.frombuffer(part.read_bytes(), dtype=np.uint32).reshape(B, 2)
+    out = np.fromfile(part, dtype=np.uint32).reshape(B, 2)  # writable copy
     part.unlink()
     prog.unlink()
     return out

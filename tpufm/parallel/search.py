@@ -488,6 +488,9 @@ class ShardedIndexEngine:
                 (lo, hi), ov = jax.lax.scan(body, (lo0, hi0), codes)
                 return jnp.stack([lo, hi], axis=1), ov
 
+            # Results leave the jit REPLICATED (an 8 B/read all-gather):
+            # device_get on a P(axis)-sharded output would span
+            # non-addressable devices under multi-process jax.distributed.
             return jax.jit(
                 _shard_map()(
                     search_local,
@@ -501,7 +504,11 @@ class ShardedIndexEngine:
                         P(axis, None),
                     ),
                     out_specs=(P(axis, None), P()),
-                )
+                ),
+                out_shardings=(
+                    NamedSharding(mesh, P()),
+                    NamedSharding(mesh, P()),
+                ),
             )
 
         self.lut = put_global(np.zeros((1, 2), np.uint32), repl)  # placeholder
@@ -512,16 +519,23 @@ class ShardedIndexEngine:
 
     def _build_lut(self, m: int) -> np.ndarray:
         """SA interval of every m-mer, computed with THIS sharded engine
-        (wave-chunked over the 4^m codes, LUT-less program)."""
+        (wave-chunked over the 4^m codes, LUT-less program). Wave size is
+        rounded up to a mesh multiple and the last chunk is padded (4^m may
+        not divide by the device count); pad rows are trimmed."""
         from tpufm.engine.xla import decode_prefix_codes
 
+        D = self.mesh.devices.size
         n = 4**m
-        wave = min(n, self.WAVE_PER_CHIP * self.mesh.devices.size)
+        wave = -(-min(n, self.WAVE_PER_CHIP * D) // D) * D
         parts = []
         for start in range(0, n, wave):
-            codes = np.arange(start, start + wave, dtype=np.uint32)
+            codes = np.arange(start, min(start + wave, n), dtype=np.uint32)
+            pad = wave - codes.shape[0]
+            if pad:
+                codes = np.concatenate([codes, np.zeros(pad, np.uint32)])
             q = np.asarray(decode_prefix_codes(jnp.asarray(codes), m))
-            parts.append(self._run_wave(q, self._search_nolut))
+            out = self._run_wave(q, self._search_nolut)
+            parts.append(out[: wave - pad] if pad else out)
         return np.concatenate(parts) if len(parts) > 1 else parts[0]
 
     def _dispatch_wave(self, queries: np.ndarray, program=None):
@@ -544,34 +558,35 @@ class ShardedIndexEngine:
     def search(self, queries, wave: int | None = None) -> np.ndarray:
         """uint8 [B, L] -> uint32 [B, 2]. B must divide by the mesh size;
         batches beyond `wave` (default WAVE_PER_CHIP * n_dev) stream in
-        padded fixed-shape waves so device memory stays constant."""
+        padded fixed-shape waves (pipelined 2 deep) so device memory stays
+        constant. last_overflow_rounds ORs the a2a fallback flags over
+        every wave of the call."""
+        from tpufm.utils.waves import stream_waves
+
         n = self.mesh.devices.size
         queries = np.asarray(queries, dtype=np.uint8)
         if queries.shape[0] % n:
             raise ValueError(f"batch not divisible by mesh size {n}")
         wave = wave or self.WAVE_PER_CHIP * n
-        wave -= wave % n or 0
-        if queries.shape[0] <= wave:
-            return self._run_wave(queries)
-        # Pipelined waves: dispatches are async; keeping 2 in flight
-        # overlaps input staging and result drain with the mesh's compute.
-        outs = []
-        pending = []
-        for start in range(0, queries.shape[0], wave):
-            chunk = queries[start : start + wave]
-            pad = wave - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad, chunk.shape[1]), np.uint8)]
-                )
-            out, ov = self._dispatch_wave(chunk)
-            pending.append((out, ov, pad))
-            if len(pending) >= 2:
-                done, ov, dpad = pending.pop(0)
-                done = np.asarray(jax.device_get(done))
-                outs.append(done[: wave - dpad] if dpad else done)
-        for done, ov, dpad in pending:
-            self.last_overflow_rounds = np.asarray(jax.device_get(ov))
-            done = np.asarray(jax.device_get(done))
-            outs.append(done[: wave - dpad] if dpad else done)
-        return np.concatenate(outs)
+        wave -= wave % n
+        if wave <= 0:
+            raise ValueError(f"wave must be >= mesh size {n}")
+
+        overflow = []
+
+        def fetch(handle):
+            out, ov = handle
+            overflow.append(np.asarray(jax.device_get(ov)))
+            return np.asarray(jax.device_get(out))
+
+        # Tail padding cycles the wave's own reads ("cycle") so the padded
+        # wave's bucket-skew statistics match real traffic (all-zero pad
+        # reads would concentrate in one bucket and force a spurious a2a
+        # fallback on the tail wave).
+        out = stream_waves(
+            queries, wave, self._dispatch_wave, fetch, depth=2,
+            pad_mode="cycle",
+        )
+        if overflow:
+            self.last_overflow_rounds = np.logical_or.reduce(overflow)
+        return out
