@@ -54,3 +54,19 @@ def test_device_builder_feeds_engine(rng):
     np.testing.assert_array_equal(
         XLAEngine(dev_index).search(queries), search_oracle(host_index, queries)
     )
+
+
+def test_device_builder_fuzz(rng):
+    # Random (k, d, n) configs, mixed random/repetitive texts — device and
+    # host builders must agree bit-for-bit everywhere.
+    for _ in range(5):
+        k = int(rng.integers(1, 5))
+        d = int(rng.integers(1, 5)) * 32
+        n = int(rng.integers(50, 4000))
+        if rng.random() < 0.3:
+            pat = rng.integers(0, 4, size=int(rng.integers(1, 6)), dtype=np.uint8)
+            codes = np.tile(pat, -(-n // len(pat)))[:n].copy()
+        else:
+            codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+        cfg = IndexConfig(k=k, d=d)
+        _assert_same(build_index(codes, cfg), build_index_device(codes, cfg))
