@@ -70,3 +70,17 @@ def test_device_builder_fuzz(rng):
             codes = rng.integers(0, 4, size=n, dtype=np.uint8)
         cfg = IndexConfig(k=k, d=d)
         _assert_same(build_index(codes, cfg), build_index_device(codes, cfg))
+
+
+def test_device_locate_builder_matches_host(rng):
+    from tpufm.index.builder_device import build_locate_device
+    from tpufm.index.locate import build_locate
+
+    for n, s, d in [(3001, 8, 32), (2048, 16, 64), (513, 4, 32)]:
+        codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+        host = build_locate(codes, sample_rate=s, d=d)
+        dev = build_locate_device(codes, sample_rate=s, d=d)
+        np.testing.assert_array_equal(dev.samples, host.samples)
+        np.testing.assert_array_equal(dev.mark_words, host.mark_words)
+        np.testing.assert_array_equal(dev.mark_rank, host.mark_rank)
+        _assert_same(dev.lf1, host.lf1)

@@ -144,3 +144,18 @@ def test_cli_locate(tmp_path, ref, monkeypatch):
         assert hits, "sampled read must occur"
         for h in hits:
             assert text[h : h + 16] == read.tobytes()
+
+
+def test_cli_locate_on_device(tmp_path, ref, monkeypatch):
+    # --on-device builds search + locate tables on the accelerator from one
+    # shared suffix sort; output must match the host-built run exactly.
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    cli.main(["genreads", str(path), str(n), "16", "24", "--seed", "9"])
+    qry = f"Q-24_B-16_R-{n}.qry"
+    common = [str(path), str(n), qry, "16", "24", "--k", "2", "--d", "32",
+              "--sample-rate", "8", "--max-hits", "8"]
+    cli.main(["locate", *common, "--output", str(tmp_path / "h.pos")])
+    cli.main(["locate", *common, "--on-device",
+              "--output", str(tmp_path / "d.pos")])
+    assert (tmp_path / "h.pos").read_text() == (tmp_path / "d.pos").read_text()

@@ -243,17 +243,36 @@ def cmd_locate(args):
 
         index = load_store(f"{args.from_store}.search.tpufm")
         loc = load_store(f"{args.from_store}.locate.tpufm")
+    elif args.on_device:
+        # one device suffix sort shared by the search index + locate tables
+        import jax
+        import jax.numpy as jnp
+
+        from tpufm.index.builder_device import (
+            build_index_device,
+            build_locate_device,
+        )
+        from tpufm.index.sa_device import suffix_array_device_arr
+
+        codes = read_reference(args.reference, args.refsize)
+        order = suffix_array_device_arr(jax.device_put(jnp.asarray(codes)))
+        index = build_index_device(
+            codes, IndexConfig(k=args.k, d=args.d), sa_dev=order
+        )
+        loc = build_locate_device(
+            codes, sample_rate=args.sample_rate, d=args.d, sa_dev=order
+        )
     else:
         codes = read_reference(args.reference, args.refsize)
         sa = suffix_array(codes)
         index = build_index(codes, IndexConfig(k=args.k, d=args.d), sa=sa)
         loc = build_locate(codes, sample_rate=args.sample_rate, d=args.d, sa=sa)
-        if args.store:
-            from tpufm.index.store import save_store
+    if not args.from_store and args.store:
+        from tpufm.index.store import save_store
 
-            save_store(f"{args.store}.search.tpufm", index)
-            save_store(f"{args.store}.locate.tpufm", loc)
-            print(f"stored {args.store}.search.tpufm + {args.store}.locate.tpufm")
+        save_store(f"{args.store}.search.tpufm", index)
+        save_store(f"{args.store}.locate.tpufm", loc)
+        print(f"stored {args.store}.search.tpufm + {args.store}.locate.tpufm")
     queries = load_queries(args.queries, args.qrysize, args.numqueries)
 
     intervals = XLAEngine(index).search(queries)
@@ -391,6 +410,9 @@ def main(argv=None):
     lc.add_argument("--d", type=int, default=64)
     lc.add_argument("--sample-rate", type=int, default=32)
     lc.add_argument("--max-hits", type=int, default=16)
+    lc.add_argument("--on-device", action="store_true",
+                    help="build index + locate tables on the accelerator "
+                         "(one shared device suffix sort)")
     lc.add_argument("--store", default=None, metavar="PREFIX",
                     help="persist PREFIX.search.tpufm + PREFIX.locate.tpufm")
     lc.add_argument("--from-store", default=None, metavar="PREFIX",

@@ -108,13 +108,16 @@ def build_index_device(
     config: IndexConfig = IndexConfig(),
     return_host: bool = True,
     device=None,
+    sa_dev=None,
 ) -> KStepFMIndex:
     """Build a k-step FM-index entirely on the accelerator.
 
     Same result as tpufm.index.builder.build_index (bit-identical), built
     with device-parallel primitives. return_host=False leaves occ/bitmaps as
     device arrays inside the returned KStepFMIndex (feed them straight to an
-    engine — no device->host->device round trip).
+    engine — no device->host->device round trip). sa_dev: optional
+    precomputed device suffix array (uint32 [n+1]) so several indexes /
+    locate tables share one device suffix sort.
     """
     import jax
     import jax.numpy as jnp
@@ -132,7 +135,9 @@ def build_index_device(
     E = config.num_entries(big)
 
     cd = jax.device_put(jnp.asarray(codes, jnp.uint8), device)
-    order = suffix_array_device_arr(cd)
+    order = suffix_array_device_arr(cd) if sa_dev is None else sa_dev
+    if order.shape[0] != big:
+        raise ValueError(f"sa_dev has {order.shape[0]} entries, expected {big}")
 
     key = (k, d)
     if key not in _cache:
@@ -192,4 +197,72 @@ def build_index_device(
         bitmaps=bitmaps,
         dollar_pos=dollar_pos,
         dollar_base=dollar_base,
+    )
+
+
+def build_locate_device(
+    reference,
+    sample_rate: int = 32,
+    d: int = 128,
+    return_host: bool = True,
+    device=None,
+    sa_dev=None,
+):
+    """Build locate tables (sampled SA + mark bitmaps + k=1 LF index) on the
+    accelerator — bit-identical to tpufm.index.locate.build_locate, sharing
+    ONE device suffix sort with the k=1 index build (pass sa_dev to share
+    it with further index builds too)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpufm.index.locate import LocateIndex
+
+    codes = normalize_reference(reference)
+    n = int(codes.shape[0])
+    big = n + 1
+    cd = jax.device_put(jnp.asarray(codes, jnp.uint8), device)
+    order = suffix_array_device_arr(cd) if sa_dev is None else sa_dev
+
+    lf1 = build_index_device(
+        codes, IndexConfig(k=1, d=d), return_host=return_host,
+        device=device, sa_dev=order,
+    )
+    E = lf1.occ.shape[0] - 1
+    nb = d // 32
+
+    marked = (order % jnp.uint32(sample_rate)) == 0  # [big] bool
+    n_sampled = -(-big // sample_rate)  # count of multiples of s in [0, big)
+    (sample_pos,) = jnp.nonzero(marked, size=n_sampled)  # ascending p order
+    samples = order[sample_pos]
+
+    # Pack mark bits per block (MSB-first 32-base windows, zero-padded tail
+    # + zero sentinel row — the same packing as the host builder).
+    pad = E * d - big
+    mbits = jnp.concatenate(
+        [marked.astype(jnp.uint32), jnp.zeros(pad, jnp.uint32)]
+    ).reshape(E, nb, 32)
+    words = jnp.zeros((E, nb), jnp.uint32)
+    for j in range(32):
+        words |= mbits[:, :, j] << jnp.uint32(31 - j)
+    mark_words = jnp.concatenate([words, jnp.zeros((1, nb), jnp.uint32)])
+
+    per_block = jnp.sum(
+        jax.lax.population_count(words).astype(jnp.int32), axis=1
+    ).astype(jnp.uint32)
+    mark_rank = jnp.concatenate(
+        [jnp.zeros(1, jnp.uint32), jnp.cumsum(per_block, dtype=jnp.uint32)]
+    )
+
+    if return_host:
+        import numpy as _np
+
+        samples = _np.asarray(jax.device_get(samples))
+        mark_words = _np.asarray(jax.device_get(mark_words))
+        mark_rank = _np.asarray(jax.device_get(mark_rank))
+    return LocateIndex(
+        lf1=lf1,
+        sample_rate=sample_rate,
+        mark_words=mark_words,
+        mark_rank=mark_rank,
+        samples=samples,
     )
