@@ -33,7 +33,10 @@ from tpufm.config import IndexConfig  # noqa: E402
 from tpufm.index.builder import build_index  # noqa: E402
 from tpufm.io.genreads import generate_reads  # noqa: E402
 from tpufm.parallel import initialize_distributed, make_mesh  # noqa: E402
-from tpufm.parallel.search import DataParallelEngine  # noqa: E402
+from tpufm.parallel.search import (  # noqa: E402
+    DataParallelEngine,
+    ShardedIndexEngine,
+)
 
 initialize_distributed(coordinator, num_processes=nproc, process_id=pid)
 
@@ -50,4 +53,12 @@ eng = DataParallelEngine(index, mesh, lut_m=4)
 out = eng.search(queries)
 
 np.save(os.path.join(outdir, f"result_{pid}.npy"), out)
+
+# Sharded-index mode across PROCESSES: the entry table split over the
+# global mesh, lookups routed with collectives spanning both workers.
+for routing in ("allgather", "ring", "a2a"):
+    sh = ShardedIndexEngine(index, mesh, routing=routing, lut_m=2)
+    out_sh = sh.search(queries)
+    np.save(os.path.join(outdir, f"result_{routing}_{pid}.npy"), out_sh)
+
 print(f"worker {pid}: ok", flush=True)

@@ -66,3 +66,7 @@ def test_two_process_data_parallel(tmp_path):
     for pid in range(nproc):
         got = np.load(tmp_path / f"result_{pid}.npy")
         np.testing.assert_array_equal(got, expect)
+        # sharded-index results, all three routings, from every process
+        for routing in ("allgather", "ring", "a2a"):
+            got_sh = np.load(tmp_path / f"result_{routing}_{pid}.npy")
+            np.testing.assert_array_equal(got_sh, expect)
