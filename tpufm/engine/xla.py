@@ -571,17 +571,21 @@ class LocateEngine:
         self.sample_rate = loc.sample_rate
         rows = lf1.occ.shape[0]
         put = functools.partial(jax.device_put, device=device)
+        # Device-built tables (builder_device.build_locate_device,
+        # return_host=False) fuse in place — no host round trip (the same
+        # pattern as build_fused_entries).
+        xp = jnp if isinstance(lf1.occ, jax.Array) else np
         self.tables = {
             "locate_rows": put(
-                np.concatenate(
+                xp.concatenate(
                     [
                         lf1.bitmaps.reshape(rows, -1),
                         lf1.occ,
-                        loc.mark_words,
-                        loc.mark_rank[:, None],
+                        xp.asarray(loc.mark_words),
+                        xp.asarray(loc.mark_rank)[:, None],
                     ],
                     axis=1,
-                ).astype(np.uint32)
+                ).astype(xp.uint32)
             ),
             "samples": put(loc.samples),
             "dollar_pos": put(lf1.dollar_pos),

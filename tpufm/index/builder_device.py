@@ -109,15 +109,17 @@ def build_index_device(
     return_host: bool = True,
     device=None,
     sa_dev=None,
+    codes_dev=None,
 ) -> KStepFMIndex:
     """Build a k-step FM-index entirely on the accelerator.
 
     Same result as tpufm.index.builder.build_index (bit-identical), built
     with device-parallel primitives. return_host=False leaves occ/bitmaps as
     device arrays inside the returned KStepFMIndex (feed them straight to an
-    engine — no device->host->device round trip). sa_dev: optional
-    precomputed device suffix array (uint32 [n+1]) so several indexes /
-    locate tables share one device suffix sort.
+    engine — no device->host->device round trip). sa_dev / codes_dev:
+    optional precomputed device suffix array (uint32 [n+1]) and device text
+    (uint8 [n]) so several indexes / locate tables share one suffix sort
+    and ONE text upload.
     """
     import jax
     import jax.numpy as jnp
@@ -134,7 +136,9 @@ def build_index_device(
     C = config.num_counters
     E = config.num_entries(big)
 
-    cd = jax.device_put(jnp.asarray(codes, jnp.uint8), device)
+    if codes_dev is None:
+        codes_dev = jax.device_put(jnp.asarray(codes, jnp.uint8), device)
+    cd = codes_dev
     order = suffix_array_device_arr(cd) if sa_dev is None else sa_dev
     if order.shape[0] != big:
         raise ValueError(f"sa_dev has {order.shape[0]} entries, expected {big}")
@@ -200,6 +204,56 @@ def build_index_device(
     )
 
 
+def _pack_bits_words(bits_u32):
+    """[E, nb, 32] 0/1 uint32 -> [E, nb] words, MSB-first (the same packing
+    _build_tables uses for the BWT bit-planes)."""
+    import jax.numpy as jnp
+
+    w = jnp.zeros(bits_u32.shape[:2], jnp.uint32)
+    for j in range(32):
+        w |= bits_u32[:, :, j] << jnp.uint32(31 - j)
+    return w
+
+
+def _locate_tables(d: int, sample_rate: int, n_sampled: int):
+    """Jitted (per shape) mark/sample table pipeline: order [big] u32 ->
+    (samples [n_sampled], mark_words [E+1, nb], mark_rank [E+1])."""
+    import jax
+    import jax.numpy as jnp
+
+    nb = d // 32
+
+    @jax.jit
+    def tables(order):
+        big = order.shape[0]
+        E = -(-big // d)
+        marked = (order % jnp.uint32(sample_rate)) == 0  # [big] bool
+        (sample_pos,) = jnp.nonzero(marked, size=n_sampled)  # ascending p
+        samples = order[sample_pos]
+
+        # Pack mark bits per block (MSB-first 32-base windows, zero-padded
+        # tail + zero sentinel row — the host builder's packing).
+        pad = E * d - big
+        mbits = jnp.concatenate(
+            [marked.astype(jnp.uint32), jnp.zeros(pad, jnp.uint32)]
+        ).reshape(E, nb, 32)
+        words = _pack_bits_words(mbits)
+        mark_words = jnp.concatenate([words, jnp.zeros((1, nb), jnp.uint32)])
+
+        per_block = jnp.sum(
+            jax.lax.population_count(words).astype(jnp.int32), axis=1
+        ).astype(jnp.uint32)
+        mark_rank = jnp.concatenate(
+            [jnp.zeros(1, jnp.uint32), jnp.cumsum(per_block, dtype=jnp.uint32)]
+        )
+        return samples, mark_words, mark_rank
+
+    return tables
+
+
+_locate_cache: dict = {}
+
+
 def build_locate_device(
     reference,
     sample_rate: int = 32,
@@ -220,38 +274,22 @@ def build_locate_device(
     codes = normalize_reference(reference)
     n = int(codes.shape[0])
     big = n + 1
+    # ONE text upload + one suffix sort shared with the k=1 index build.
     cd = jax.device_put(jnp.asarray(codes, jnp.uint8), device)
     order = suffix_array_device_arr(cd) if sa_dev is None else sa_dev
 
     lf1 = build_index_device(
         codes, IndexConfig(k=1, d=d), return_host=return_host,
-        device=device, sa_dev=order,
+        device=device, sa_dev=order, codes_dev=cd,
     )
     E = lf1.occ.shape[0] - 1
     nb = d // 32
 
-    marked = (order % jnp.uint32(sample_rate)) == 0  # [big] bool
     n_sampled = -(-big // sample_rate)  # count of multiples of s in [0, big)
-    (sample_pos,) = jnp.nonzero(marked, size=n_sampled)  # ascending p order
-    samples = order[sample_pos]
-
-    # Pack mark bits per block (MSB-first 32-base windows, zero-padded tail
-    # + zero sentinel row — the same packing as the host builder).
-    pad = E * d - big
-    mbits = jnp.concatenate(
-        [marked.astype(jnp.uint32), jnp.zeros(pad, jnp.uint32)]
-    ).reshape(E, nb, 32)
-    words = jnp.zeros((E, nb), jnp.uint32)
-    for j in range(32):
-        words |= mbits[:, :, j] << jnp.uint32(31 - j)
-    mark_words = jnp.concatenate([words, jnp.zeros((1, nb), jnp.uint32)])
-
-    per_block = jnp.sum(
-        jax.lax.population_count(words).astype(jnp.int32), axis=1
-    ).astype(jnp.uint32)
-    mark_rank = jnp.concatenate(
-        [jnp.zeros(1, jnp.uint32), jnp.cumsum(per_block, dtype=jnp.uint32)]
-    )
+    key = (d, sample_rate, n_sampled)
+    if key not in _locate_cache:
+        _locate_cache[key] = _locate_tables(d, sample_rate, n_sampled)
+    samples, mark_words, mark_rank = _locate_cache[key](order)
 
     if return_host:
         import numpy as _np
