@@ -172,7 +172,7 @@ def test_sharded_index_at_scale(rng, mesh):
 
     rec = {"refsize": n, "k": 3, "d": 128, "entries": index.nentries,
            "devices": 8, "build_s": round(build_s, 1), "routings": {}}
-    for routing in ("allgather", "ring"):
+    for routing in ("allgather", "ring", "a2a"):
         eng = ShardedIndexEngine(index, mesh, routing=routing, lut_m=6)
         t0 = time.time()
         out = eng.search(queries, wave=1024)  # 4 waves stream through
