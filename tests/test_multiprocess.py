@@ -70,3 +70,51 @@ def test_two_process_data_parallel(tmp_path):
         for routing in ("allgather", "ring", "a2a"):
             got_sh = np.load(tmp_path / f"result_{routing}_{pid}.npy")
             np.testing.assert_array_equal(got_sh, expect)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TPUFM_SCALE_TESTS"),
+    reason="set TPUFM_SCALE_TESTS=1 (several minutes: 100 Mbase build)",
+)
+def test_chromosome_scale_two_hosts(tmp_path):
+    """BASELINE.md target 5 end-to-end: chromosome-scale (100 Mbase) index,
+    N=2 OS processes (the multi-host analog), data-parallel wave streaming
+    with a device-built LUT, results merged via the replicated out-sharding
+    — bit-exact vs the oracle, index distributed via the mmap store."""
+    from tpufm.config import IndexConfig
+    from tpufm.engine.oracle import search_oracle
+    from tpufm.index.builder import build_index
+    from tpufm.index.store import save_store
+    from tpufm.io.genreads import generate_reads
+
+    n = 100_000_000
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=3, d=128))
+    save_store(tmp_path / "chrom.tpufm", index)
+    queries = generate_reads(codes, 120, 8192, seed=12)
+    np.save(tmp_path / "queries.npy", queries)
+    expect = search_oracle(index, queries)
+
+    worker = Path(__file__).parent / "distworker_scale.py"
+    coordinator = f"127.0.0.1:{_free_port()}"
+    nproc = 2
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coordinator, str(nproc), str(pid),
+             str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(nproc)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, f"scale worker failed:\n{out.decode()}"
+    for pid in range(nproc):
+        got = np.load(tmp_path / f"chrom_result_{pid}.npy")
+        np.testing.assert_array_equal(got, expect)
