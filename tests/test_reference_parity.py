@@ -139,11 +139,21 @@ def test_search_result_parity(tmp_path, rng, k, d):
     write_reads_fasta(qry, queries)
 
     run([bins["search"], fmi, qry, qlen, len(queries)], cwd=tmp_path)
-    expected = load_results(tmp_path / (fmi.name + ".res.cpu"))
+    theirs = tmp_path / (fmi.name + ".res.cpu")
+    expected = load_results(theirs)
 
     index = build_index(codes, IndexConfig(k=k, d=d))
     np.testing.assert_array_equal(search_oracle(index, queries), expected)
-    np.testing.assert_array_equal(XLAEngine(index).search(queries), expected)
+    out = XLAEngine(index).search(queries)
+    np.testing.assert_array_equal(out, expected)
+
+    # Byte-level writer parity: tpufm write_results must emit the exact
+    # bytes of the reference writeResults (common/common.c:201-220).
+    from tpufm.io.results import write_results
+
+    mine = tmp_path / "mine.res"
+    write_results(mine, out)
+    assert mine.read_bytes() == theirs.read_bytes()
 
 
 @pytest.mark.parametrize("k,d", [(1, 64), (2, 64), (3, 32), (4, 32)])

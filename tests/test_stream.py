@@ -83,3 +83,49 @@ def test_search_resumable_torn_sidecar(tmp_path, rng):
     res = search_resumable(eng, q, out, wave=32)
     np.testing.assert_array_equal(res, search_oracle(index, q))
     assert res.flags.writeable  # np.fromfile copy, not a frombuffer view
+
+
+def test_search_resumable_content_fingerprint(tmp_path, rng):
+    # Same shape, DIFFERENT query content: stale waves must not be spliced
+    # in (ADVICE round 2 — the sidecar carries a content fingerprint).
+    codes = rng.integers(0, 4, size=8000, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=2, d=32))
+    q1 = generate_reads(codes, 24, 64, seed=1)
+    q2 = generate_reads(codes, 24, 64, seed=2)  # same shape as q1
+    eng = XLAEngine(index)
+    out = tmp_path / "f.res"
+
+    flaky = _FlakyEngine(eng, die_after=1)
+    with pytest.raises(RuntimeError):
+        search_resumable(flaky, q1, out, wave=32)
+    assert (tmp_path / "f.res.partial").exists()
+
+    cont = _FlakyEngine(eng, die_after=99)
+    res = search_resumable(cont, q2, out, wave=32)
+    assert cont.calls == 2  # restarted from zero: both waves re-searched
+    np.testing.assert_array_equal(res, search_oracle(index, q2))
+
+
+def test_search_resumable_stats_and_mesh_wave(tmp_path, rng):
+    # stats['search_s'] accumulates engine time; a mesh engine's default
+    # wave honors WAVE_PER_CHIP * n_dev and non-divisible tails are padded.
+    import jax
+
+    from tpufm.parallel import make_mesh, ShardedIndexEngine
+
+    codes = rng.integers(0, 4, size=8000, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=2, d=32))
+    n_dev = len(jax.devices())
+    # 100 queries: with wave=64 the tail chunk (36) is not a mesh multiple
+    q = generate_reads(codes, 24, 100, seed=3)
+    eng = ShardedIndexEngine(index, make_mesh(n_dev))
+    stats = {}
+    res = search_resumable(eng, q, out_path=tmp_path / "m.res", wave=64,
+                           stats=stats)
+    np.testing.assert_array_equal(res, search_oracle(index, q))
+    assert stats["search_s"] > 0
+
+    # Default wave comes from WAVE_PER_CHIP * n_dev for sharded engines.
+    from tpufm.io.stream import _default_wave
+
+    assert _default_wave(eng) == eng.WAVE_PER_CHIP * n_dev

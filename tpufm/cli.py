@@ -33,10 +33,21 @@ def _load_any_index(path: str):
     if path.endswith(".tpufm"):
         from tpufm.index.store import load_store
 
-        return load_store(path)
-    if path.endswith(".npz"):
-        return load_npz(path)
-    index, _ = read_fmi(path)
+        index = load_store(path)
+    elif path.endswith(".npz"):
+        index = load_npz(path)
+    else:
+        index, _ = read_fmi(path)
+    from tpufm.index.builder import KStepFMIndex
+    from tpufm.index.layouts import AltCountersIndex
+
+    if not isinstance(index, (KStepFMIndex, AltCountersIndex)):
+        # e.g. a PREFIX.locate.tpufm store passed to `tpufm search`
+        sys.exit(
+            f"{path} holds a {type(index).__name__}, not a search index; "
+            "expected a k-step FM-index store (use `tpufm locate "
+            "--from-store PREFIX` for locate stores)"
+        )
     return index
 
 
@@ -113,9 +124,11 @@ def cmd_search(args):
         # re-invoked with the same arguments continues where it stopped.
         from tpufm.io.stream import search_resumable
 
-        t0 = time.perf_counter()
-        res = search_resumable(engine, queries, out)
-        print(f"TIME: \t {time.perf_counter() - t0}")
+        stats: dict = {}
+        res = search_resumable(engine, queries, out, stats=stats)
+        # TIME: reports pure search seconds — checkpoint fsync I/O excluded
+        # (it is resume overhead, not part of the reference protocol's pass).
+        print(f"TIME: \t {stats['search_s']}")
         write_results(out, res)
         print(f"wrote {out}")
         return
@@ -192,7 +205,7 @@ def cmd_sweep(args):
     process; JSON-lines records."""
     from tpufm.sweep import run_sweep
 
-    run_sweep(
+    records = run_sweep(
         refsizes=tuple(args.refsizes),
         ks=tuple(args.ks),
         ds=tuple(args.ds),
@@ -203,6 +216,12 @@ def cmd_sweep(args):
         iterations=args.iterations,
         out_path=args.output,
     )
+    bad = [r for r in records if r.get("bit_exact") is False]
+    if bad:
+        sys.exit(
+            f"SWEEP FAILED: {len(bad)}/{len(records)} rows not bit-exact "
+            f"vs oracle (first: {bad[0]})"
+        )
 
 
 def cmd_dumpentry(args):

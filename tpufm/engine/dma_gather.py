@@ -104,8 +104,8 @@ def make_dma_gather(E: int, W: int, outstanding: int = 32, interpret: bool = Fal
             kernel,
             grid=((n + pad) // CHUNK,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (CHUNK, W), lambda c: (c, 0), memory_space=pltpu.VMEM

@@ -101,9 +101,17 @@ def run_sweep(
 
                 exact = None
                 if verify:
-                    spot = np.asarray(jax.device_get(out))[:128]
+                    # Uniform random sample (not the head): >=4K reads per
+                    # row, the same sampling discipline as bench.py.
+                    host = np.asarray(jax.device_get(out))
+                    n_v = min(num_queries, 4096)
+                    vidx = np.sort(
+                        np.random.default_rng(seed + 2).choice(
+                            num_queries, n_v, replace=False
+                        )
+                    )
                     exact = bool(
-                        (spot == search_oracle(index, queries[:128])).all()
+                        (host[vidx] == search_oracle(index, queries[vidx])).all()
                     )
 
                 rec = {
