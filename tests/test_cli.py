@@ -159,3 +159,58 @@ def test_cli_locate_on_device(tmp_path, ref, monkeypatch):
     cli.main(["locate", *common, "--on-device",
               "--output", str(tmp_path / "d.pos")])
     assert (tmp_path / "h.pos").read_text() == (tmp_path / "d.pos").read_text()
+
+
+def test_cli_search_mesh_and_sharded(tmp_path, ref, monkeypatch, capsys):
+    """The multi-chip engines behind the reference-style CLI surface:
+    --mesh N (data-parallel) and --sharded --routing {allgather,ring,a2a}
+    must all produce the single-chip result bit-exactly — including a query
+    count NOT divisible by the mesh size (tail padding)."""
+    import jax
+
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    n_dev = len(jax.devices())
+    assert n_dev == 8  # conftest forces the 8-device virtual mesh
+
+    cli.main(["build", str(path), str(n), "--k", "2", "--d", "64"])
+    fmi = tmp_path / f"ref.fa.{n}.64fmi2steps.fmi"
+    nq = 100  # deliberately not a multiple of 8
+    cli.main(["genreads", str(path), str(n), "24", str(nq), "--seed", "5"])
+    qry = f"Q-{nq}_B-24_R-{n}.qry"
+
+    cli.main(["search", str(fmi), qry, "24", str(nq), "--iterations", "1",
+              "--output", "single.res"])
+
+    cli.main(["search", str(fmi), qry, "24", str(nq), "--iterations", "1",
+              "--mesh", str(n_dev), "--lut", "4",
+              "--output", "dp.res"])
+    cli.main(["diff", "single.res", "dp.res"])
+    assert "IDENTICAL" in capsys.readouterr().out
+
+    for routing in ("allgather", "ring", "a2a"):
+        cli.main(["search", str(fmi), qry, "24", str(nq), "--iterations", "1",
+                  "--mesh", str(n_dev), "--sharded", "--routing", routing,
+                  "--lut", "4", "--output", f"sh_{routing}.res"])
+        cli.main(["diff", "single.res", f"sh_{routing}.res"])
+        assert "IDENTICAL" in capsys.readouterr().out
+
+    # --sharded rejects the AC layout with a clear message (deliberate:
+    # baseline IS the memory-optimal sharded layout, docs/DISTRIBUTED.md)
+    with pytest.raises(SystemExit, match="baseline layout"):
+        cli.main(["search", str(fmi), qry, "24", str(nq), "--sharded",
+                  "--engine", "xla-ac"])
+
+
+def test_cli_bench_sharded():
+    """tpufm bench --sharded: the weak-scaling record on the virtual mesh."""
+    from tpufm.bench import run_bench_sharded
+
+    rec = run_bench_sharded(
+        refsize=40000, k=2, d=64, num_queries=512, query_len=24,
+        iterations=1, lut_m=4, routing="a2a",
+    )
+    assert rec["detail"]["bit_exact_vs_oracle"]
+    assert rec["detail"]["devices"] == 8
+    assert 0.0 <= rec["detail"]["overflow_round_fraction"] <= 1.0
+    assert rec["unit"] == "reads/s"

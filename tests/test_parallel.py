@@ -51,11 +51,21 @@ def test_data_parallel_ac(rng, mesh):
     )
 
 
-def test_data_parallel_rejects_ragged_batch(rng, mesh):
+def test_data_parallel_pads_ragged_batch(rng, mesh):
+    # A batch not divisible by the mesh size is padded by cycling and the
+    # answers trimmed — the CLI contract (shard_queries itself still raises).
     codes, index = _mk(rng, 2, 64, n=512)
     engine = DataParallelEngine(index, mesh)
+    qlen = 24
+    starts = rng.integers(0, len(codes) - qlen, size=30)
+    queries = np.stack([codes[s : s + qlen] for s in starts])
+    from tpufm.engine.oracle import search_oracle
+
+    out = engine.search(queries)
+    assert out.shape == (30, 2)
+    np.testing.assert_array_equal(out, search_oracle(index, queries))
     with pytest.raises(ValueError, match="not divisible"):
-        engine.search(np.zeros((30, 8), np.uint8))
+        engine.shard_queries(np.zeros((30, 8), np.uint8))
 
 
 @pytest.mark.parametrize("routing", ["allgather", "ring", "a2a"])

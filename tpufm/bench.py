@@ -218,6 +218,87 @@ def run_bench(
     }
 
 
+def run_bench_sharded(
+    refsize: int = 10_000_000,
+    k: int = 3,
+    d: int = 128,
+    num_queries: int = 524288,
+    query_len: int = 120,
+    iterations: int = 5,
+    seed: int = 0,
+    lut_m: int = 0,
+    routing: str = "allgather",
+    n_devices: int | None = None,
+) -> dict:
+    """Sharded-index (entry table sharded over the mesh) scaling benchmark.
+
+    Weak-scaling protocol mirrors run_bench_multichip: the per-chip read
+    shard is timed on a 1-device mesh (where every routing degenerates to
+    local answering), and vs_baseline is reads_s(N) / (N * reads_s(1)).
+    For routing='a2a' the record also reports the fraction of LF rounds
+    that hit the overflow fallback."""
+    _enable_compile_cache()
+    import jax
+
+    from tpufm.config import IndexConfig
+    from tpufm.engine.oracle import search_oracle
+    from tpufm.index.builder import build_index
+    from tpufm.io.genreads import generate_reads
+    from tpufm.parallel import make_mesh, ShardedIndexEngine
+    from tpufm.utils.timer import timed_device_passes
+
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=refsize, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=k, d=d))
+    mesh = make_mesh(n_devices)
+    n_dev = mesh.devices.size
+    num_queries -= num_queries % n_dev
+    queries = generate_reads(codes, query_len, num_queries, seed=seed + 1)
+
+    def timed_run(m, q):
+        eng = ShardedIndexEngine(index, m, routing=routing, lut_m=lut_m)
+        qd = eng.place_queries(q)
+        dt, _ = timed_device_passes(
+            lambda: eng.search_device(qd), iterations=iterations
+        )
+        return dt, eng, qd
+
+    one_s, _, _ = timed_run(make_mesh(1), queries[: num_queries // n_dev])
+    one_chip_reads_s = (num_queries // n_dev) / one_s
+
+    search_s, eng, qd = timed_run(mesh, queries)
+    out_h, ov_h = eng.search_device(qd)
+    out = np.asarray(jax.device_get(out_h))
+    ov = np.asarray(jax.device_get(ov_h))
+    n_verify = min(num_queries, 65536)
+    vidx = np.sort(
+        np.random.default_rng(seed + 2).choice(num_queries, n_verify, replace=False)
+    )
+    exact = bool((out[vidx] == search_oracle(index, queries[vidx])).all())
+
+    reads_s = num_queries / search_s
+    efficiency = reads_s / (n_dev * one_chip_reads_s)
+    return {
+        "metric": f"sharded-index ({routing}) scaling efficiency over {n_dev} "
+        f"device(s) (k={k}, d={d}, lut_m={lut_m}, {num_queries} reads x "
+        f"{query_len} bp)",
+        "value": round(reads_s),
+        "unit": "reads/s",
+        "vs_baseline": round(efficiency, 4),
+        "detail": {
+            "devices": n_dev,
+            "routing": routing,
+            "scaling_efficiency": round(efficiency, 4),
+            "reads_per_s_one_chip": round(one_chip_reads_s),
+            "reads_per_s_per_chip": round(reads_s / n_dev),
+            "seconds_per_pass": search_s,
+            "overflow_round_fraction": round(float(ov.mean()), 4),
+            "bit_exact_vs_oracle": exact,
+            "verified_reads": n_verify,
+        },
+    }
+
+
 def run_bench_multichip(
     refsize: int = 10_000_000,
     k: int = 3,

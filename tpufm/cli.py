@@ -152,13 +152,52 @@ def _make_engine(index, args):
     from tpufm.index.builder import KStepFMIndex
 
     engine = getattr(args, "engine", "xla")
+    lut_m = getattr(args, "lut", 0)
+    mesh_n = getattr(args, "mesh", None)
+    sharded = getattr(args, "sharded", False)
+
+    if mesh_n is not None or sharded:
+        # Multi-chip engines behind the same CLI surface the reference's
+        # searcher binaries had (common/searchQueries.c:34-132): --mesh N
+        # shards the batch data-parallel over N chips (index replicated);
+        # --sharded shards the ENTRY TABLE over the mesh for >HBM indexes,
+        # with --routing picking the collective plan.
+        if engine == "pallas":
+            sys.exit("--mesh/--sharded support engines xla and xla-ac only")
+        from tpufm.parallel import (
+            make_mesh,
+            DataParallelEngine,
+            ShardedIndexEngine,
+        )
+
+        mesh = make_mesh(mesh_n or None)  # 0 = all local devices
+        if sharded:
+            if engine == "xla-ac":
+                # Deliberate: the baseline counter layout IS the
+                # memory-optimal sharded layout (docs/DISTRIBUTED.md).
+                sys.exit("--sharded uses the baseline layout; drop --engine xla-ac")
+            return ShardedIndexEngine(
+                index,
+                mesh,
+                routing=getattr(args, "routing", "allgather"),
+                lut_m=lut_m,
+            )
+        if engine == "xla-ac" and isinstance(index, KStepFMIndex):
+            index = make_alt_counters(index)
+        return DataParallelEngine(
+            index,
+            mesh,
+            lut_m=lut_m,
+            lut_cache=f"{args.index}.lut{lut_m}.npz" if lut_m else None,
+            pad_words=getattr(args, "pad_words", None),
+        )
+
     if engine == "pallas":
         from tpufm.engine.pallas_kernel import PallasEngine
 
-        return PallasEngine(index, lut_m=getattr(args, "lut", 0))
+        return PallasEngine(index, lut_m=lut_m)
     if engine == "xla-ac" and isinstance(index, KStepFMIndex):
         index = make_alt_counters(index)
-    lut_m = getattr(args, "lut", 0)
     return XLAEngine(
         index,
         lut_m=lut_m,
@@ -170,7 +209,21 @@ def _make_engine(index, args):
 
 
 def cmd_bench(args):
-    if args.multichip:
+    if args.sharded:
+        from tpufm.bench import run_bench_sharded
+
+        record = run_bench_sharded(
+            refsize=args.refsize,
+            k=args.k,
+            d=args.d,
+            num_queries=args.numqueries,
+            query_len=args.length,
+            iterations=args.iterations,
+            seed=args.seed,
+            lut_m=args.lut,
+            routing=args.routing,
+        )
+    elif args.multichip:
         from tpufm.bench import run_bench_multichip
 
         record = run_bench_multichip(
@@ -385,6 +438,15 @@ def main(argv=None):
                    help="prefix-LUT length m (collapses the first m chars "
                         "of every query into one gather)")
     s.add_argument("--pad-words", type=int, default=None)
+    s.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="run data-parallel over an N-device mesh (0 = all "
+                        "local devices); index replicated, batch sharded")
+    s.add_argument("--sharded", action="store_true",
+                   help="shard the entry table over the mesh (indexes "
+                        "larger than one chip's HBM); baseline layout only")
+    s.add_argument("--routing", default="allgather",
+                   choices=["allgather", "ring", "a2a"],
+                   help="collective plan for --sharded lookups")
     s.add_argument("--resume", action="store_true",
                    help="checkpoint each wave; a re-run with the same "
                         "arguments continues after a crash")
@@ -403,6 +465,11 @@ def main(argv=None):
     be.add_argument("--lut", type=int, default=0)
     be.add_argument("--multichip", action="store_true",
                     help="data-parallel over all local devices")
+    be.add_argument("--sharded", action="store_true",
+                    help="entry-table-sharded over all local devices")
+    be.add_argument("--routing", default="allgather",
+                    choices=["allgather", "ring", "a2a"],
+                    help="collective plan for --sharded")
     be.set_defaults(fn=cmd_bench)
 
     sw = sub.add_parser("sweep", help="run the (refsize x k x d x engine) matrix")

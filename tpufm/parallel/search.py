@@ -138,8 +138,15 @@ class DataParallelEngine:
         return put_global(np.asarray(queries, np.uint8), self.batch_sharding)
 
     def search(self, queries) -> np.ndarray:
+        """uint8 [B, L] -> uint32 [B, 2]. A batch not divisible by the mesh
+        size is padded by cycling its own reads and the answers trimmed."""
+        queries = np.asarray(queries, np.uint8)
+        B = queries.shape[0]
+        pad = -B % self.mesh.devices.size
+        if pad:
+            queries = np.concatenate([queries, queries[:pad]])
         out = self._search(self.tables, _U32(self.bwtsize), self.shard_queries(queries))
-        return np.asarray(jax.device_get(out))
+        return np.asarray(jax.device_get(out))[:B]
 
     def search_device(self, queries_sharded):
         return self._search(self.tables, _U32(self.bwtsize), queries_sharded)
@@ -538,15 +545,25 @@ class ShardedIndexEngine:
             parts.append(out[: wave - pad] if pad else out)
         return np.concatenate(parts) if len(parts) > 1 else parts[0]
 
-    def _dispatch_wave(self, queries: np.ndarray, program=None):
-        """Async dispatch: returns device handles (no host sync)."""
-        q = put_global(
+    def place_queries(self, queries) -> jax.Array:
+        """Place a [B, L] uint8 batch sharded along the mesh's batch axis
+        (B must be a mesh multiple)."""
+        return put_global(
             np.asarray(queries, np.uint8),
             NamedSharding(self.mesh, P(self.axis, None)),
         )
+
+    def search_device(self, queries_sharded, program=None):
+        """Device-resident dispatch: (intervals, overflow_flags) handles,
+        no host sync — the benchmarking entry point."""
         return (program or self._search)(
-            self.occ, self.bitmaps, self.dollar, self.lut, _U32(self.bwtsize), q
+            self.occ, self.bitmaps, self.dollar, self.lut,
+            _U32(self.bwtsize), queries_sharded,
         )
+
+    def _dispatch_wave(self, queries: np.ndarray, program=None):
+        """Async dispatch: returns device handles (no host sync)."""
+        return self.search_device(self.place_queries(queries), program)
 
     def _run_wave(self, queries: np.ndarray, program=None) -> np.ndarray:
         out, overflow = self._dispatch_wave(queries, program)
@@ -556,7 +573,8 @@ class ShardedIndexEngine:
         return np.asarray(jax.device_get(out))
 
     def search(self, queries, wave: int | None = None) -> np.ndarray:
-        """uint8 [B, L] -> uint32 [B, 2]. B must divide by the mesh size;
+        """uint8 [B, L] -> uint32 [B, 2]. A batch not divisible by the mesh
+        size is padded by cycling its own reads (trimmed from the answers);
         batches beyond `wave` (default WAVE_PER_CHIP * n_dev) stream in
         padded fixed-shape waves (pipelined 2 deep) so device memory stays
         constant. last_overflow_rounds ORs the a2a fallback flags over
@@ -565,8 +583,10 @@ class ShardedIndexEngine:
 
         n = self.mesh.devices.size
         queries = np.asarray(queries, dtype=np.uint8)
-        if queries.shape[0] % n:
-            raise ValueError(f"batch not divisible by mesh size {n}")
+        B = queries.shape[0]
+        trim = -B % n
+        if trim:
+            queries = np.concatenate([queries, queries[:trim]])
         wave = wave or self.WAVE_PER_CHIP * n
         wave -= wave % n
         if wave <= 0:
@@ -589,4 +609,4 @@ class ShardedIndexEngine:
         )
         if overflow:
             self.last_overflow_rounds = np.logical_or.reduce(overflow)
-        return out
+        return out[:B] if trim else out
