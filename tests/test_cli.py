@@ -214,3 +214,18 @@ def test_cli_bench_sharded():
     assert rec["detail"]["devices"] == 8
     assert 0.0 <= rec["detail"]["overflow_round_fraction"] <= 1.0
     assert rec["unit"] == "reads/s"
+
+
+def test_cli_locate_mesh(tmp_path, ref, monkeypatch):
+    # `tpufm locate --mesh N` (data-parallel search + locate) must match the
+    # single-chip output exactly.
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    cli.main(["genreads", str(path), str(n), "16", "24", "--seed", "9"])
+    qry = f"Q-24_B-16_R-{n}.qry"
+    common = [str(path), str(n), qry, "16", "24", "--k", "2", "--d", "32",
+              "--sample-rate", "8", "--max-hits", "8"]
+    cli.main(["locate", *common, "--output", str(tmp_path / "h.pos")])
+    cli.main(["locate", *common, "--mesh", "8",
+              "--output", str(tmp_path / "m.pos")])
+    assert (tmp_path / "h.pos").read_text() == (tmp_path / "m.pos").read_text()

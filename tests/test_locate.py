@@ -106,3 +106,51 @@ def test_locate_rows_wave_streaming(rng):
     np.testing.assert_array_equal(
         eng.locate_rows(rows, wave=128), eng.locate_rows(rows)
     )
+
+
+def test_data_parallel_locate_matches_oracle(rng):
+    """Replicated-table, row-sharded locate over the 8-device virtual mesh
+    (VERDICT round 2: locate must scale like search)."""
+    import jax
+
+    from tpufm.parallel import make_mesh, DataParallelLocate
+
+    codes = rng.integers(0, 4, size=30000, dtype=np.uint8)
+    loc = build_locate(codes, sample_rate=16, d=64)
+    mesh = make_mesh(len(jax.devices()))
+    eng = DataParallelLocate(loc, mesh)
+
+    # Row count NOT divisible by the mesh size: pad-and-trim path.
+    rows = rng.integers(0, 30001, size=1003, dtype=np.uint32)
+    np.testing.assert_array_equal(eng.locate_rows(rows), locate_oracle(loc, rows))
+
+    # Wave streaming (several waves) stays exact.
+    np.testing.assert_array_equal(
+        eng.locate_rows(rows, wave=256), locate_oracle(loc, rows)
+    )
+
+    # locate_hits parity with the single-chip engine.
+    from tpufm.engine.xla import XLAEngine
+    from tpufm.index.builder import build_index
+    from tpufm.config import IndexConfig
+    from tpufm.io.genreads import generate_reads
+
+    index = build_index(codes, IndexConfig(k=2, d=64))
+    queries = generate_reads(codes, 24, 40, seed=5)
+    iv = XLAEngine(index).search(queries)
+    from tpufm.engine.xla import LocateEngine
+
+    np.testing.assert_array_equal(
+        eng.locate_hits(iv, max_hits=8), LocateEngine(loc).locate_hits(iv, 8)
+    )
+
+
+def test_bench_locate_record():
+    from tpufm.bench import run_bench_locate
+
+    rec = run_bench_locate(
+        refsize=20000, d=64, sample_rate=8, num_rows=2048, iterations=1
+    )
+    assert rec["unit"] == "positions/s"
+    assert rec["detail"]["bit_exact_vs_oracle"]
+    assert rec["detail"]["devices"] == 8

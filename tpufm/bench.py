@@ -299,6 +299,77 @@ def run_bench_sharded(
     }
 
 
+def run_bench_locate(
+    refsize: int = 10_000_000,
+    d: int = 128,
+    sample_rate: int = 32,
+    num_rows: int = 2 << 20,
+    iterations: int = 5,
+    seed: int = 0,
+    n_devices: int | None = None,
+) -> dict:
+    """positions/s record for the sampled-SA locate walk. With n_devices
+    (or >1 local devices) uses DataParallelLocate and reports weak-scaling
+    efficiency as vs_baseline; single-device reports the fraction of the
+    single-chip flagship record (2.48M positions/s, docs/PERF.md)."""
+    _enable_compile_cache()
+    import jax
+
+    from tpufm.index.locate import build_locate, locate_oracle
+    from tpufm.parallel import make_mesh, DataParallelLocate
+    from tpufm.utils.timer import timed_device_passes
+
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=refsize, dtype=np.uint8)
+    t0 = time.perf_counter()
+    loc = build_locate(codes, sample_rate=sample_rate, d=d)
+    build_s = time.perf_counter() - t0
+
+    mesh = make_mesh(n_devices)
+    n_dev = mesh.devices.size
+    num_rows -= num_rows % n_dev
+    rows = rng.integers(0, refsize + 1, size=num_rows, dtype=np.uint32)
+
+    def timed_run(m, r):
+        eng = DataParallelLocate(loc, m)
+        rd = eng.place_rows(r)
+        dt, _ = timed_device_passes(
+            lambda: eng.locate_device(rd), iterations=iterations
+        )
+        return dt, eng, rd
+
+    one_s, _, _ = timed_run(make_mesh(1), rows[: num_rows // n_dev])
+    one_chip_pos_s = (num_rows // n_dev) / one_s
+
+    loc_s, eng, rd = timed_run(mesh, rows)
+    out = np.asarray(jax.device_get(eng.locate_device(rd)))
+    n_verify = min(num_rows, 65536)
+    vidx = np.sort(
+        np.random.default_rng(seed + 2).choice(num_rows, n_verify, replace=False)
+    )
+    exact = bool((out[vidx] == locate_oracle(loc, rows[vidx])).all())
+
+    pos_s = num_rows / loc_s
+    efficiency = pos_s / (n_dev * one_chip_pos_s)
+    return {
+        "metric": f"sampled-SA locate positions/s over {n_dev} device(s) "
+        f"(d={d}, s={sample_rate}, {num_rows} rows, {refsize} bases)",
+        "value": round(pos_s),
+        "unit": "positions/s",
+        "vs_baseline": round(efficiency, 4),
+        "detail": {
+            "devices": n_dev,
+            "scaling_efficiency": round(efficiency, 4),
+            "positions_per_s_one_chip": round(one_chip_pos_s),
+            "positions_per_s_per_chip": round(pos_s / n_dev),
+            "seconds_per_pass": loc_s,
+            "build_seconds": round(build_s, 1),
+            "bit_exact_vs_oracle": exact,
+            "verified_rows": n_verify,
+        },
+    }
+
+
 def run_bench_multichip(
     refsize: int = 10_000_000,
     k: int = 3,

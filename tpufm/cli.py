@@ -209,7 +209,19 @@ def _make_engine(index, args):
 
 
 def cmd_bench(args):
-    if args.sharded:
+    if args.locate:
+        from tpufm.bench import run_bench_locate
+
+        record = run_bench_locate(
+            refsize=args.refsize,
+            d=args.d,
+            sample_rate=args.sample_rate,
+            num_rows=args.numqueries,
+            iterations=args.iterations,
+            seed=args.seed,
+            n_devices=(args.mesh or None) if args.multichip or args.mesh else 1,
+        )
+    elif args.sharded:
         from tpufm.bench import run_bench_sharded
 
         record = run_bench_sharded(
@@ -347,8 +359,23 @@ def cmd_locate(args):
         print(f"stored {args.store}.search.tpufm + {args.store}.locate.tpufm")
     queries = load_queries(args.queries, args.qrysize, args.numqueries)
 
-    intervals = XLAEngine(index).search(queries)
-    pos = LocateEngine(loc).locate_hits(intervals, max_hits=args.max_hits)
+    if args.mesh is not None:
+        # Multi-chip: batch-sharded search + row-sharded locate walk over
+        # the same mesh (tables replicated — they are small, docs/PERF.md).
+        from tpufm.parallel import (
+            make_mesh,
+            DataParallelEngine,
+            DataParallelLocate,
+        )
+
+        mesh = make_mesh(args.mesh or None)
+        intervals = DataParallelEngine(index, mesh).search(queries)
+        pos = DataParallelLocate(loc, mesh).locate_hits(
+            intervals, max_hits=args.max_hits
+        )
+    else:
+        intervals = XLAEngine(index).search(queries)
+        pos = LocateEngine(loc).locate_hits(intervals, max_hits=args.max_hits)
 
     out = args.output or f"{args.queries}.pos"
     with open(out, "w") as fp:
@@ -470,6 +497,13 @@ def main(argv=None):
     be.add_argument("--routing", default="allgather",
                     choices=["allgather", "ring", "a2a"],
                     help="collective plan for --sharded")
+    be.add_argument("--locate", action="store_true",
+                    help="benchmark the sampled-SA locate walk "
+                         "(positions/s; --numqueries = rows)")
+    be.add_argument("--sample-rate", type=int, default=32,
+                    help="locate SA sampling rate (with --locate)")
+    be.add_argument("--mesh", type=int, default=None, metavar="N",
+                    help="device count for --locate (0 = all)")
     be.set_defaults(fn=cmd_bench)
 
     sw = sub.add_parser("sweep", help="run the (refsize x k x d x engine) matrix")
@@ -499,6 +533,9 @@ def main(argv=None):
     lc.add_argument("--on-device", action="store_true",
                     help="build index + locate tables on the accelerator "
                          "(one shared device suffix sort)")
+    lc.add_argument("--mesh", type=int, default=None, metavar="N",
+                    help="data-parallel search + locate over an N-device "
+                         "mesh (0 = all local devices)")
     lc.add_argument("--store", default=None, metavar="PREFIX",
                     help="persist PREFIX.search.tpufm + PREFIX.locate.tpufm")
     lc.add_argument("--from-store", default=None, metavar="PREFIX",

@@ -558,40 +558,8 @@ class LocateEngine:
     tables built by tpufm.index.locate.build_locate."""
 
     def __init__(self, loc, device=None):
-        from tpufm.index.locate import LocateIndex
-
-        assert isinstance(loc, LocateIndex)
-        lf1 = loc.lf1
-        if lf1.config.k != 1:
-            raise ValueError(
-                f"LocateIndex.lf1 must be a k=1 index (got k={lf1.config.k}); "
-                "the locate walk takes single-character LF steps"
-            )
-        self.d = lf1.config.d
-        self.sample_rate = loc.sample_rate
-        rows = lf1.occ.shape[0]
         put = functools.partial(jax.device_put, device=device)
-        # Device-built tables (builder_device.build_locate_device,
-        # return_host=False) fuse in place — no host round trip (the same
-        # pattern as build_fused_entries).
-        xp = jnp if isinstance(lf1.occ, jax.Array) else np
-        self.tables = {
-            "locate_rows": put(
-                xp.concatenate(
-                    [
-                        lf1.bitmaps.reshape(rows, -1),
-                        lf1.occ,
-                        xp.asarray(loc.mark_words),
-                        xp.asarray(loc.mark_rank)[:, None],
-                    ],
-                    axis=1,
-                ).astype(xp.uint32)
-            ),
-            "samples": put(loc.samples),
-            "dollar_pos": put(lf1.dollar_pos),
-            "dollar_base": put(lf1.dollar_base),
-            "dollar_block": put(np.asarray(lf1.dollar_block, np.uint32)),
-        }
+        self.tables, self.d, self.sample_rate = build_locate_tables(loc, put)
         self._locate = jax.jit(make_locate_fn(self.d, self.sample_rate))
 
     #: rows per device wave — the same 1M-wave lesson as the search engine;
@@ -619,6 +587,45 @@ class LocateEngine:
         rows, valid = expand_intervals(intervals, max_hits)
         pos = self.locate_rows(rows.reshape(-1)).reshape(rows.shape)
         return np.where(valid, pos, np.uint32(0xFFFFFFFF))
+
+
+def build_locate_tables(loc, put):
+    """Device table pytree for the sampled-SA locate walk, shared by the
+    single-chip LocateEngine and the mesh DataParallelLocate. `put` places
+    each array (device / sharding of the caller's choice). Returns
+    (tables, d, sample_rate)."""
+    from tpufm.index.locate import LocateIndex
+
+    assert isinstance(loc, LocateIndex)
+    lf1 = loc.lf1
+    if lf1.config.k != 1:
+        raise ValueError(
+            f"LocateIndex.lf1 must be a k=1 index (got k={lf1.config.k}); "
+            "the locate walk takes single-character LF steps"
+        )
+    rows = lf1.occ.shape[0]
+    # Device-built tables (builder_device.build_locate_device,
+    # return_host=False) fuse in place — no host round trip (the same
+    # pattern as build_fused_entries).
+    xp = jnp if isinstance(lf1.occ, jax.Array) else np
+    tables = {
+        "locate_rows": put(
+            xp.concatenate(
+                [
+                    lf1.bitmaps.reshape(rows, -1),
+                    lf1.occ,
+                    xp.asarray(loc.mark_words),
+                    xp.asarray(loc.mark_rank)[:, None],
+                ],
+                axis=1,
+            ).astype(xp.uint32)
+        ),
+        "samples": put(loc.samples),
+        "dollar_pos": put(lf1.dollar_pos),
+        "dollar_base": put(lf1.dollar_base),
+        "dollar_block": put(np.asarray(lf1.dollar_block, np.uint32)),
+    }
+    return tables, lf1.config.d, loc.sample_rate
 
 
 def build_fused_entries(base: KStepFMIndex, pad_words: int | None = None):

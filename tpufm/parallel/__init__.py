@@ -1,9 +1,11 @@
 from tpufm.parallel.mesh import initialize_distributed, make_mesh
 from tpufm.parallel.search import DataParallelEngine, ShardedIndexEngine
+from tpufm.parallel.locate import DataParallelLocate
 
 __all__ = [
     "initialize_distributed",
     "make_mesh",
     "DataParallelEngine",
     "ShardedIndexEngine",
+    "DataParallelLocate",
 ]
