@@ -119,9 +119,8 @@ def test_sweep_engine_dispatch():
         num_queries=64, query_len=12, iterations=1,
     )
     by = {(r["engine"], r["lut_m"]) for r in recs}
-    # split has no LUT path -> that combo is skipped, everything else present
     assert by == {("xla", 0), ("xla", 4), ("pallas", 0), ("pallas", 4),
-                  ("xla-split", 0)}
+                  ("xla-split", 0), ("xla-split", 4)}
     assert all(r["bit_exact"] for r in recs)
 
 

@@ -147,3 +147,19 @@ def test_xla_lut_cache_path_without_npz_suffix(rng, tmp_path):
     m0 = os.path.getmtime(cache + ".npz")
     XLAEngine(index, lut_m=4, lut_cache=cache)
     assert os.path.getmtime(cache + ".npz") == m0
+
+
+@pytest.mark.parametrize("k,d", [(4, 96), (5, 32)])
+@pytest.mark.parametrize("layout", ["fused", "split"])
+def test_xla_high_k_with_lut(rng, k, d, layout):
+    """High-k configs (the gathers/read reducer) with a prefix LUT, both
+    layouts — split now supports lut_m and stacks both interval ends."""
+    codes, index = _mk(rng, k, d, 3000)
+    lut_m = 2 * k  # multiple of k
+    engine = XLAEngine(index, layout=layout, lut_m=lut_m)
+    qlen = 4 * k
+    starts = rng.integers(0, len(codes) - qlen, size=48)
+    queries = np.stack([codes[s : s + qlen] for s in starts])
+    misses = rng.integers(0, 4, size=(16, qlen), dtype=np.uint8)
+    queries = np.concatenate([queries, misses])
+    np.testing.assert_array_equal(engine.search(queries), search_oracle(index, queries))

@@ -104,7 +104,7 @@ def run_bench(
     if engine == "xla-ac":
         eng = XLAEngine(make_alt_counters(index))
     elif engine == "xla-split":
-        eng = XLAEngine(index, layout="split")
+        eng = XLAEngine(index, layout="split", lut_m=lut_m)
     elif engine == "pallas":
         from tpufm.engine.pallas_kernel import PallasEngine
 

@@ -103,20 +103,26 @@ def lf_step_fused(tables: dict, cfg: tuple, interval, code, gather_fn=None):
     return cnt + count
 
 
-def lf_step(tables: dict, cfg: tuple, interval, code):
-    """Baseline-layout k-step LF for a batch of interval ends.
+def lf_step_split(tables: dict, cfg: tuple, interval, code):
+    """Split-table k-step LF for both interval ends at once.
 
-    tables: {'occ': [E+1, 4^k], 'bitmaps': [E+1, k, 2, nb], 'dollar_pos': [k],
-             'dollar_base': [k], 'dollar_block': [k]} (uint32)
-    cfg: (k, d, nb) static ints.
+    Two gathers per round (the narrow bitmap rows + a flat 1-word counter
+    pick), both ends stacked — the high-k counterpoint to lf_step_fused:
+    a fused row carries all 4^k counters (1 KB at k=4/d=128), while the
+    split bitmap row is just 2k*nb words (128 B), so when the gather issue
+    rate is width-insensitive the fused row wins, and when width starts to
+    bite the split row wins. Measured head-to-head in docs/PERF.md.
+
+    tables: {'occ': [E+1, 4^k], 'bitmaps': [E+1, k, 2, nb], dollar_*}
+    cfg: (k, d, nb) static; interval: uint32 [B, 2]; code: uint32 [B].
     """
     k, d, nb = cfg
     block = interval // _U32(d)
-    cnt = tables["occ"][block, code]
-    rows = tables["bitmaps"][block]
+    cnt = tables["occ"][block, code[:, None]]  # flat gather, [B, 2]
+    rows = tables["bitmaps"][block]            # row gather, [B, 2, k, 2, nb]
 
     masks = _boundary_masks(interval % _U32(d), nb)
-    matched = _match_words(rows, code, k) & masks
+    matched = _match_words(rows, code[:, None], k) & masks
     count = jnp.sum(jax.lax.population_count(matched), axis=-1)
 
     dpos, dbase, dblock = (
@@ -126,7 +132,7 @@ def lf_step(tables: dict, cfg: tuple, interval, code):
     )
     hit = (
         (block[..., None] == dblock)
-        & (code[..., None] == dbase)
+        & (code[:, None, None] == dbase)
         & (interval[..., None] > dpos)
     )
     count -= jnp.sum(hit.astype(_U32), axis=-1)
@@ -207,75 +213,85 @@ def make_search_fn(
 ):
     """Build the jittable batch search: (tables, bwtsize, queries) -> [B, 2].
 
-    layout="fused" (default, fastest on TPU): single-table single-gather
-    rounds via lf_step_fused. layout="split": separate occ/bitmap gathers
-    (required for the alternate-counters tables).
+    layout="fused" (default): single-table single-gather rounds via
+    lf_step_fused. layout="split": separate occ/bitmap gathers with both
+    ends stacked (lf_step_split) — the better trade once 4^k counters
+    dominate the fused row width (measured crossover in docs/PERF.md);
+    also the only layout for the alternate-counters tables (per-end walk).
 
-    lut_m > 0 (fused only): tables must hold 'lut' uint32 [4^lut_m, 2] — the
+    lut_m > 0 (fused or split): tables must hold 'lut' uint32 [4^lut_m, 2] — the
     precomputed SA interval of every lut_m-mer. The first lut_m characters of
     the backward search collapse into ONE gather instead of lut_m/k k-step
     rounds (a round-eliminator the reference's fixed-k design cannot express;
     cf. its per-round entry fetch, src/fmIndexCPUBaseline.c:200-228).
     """
     nb = d // 32
+    if layout not in ("fused", "split"):
+        raise ValueError(f"unknown layout {layout!r}")
 
-    if layout == "fused":
-        if alt_counters:
+    if alt_counters:
+        # AC keeps the per-end split walk: its counter may live in the NEXT
+        # entry, so neither row fusion nor end stacking applies cleanly.
+        if layout != "split":
             raise ValueError(
                 "alt-counters uses the split layout (its counter may live in "
                 "the next entry, so rows cannot be fused)"
             )
-        cfg = (k, d, nb)
+        if lut_m:
+            raise ValueError("lut_m is not supported with alt-counters")
+        cfg_ac = (k, d, nb, (4**k) // 2)
 
-        def search(tables, bwtsize, queries):
+        def search_ac(tables, bwtsize, queries):
+            codes = fuse_round_codes(queries, k)
             B = queries.shape[0]
-            if lut_m:
-                L = queries.shape[1]
-                if (L - lut_m) % k:
-                    raise ValueError(
-                        f"query length {L} minus lut_m {lut_m} not divisible by k={k}"
-                    )
-                iv0 = tables["lut"][fuse_prefix_codes(queries, lut_m)]
-                codes = fuse_round_codes(queries[:, : L - lut_m], k) if L > lut_m else None
-            else:
-                iv0 = jnp.stack(
-                    [jnp.zeros(B, dtype=_U32), jnp.full(B, bwtsize, dtype=_U32)],
-                    axis=1,
-                )
-                codes = fuse_round_codes(queries, k)
+            lo0 = jnp.zeros(B, dtype=_U32)
+            hi0 = jnp.full(B, bwtsize, dtype=_U32)
 
-            if codes is None:
-                return iv0
+            def body(carry, code):
+                lo, hi = carry
+                return (
+                    lf_step_ac(tables, cfg_ac, lo, code),
+                    lf_step_ac(tables, cfg_ac, hi, code),
+                ), None
 
-            def body(iv, code):
-                return lf_step_fused(tables, cfg, iv, code, gather_fn), None
+            (lo, hi), _ = jax.lax.scan(body, (lo0, hi0), codes)
+            return jnp.stack([lo, hi], axis=1)
 
-            iv, _ = jax.lax.scan(body, iv0, codes)
-            return iv
+        return search_ac
 
-        return search
-
-    if layout != "split":
-        raise ValueError(f"unknown layout {layout!r}")
-    if alt_counters:
-        cfg = (k, d, nb, (4**k) // 2)
-        step = lf_step_ac
+    cfg = (k, d, nb)
+    if layout == "fused":
+        def step(tables, iv, code):
+            return lf_step_fused(tables, cfg, iv, code, gather_fn)
     else:
-        cfg = (k, d, nb)
-        step = lf_step
+        def step(tables, iv, code):
+            return lf_step_split(tables, cfg, iv, code)
 
     def search(tables, bwtsize, queries):
-        codes = fuse_round_codes(queries, k)
         B = queries.shape[0]
-        lo0 = jnp.zeros(B, dtype=_U32)
-        hi0 = jnp.full(B, bwtsize, dtype=_U32)
+        if lut_m:
+            L = queries.shape[1]
+            if (L - lut_m) % k:
+                raise ValueError(
+                    f"query length {L} minus lut_m {lut_m} not divisible by k={k}"
+                )
+            iv0 = tables["lut"][fuse_prefix_codes(queries, lut_m)]
+            codes = fuse_round_codes(queries[:, : L - lut_m], k) if L > lut_m else None
+        else:
+            iv0 = jnp.stack(
+                [jnp.zeros(B, dtype=_U32), jnp.full(B, bwtsize, dtype=_U32)],
+                axis=1,
+            )
+            codes = fuse_round_codes(queries, k)
 
-        def body(carry, code):
-            lo, hi = carry
-            return (step(tables, cfg, lo, code), step(tables, cfg, hi, code)), None
+        if codes is None:
+            return iv0
 
-        (lo, hi), _ = jax.lax.scan(body, (lo0, hi0), codes)
-        return jnp.stack([lo, hi], axis=1)
+        def body(iv, code):
+            return step(tables, iv, code), None
+
+        iv, _ = jax.lax.scan(body, iv0, codes)
+        return iv
 
     return search
 
@@ -319,8 +335,8 @@ class XLAEngine:
             base = index
             self.alt_counters = False
             layout = layout or "fused"
-        if lut_m and layout != "fused":
-            raise ValueError("lut_m requires the fused layout")
+        if lut_m and self.alt_counters:
+            raise ValueError("lut_m is not supported with alt-counters")
         if lut_m and lut_m % base.config.k:
             raise ValueError(f"lut_m={lut_m} must be a multiple of k={base.config.k}")
         self.layout = layout
@@ -361,7 +377,9 @@ class XLAEngine:
         self.tables = tables
 
         if lut_m:
-            tables["lut"] = lut_with_cache(tables, base, lut_m, lut_cache, put)
+            tables["lut"] = lut_with_cache(
+                tables, base, lut_m, lut_cache, put, layout=layout
+            )
 
         self._gather_fn = gather_fn
         self._search = jax.jit(
@@ -377,7 +395,8 @@ class XLAEngine:
 
     def _build_prefix_lut(self, m: int):
         return build_prefix_lut(
-            self.tables, self.bwtsize, self.config.k, self.config.d, m
+            self.tables, self.bwtsize, self.config.k, self.config.d, m,
+            layout=self.layout,
         )
 
     #: reads per device wave: measured flagship throughput peaks at 1M reads
@@ -444,10 +463,10 @@ class XLAEngine:
         return out.reshape(B, 2)
 
 
-def build_prefix_lut(tables, bwtsize, k: int, d: int, m: int):
+def build_prefix_lut(tables, bwtsize, k: int, d: int, m: int, layout="fused"):
     """uint32 [4^m, 2]: the SA interval of every m-mer, computed on device
-    with the engine's own fused tables (bit-exact by construction)."""
-    fn = jax.jit(make_search_fn(k, d, False, layout="fused"))
+    with the engine's own tables (bit-exact by construction)."""
+    fn = jax.jit(make_search_fn(k, d, False, layout=layout))
     n = 4**m
     wave = min(n, 1 << 20)
     parts = []
@@ -644,7 +663,8 @@ def build_fused_entries(base: KStepFMIndex, pad_words: int | None = None):
     return entries
 
 
-def lut_with_cache(tables, base: KStepFMIndex, lut_m: int, lut_cache, put):
+def lut_with_cache(tables, base: KStepFMIndex, lut_m: int, lut_cache, put,
+                   layout: str = "fused"):
     """Load the prefix LUT from a validated cache file or build it on device.
 
     The cache carries a fingerprint of the index (k/d/m/bwtsize, dollar
@@ -683,7 +703,7 @@ def lut_with_cache(tables, base: KStepFMIndex, lut_m: int, lut_cache, put):
             z = np.load(lut_cache)
             if "fingerprint" in z and np.array_equal(z["fingerprint"], fp):
                 return put(z["lut"])
-    lut = build_prefix_lut(tables, base.bwtsize, cfg.k, cfg.d, lut_m)
+    lut = build_prefix_lut(tables, base.bwtsize, cfg.k, cfg.d, lut_m, layout)
     if lut_cache is not None:
         np.savez(lut_cache, lut=np.asarray(jax.device_get(lut)), fingerprint=fp)
     return put(np.asarray(jax.device_get(lut)))

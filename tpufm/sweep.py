@@ -24,7 +24,7 @@ SWEEP_ENGINES = ("xla", "xla-split", "xla-ac", "pallas")
 
 def _make_engine(engine: str, index, lut_m: int):
     """Engine factory for sweep rows. Returns None for combinations that do
-    not exist (split/ac layouts have no LUT path); raises on unknown names."""
+    not exist (the AC layout has no LUT path); raises on unknown names."""
     from tpufm.engine.xla import XLAEngine
     from tpufm.index.layouts import make_alt_counters
 
@@ -35,7 +35,7 @@ def _make_engine(engine: str, index, lut_m: int):
 
         return PallasEngine(index, lut_m=lut_m)
     if engine == "xla-split":
-        return XLAEngine(index, layout="split") if lut_m == 0 else None
+        return XLAEngine(index, layout="split", lut_m=lut_m)
     if engine == "xla-ac":
         return XLAEngine(make_alt_counters(index)) if lut_m == 0 else None
     raise ValueError(f"unknown engine {engine!r}; known: {SWEEP_ENGINES}")
