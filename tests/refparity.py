@@ -102,7 +102,11 @@ def build_reference_binaries(k: int, d: int) -> dict[str, Path] | None:
     return out
 
 
-def run(cmd, cwd):
+def run(cmd, cwd, env=None):
+    import os
+
+    full_env = dict(os.environ, **env) if env else None
     return subprocess.run(
-        [str(c) for c in cmd], cwd=cwd, check=True, capture_output=True, timeout=3600
+        [str(c) for c in cmd], cwd=cwd, check=True, capture_output=True,
+        timeout=3600, env=full_env,
     )
