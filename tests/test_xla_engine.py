@@ -163,3 +163,47 @@ def test_xla_high_k_with_lut(rng, k, d, layout):
     misses = rng.integers(0, 4, size=(16, qlen), dtype=np.uint8)
     queries = np.concatenate([queries, misses])
     np.testing.assert_array_equal(engine.search(queries), search_oracle(index, queries))
+
+
+@pytest.mark.parametrize("k,d", [(2, 32), (3, 32), (2, 64)])
+def test_xla_paired_matches_oracle(rng, k, d):
+    """Paired-row layout (one gather per read) must be bit-exact, including
+    reads the LUT cannot narrow — a repetitive text forces wide intervals
+    so the standard-path repair wave must fire."""
+    # Half random, half a single repeated motif: motif reads keep interval
+    # width >> d through many rounds.
+    motif = np.tile(rng.integers(0, 4, size=6, dtype=np.uint8), 700)
+    codes = np.concatenate([rng.integers(0, 4, size=2800, dtype=np.uint8), motif])
+    index = build_index(codes, IndexConfig(k=k, d=d), sa_method="doubling")
+    lut_m = 2 * k
+    engine = XLAEngine(index, layout="paired", lut_m=lut_m)
+    qlen = 4 * k
+    starts = rng.integers(0, len(codes) - qlen, size=48)
+    queries = np.stack([codes[s : s + qlen] for s in starts])
+    motif_reads = np.stack(
+        [motif[s : s + qlen] for s in rng.integers(0, 600, size=16)]
+    )
+    misses = rng.integers(0, 4, size=(16, qlen), dtype=np.uint8)
+    queries = np.concatenate([queries, motif_reads, misses])
+    out = engine.search(queries)
+    np.testing.assert_array_equal(out, search_oracle(index, queries))
+    assert engine.last_repair_fraction > 0  # the repair path actually ran
+
+
+def test_xla_paired_no_repair_on_random_text(rng):
+    codes, index = _mk(rng, 3, 32, 5000)
+    engine = XLAEngine(index, layout="paired", lut_m=6)
+    queries = np.stack(
+        [codes[s : s + 12] for s in rng.integers(0, len(codes) - 12, size=64)]
+    )
+    np.testing.assert_array_equal(
+        engine.search(queries), search_oracle(index, queries)
+    )
+    assert engine.last_repair_fraction == 0.0
+
+
+def test_xla_paired_requires_lut():
+    with pytest.raises(ValueError, match="prefix LUT"):
+        from tpufm.engine.xla import make_search_fn
+
+        make_search_fn(2, 64, False, layout="paired", lut_m=0)

@@ -108,6 +108,8 @@ def run_bench(
 
     if engine == "xla-ac":
         eng = XLAEngine(make_alt_counters(index))
+    elif engine == "xla-paired":
+        eng = XLAEngine(index, layout="paired", lut_m=lut_m or 12)
     elif engine == "xla-split":
         eng = XLAEngine(index, layout="split", lut_m=lut_m)
     elif engine == "pallas":
@@ -172,7 +174,14 @@ def run_bench(
     # Correctness check against the oracle on a uniform random sample of the
     # output (>= 64K reads at protocol scale, not just the head — a 10M-read
     # record is verified on ~0.66% of its reads instead of 0.0026%).
-    host_out = np.asarray(jax.device_get(out))
+    repair_fraction = None
+    if engine == "xla-paired":
+        # The timed value is the paired hot path; verification goes through
+        # engine.search so wide-interval repair lanes are bit-exact too.
+        host_out = eng.search(queries)
+        repair_fraction = eng.last_repair_fraction
+    else:
+        host_out = np.asarray(jax.device_get(out))
     n_verify = min(num_queries, 65536)
     vidx = np.sort(
         np.random.default_rng(seed + 2).choice(num_queries, n_verify, replace=False)
@@ -243,6 +252,7 @@ def run_bench(
             "build_seconds": round(build_s, 1),
             "bit_exact_vs_oracle": exact,
             "verified_reads": n_verify,
+            "repair_fraction": repair_fraction,
             "iterations": iterations,
         },
     }

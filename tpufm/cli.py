@@ -198,6 +198,13 @@ def _make_engine(index, args):
         return PallasEngine(index, lut_m=lut_m)
     if engine == "xla-ac" and isinstance(index, KStepFMIndex):
         index = make_alt_counters(index)
+    if engine == "xla-paired":
+        if not lut_m:
+            sys.exit("--engine xla-paired requires --lut M (e.g. --lut 12)")
+        return XLAEngine(
+            index, layout="paired", lut_m=lut_m,
+            lut_cache=f"{args.index}.lut{lut_m}.npz",
+        )
     return XLAEngine(
         index,
         lut_m=lut_m,
@@ -460,7 +467,8 @@ def main(argv=None):
     s.add_argument("qrysize", type=int)
     s.add_argument("numqueries", type=int)
     s.add_argument("--iterations", type=int, default=5)
-    s.add_argument("--engine", default="xla", choices=["xla", "xla-ac", "pallas"])
+    s.add_argument("--engine", default="xla",
+                   choices=["xla", "xla-ac", "xla-paired", "pallas"])
     s.add_argument("--lut", type=int, default=0,
                    help="prefix-LUT length m (collapses the first m chars "
                         "of every query into one gather)")

@@ -108,15 +108,28 @@ class IndexConfig:
         return 4 * (self.bitmap_words + counters)
 
 
+#: Measured MSA/VMEM fast-path boundary (round 3, docs/PERF.md "The
+#: valley, diagnosed"): XLA's memory-space assignment keeps the whole
+#: entries table resident in VMEM — where gathers run ~87M rows/s instead
+#: of ~51-61M from HBM — when the table's PHYSICAL tiled footprint fits
+#: its budget. With T(8,128) tiling every row <= 128 words occupies 512 B,
+#: so the rule is entries <= ~210K AND row words <= 128.
+VMEM_FAST_ENTRIES = 210_000
+
+
 def recommend_config(refsize: int, query_len: int = 120) -> dict:
     """Measured-best single-chip configuration for a reference of `refsize`
     bases (TPU v5e numbers, docs/PERF.md).
 
-    The XLA gather rides a ~1.7x fast path for k=3 tables with d in
-    {128, 192} and <= ~208K entries; larger tables land on a flat slow path
-    (~610K reads/s up to at least 8 GB). k=3 dominates k in {1,2,4,5} on
-    both paths. A 12-mer prefix LUT removes lut_m/k rounds whenever the
-    query length permits.
+    k=3 dominates k in {1,2} (more rounds at the same gather rate) and
+    k in {4,5} (fewer rounds at a third of the rate — the row-width cliff,
+    PERF.md "High-k refutation"). d is the smallest in {128..320} whose
+    entry count fits the VMEM fast path (VMEM_FAST_ENTRIES); d > 320 would
+    exceed 128 row words, doubling the physical footprint (tile padding)
+    and losing VMEM residency. Beyond ~65 Mbase no d fits and throughput
+    is ~700K reads/s flat to at least 6.25 GB; d=192 is kept there (the
+    sharded-mode layout convention). A 12-mer prefix LUT removes lut_m/k
+    rounds whenever the query length permits.
 
     Returns {'k', 'd', 'lut_m'} kwargs for IndexConfig / XLAEngine.
     """
@@ -124,7 +137,11 @@ def recommend_config(refsize: int, query_len: int = 120) -> dict:
     # reference src/fmIndexCPUBaseline.c:200); k=3 is measured-best.
     k = next((kk for kk in (3, 2, 1) if query_len % kk == 0), 1)
     bwtsize = refsize + 1
-    d = 128 if -(-bwtsize // 128) <= 210_000 else 192
+    d = next(
+        (dd for dd in (128, 192, 256, 320)
+         if -(-bwtsize // dd) <= VMEM_FAST_ENTRIES),
+        192,
+    )
     lut_m = 0
     if query_len >= 24:
         # largest m <= 12 with m % k == 0 (then (query_len - m) % k == 0 too)

@@ -103,6 +103,53 @@ def lf_step_fused(tables: dict, cfg: tuple, interval, code, gather_fn=None):
     return cnt + count
 
 
+def lf_step_paired(tables: dict, cfg: tuple, interval, code):
+    """Paired-row k-step LF: ONE gather per READ instead of one per END.
+
+    Backward-search interval widths are monotone non-increasing, and with a
+    prefix-LUT start they are typically << d from round 0 — so hi's block
+    is lo's block or the next one. tables['entries_paired'][i] carries rows
+    i and i+1 of the fused table side by side ([E+1, 2W]); the round
+    gathers the pair at lo's block and selects hi's row in-register,
+    halving gather issues (the measured cost unit, docs/PERF.md).
+
+    Lanes where hi_block - lo_block > 1 (wide intervals — repeat-rich
+    patterns) get garbage hi values; the second return is their validity
+    mask, and the engine re-searches invalid lanes on the standard path
+    (XLAEngine.search, repair wave) — bit-exactness is unconditional.
+    """
+    k, d, nb = cfg
+    W = 2 * k * nb + 4**k
+    bmw = 2 * k * nb
+    block = interval // _U32(d)  # [B, 2]
+    start = block[:, 0]
+    prow = tables["entries_paired"][start]  # [B, 2W] — one gather per read
+    delta = block[:, 1] - start
+    hi_row = jnp.where((delta == _U32(1))[:, None], prow[:, W : 2 * W], prow[:, :W])
+    rows = jnp.stack([prow[:, :W], hi_row], axis=1)  # [B, 2, W]
+
+    bm_rows = rows[..., :bmw].reshape(rows.shape[:-1] + (k, 2, nb))
+    cnt = jnp.take_along_axis(
+        rows[..., bmw:], (code[:, None, None] + _U32(0)).astype(jnp.int32), axis=-1
+    )[..., 0]
+    masks = _boundary_masks(interval % _U32(d), nb)
+    matched = _match_words(bm_rows, code[:, None], k) & masks
+    count = jnp.sum(jax.lax.population_count(matched), axis=-1)
+
+    dpos, dbase, dblock = (
+        tables["dollar_pos"],
+        tables["dollar_base"],
+        tables["dollar_block"],
+    )
+    hit = (
+        (block[..., None] == dblock)
+        & (code[:, None, None] == dbase)
+        & (interval[..., None] > dpos)
+    )
+    count -= jnp.sum(hit.astype(_U32), axis=-1)
+    return cnt + count, delta <= _U32(1)
+
+
 def lf_step_split(tables: dict, cfg: tuple, interval, code):
     """Split-table k-step LF for both interval ends at once.
 
@@ -226,8 +273,41 @@ def make_search_fn(
     cf. its per-round entry fetch, src/fmIndexCPUBaseline.c:200-228).
     """
     nb = d // 32
-    if layout not in ("fused", "split"):
+    if layout not in ("fused", "split", "paired"):
         raise ValueError(f"unknown layout {layout!r}")
+
+    if layout == "paired":
+        if alt_counters:
+            raise ValueError("paired layout supports baseline counters only")
+        if not lut_m:
+            raise ValueError(
+                "paired layout requires a prefix LUT (lut_m > 0): without "
+                "one every search starts at the full [0, bwtsize) interval "
+                "and the first rounds would all take the repair path"
+            )
+        cfg_p = (k, d, nb)
+
+        def search_paired(tables, bwtsize, queries):
+            L = queries.shape[1]
+            if (L - lut_m) % k:
+                raise ValueError(
+                    f"query length {L} minus lut_m {lut_m} not divisible by k={k}"
+                )
+            iv0 = tables["lut"][fuse_prefix_codes(queries, lut_m)]
+            ok0 = jnp.ones(queries.shape[0], dtype=bool)
+            if L == lut_m:
+                return iv0, ok0
+            codes = fuse_round_codes(queries[:, : L - lut_m], k)
+
+            def body(carry, code):
+                iv, ok = carry
+                iv2, ok2 = lf_step_paired(tables, cfg_p, iv, code)
+                return (iv2, ok & ok2), None
+
+            (iv, ok), _ = jax.lax.scan(body, (iv0, ok0), codes)
+            return iv, ok
+
+        return search_paired
 
     if alt_counters:
         # AC keeps the per-end split walk: its counter may live in the NEXT
@@ -368,6 +448,14 @@ class XLAEngine:
                     tables["entries"].shape[1],
                     interpret=jax.default_backend() == "cpu",
                 )
+        elif layout == "paired":
+            # The paired table [E+1, 2W] (row i = fused rows i||i+1) serves
+            # the hot path; the standard fused table stays resident for the
+            # LUT build and the wide-interval repair wave.
+            fused = build_fused_entries(base, None)
+            tables["entries"] = put(fused)
+            tables["entries_paired"] = put(build_paired_entries(fused))
+            del fused
         else:
             tables["bitmaps"] = put(base.bitmaps)
             if self.alt_counters:
@@ -378,7 +466,10 @@ class XLAEngine:
 
         if lut_m:
             tables["lut"] = lut_with_cache(
-                tables, base, lut_m, lut_cache, put, layout=layout
+                tables, base, lut_m, lut_cache, put,
+                # the paired engine keeps the standard fused table for the
+                # repair path — the LUT is built with it
+                layout="fused" if layout == "paired" else layout,
             )
 
         self._gather_fn = gather_fn
@@ -411,11 +502,38 @@ class XLAEngine:
         TPU analog of the reference streaming 10M reads through a fixed
         thread pool, common/searchQueries.c:84-95) — each wave is one jit
         call, so arbitrarily large read sets run in constant device memory.
+
+        layout="paired": reads whose interval ever spans more than two
+        blocks (wide repeats) are re-searched on the standard fused path in
+        fixed-size repair waves; `last_repair_fraction` records how many.
         """
         from tpufm.utils.waves import stream_waves
 
         wave = wave or self.WAVE
         queries = np.asarray(queries, dtype=np.uint8)
+        if self.layout == "paired":
+            def dispatch(q):
+                return self._search(self.tables, _U32(self.bwtsize), jnp.asarray(q))
+
+            def fetch(h):
+                iv, ok = h
+                # ride the ok bit alongside so wave-tail trimming stays
+                # aligned with the query order
+                return np.concatenate(
+                    [
+                        np.asarray(jax.device_get(iv)),
+                        np.asarray(jax.device_get(ok)).astype(np.uint32)[:, None],
+                    ],
+                    axis=1,
+                )
+
+            out3 = stream_waves(queries, wave, dispatch, fetch, depth=3)
+            iv = np.ascontiguousarray(out3[:, :2])
+            bad = np.flatnonzero(out3[:, 2] == 0)
+            self.last_repair_fraction = bad.size / max(1, queries.shape[0])
+            if bad.size:
+                iv[bad] = self._repair(queries[bad])
+            return iv
         # Pipelined waves (depth 3): dispatches are async, so keeping several
         # in flight overlaps host->device query staging and device->host
         # result drain with the previous waves' compute (2x end-to-end on
@@ -429,6 +547,40 @@ class XLAEngine:
             lambda h: np.asarray(jax.device_get(h)),
             depth=3,
         )
+
+    #: repair-wave shape (fixed so the standard-path program compiles once)
+    REPAIR_WAVE = 1 << 16
+
+    def _repair(self, queries_bad: np.ndarray) -> np.ndarray:
+        """Re-search wide-interval reads on the standard fused path.
+
+        The batch is padded to a power-of-two wave (capped at REPAIR_WAVE)
+        by cycling its own reads, so only a handful of program shapes ever
+        compile regardless of how many reads need repair."""
+        from tpufm.utils.waves import stream_waves
+
+        if not hasattr(self, "_repair_search"):
+            self._repair_search = jax.jit(
+                make_search_fn(
+                    self.config.k, self.config.d, False,
+                    layout="fused", lut_m=self.lut_m,
+                )
+            )
+        n = queries_bad.shape[0]
+        wave = min(self.REPAIR_WAVE, 1 << (n - 1).bit_length() if n > 1 else 1)
+        pad = -n % wave
+        if pad:
+            reps = -(-(n + pad) // n)
+            queries_bad = np.concatenate([queries_bad] * reps)[: n + pad]
+        out = stream_waves(
+            queries_bad,
+            wave,
+            lambda q: self._repair_search(
+                self.tables, _U32(self.bwtsize), jnp.asarray(q)
+            ),
+            lambda h: np.asarray(jax.device_get(h)),
+        )
+        return out[:n]
 
     def search_device(self, queries):
         """Device-to-device search (no host transfer), for benchmarking."""
@@ -645,6 +797,20 @@ def build_locate_tables(loc, put):
         "dollar_block": put(np.asarray(lf1.dollar_block, np.uint32)),
     }
     return tables, lf1.config.d, loc.sample_rate
+
+
+def build_paired_entries(entries):
+    """[E+1, W] fused table -> [E+1, 2W] paired table: row i carries fused
+    rows i and i+1 side by side (the last row's second half is zeros — only
+    selectable for hi_block = E+1, which cannot occur since hi <= bwtsize).
+    Works on host (numpy) and device (jnp) tables alike."""
+    xp = jnp if isinstance(entries, jax.Array) else np
+    tail = xp.concatenate(
+        [entries[-1:], xp.zeros((1, entries.shape[1]), xp.uint32)], axis=1
+    )
+    return xp.concatenate(
+        [xp.concatenate([entries[:-1], entries[1:]], axis=1), tail]
+    )
 
 
 def build_fused_entries(base: KStepFMIndex, pad_words: int | None = None):

@@ -19,7 +19,7 @@ import numpy as np
 
 #: engines run_sweep can dispatch (unknown names raise — a typo'd engine
 #: must never silently produce records labeled with a different engine).
-SWEEP_ENGINES = ("xla", "xla-split", "xla-ac", "pallas")
+SWEEP_ENGINES = ("xla", "xla-split", "xla-ac", "xla-paired", "pallas")
 
 
 def _make_engine(engine: str, index, lut_m: int):
@@ -36,6 +36,8 @@ def _make_engine(engine: str, index, lut_m: int):
         return PallasEngine(index, lut_m=lut_m)
     if engine == "xla-split":
         return XLAEngine(index, layout="split", lut_m=lut_m)
+    if engine == "xla-paired":
+        return XLAEngine(index, layout="paired", lut_m=lut_m) if lut_m else None
     if engine == "xla-ac":
         return XLAEngine(make_alt_counters(index)) if lut_m == 0 else None
     raise ValueError(f"unknown engine {engine!r}; known: {SWEEP_ENGINES}")
@@ -103,7 +105,11 @@ def run_sweep(
                 if verify:
                     # Uniform random sample (not the head): >=4K reads per
                     # row, the same sampling discipline as bench.py.
-                    host = np.asarray(jax.device_get(out))
+                    if engine == "xla-paired":
+                        # repair lanes are only correct via engine.search
+                        host = eng.search(queries)
+                    else:
+                        host = np.asarray(jax.device_get(out))
                     n_v = min(num_queries, 4096)
                     vidx = np.sort(
                         np.random.default_rng(seed + 2).choice(
