@@ -117,6 +117,12 @@ def lf_step_paired(tables: dict, cfg: tuple, interval, code):
     patterns) get garbage hi values; the second return is their validity
     mask, and the engine re-searches invalid lanes on the standard path
     (XLAEngine.search, repair wave) — bit-exactness is unconditional.
+
+    Measured outcome (docs/PERF.md "Paired-row layout: measured
+    refutation"): the wider slice + in-register select drops the program
+    off the MSA/VMEM fast path, so halving gather issues loses to a 3x
+    per-issue slowdown (k=3: 690K vs 1.21M; k=2: 519K vs 901K reads/s).
+    Kept as a tested design point, not a recommended engine.
     """
     k, d, nb = cfg
     W = 2 * k * nb + 4**k
