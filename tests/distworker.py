@@ -61,4 +61,15 @@ for routing in ("allgather", "ring", "a2a"):
     out_sh = sh.search(queries)
     np.save(os.path.join(outdir, f"result_{routing}_{pid}.npy"), out_sh)
 
+# Multi-process locate: replicated tables, row batch sharded over the
+# global mesh (row count deliberately not a mesh multiple).
+from tpufm.index.locate import build_locate  # noqa: E402
+from tpufm.parallel import DataParallelLocate  # noqa: E402
+
+loc = build_locate(codes, sample_rate=8, d=32)
+rows = rng.integers(0, len(codes) + 1, size=101, dtype=np.uint32)
+pos = DataParallelLocate(loc, mesh).locate_rows(rows)
+np.save(os.path.join(outdir, f"locate_{pid}.npy"), pos)
+np.save(os.path.join(outdir, f"locate_rows_{pid}.npy"), rows)
+
 print(f"worker {pid}: ok", flush=True)

@@ -63,6 +63,9 @@ def test_two_process_data_parallel(tmp_path):
     queries = generate_reads(codes, 24, 64, seed=8)
     expect = search_oracle(index, queries)
 
+    from tpufm.index.locate import build_locate, locate_oracle
+
+    loc = build_locate(codes, sample_rate=8, d=32)
     for pid in range(nproc):
         got = np.load(tmp_path / f"result_{pid}.npy")
         np.testing.assert_array_equal(got, expect)
@@ -70,6 +73,11 @@ def test_two_process_data_parallel(tmp_path):
         for routing in ("allgather", "ring", "a2a"):
             got_sh = np.load(tmp_path / f"result_{routing}_{pid}.npy")
             np.testing.assert_array_equal(got_sh, expect)
+        # multi-process locate (replicated tables, row-sharded walk)
+        rows = np.load(tmp_path / f"locate_rows_{pid}.npy")
+        np.testing.assert_array_equal(
+            np.load(tmp_path / f"locate_{pid}.npy"), locate_oracle(loc, rows)
+        )
 
 
 @pytest.mark.skipif(
