@@ -54,6 +54,31 @@ def _match_words(rows, code, k: int):
     return out
 
 
+def _pick_counter(counters, code, k: int):
+    """In-register counter select from a gathered fused row.
+
+    counters uint32 [..., 4^k]; code uint32 broadcastable to
+    counters.shape[:-1]. Two-stage one-hot over a [g, s] regrouping of the
+    4^k counters (g = s = 2^k): O(g + s) predicated lane sums instead of
+    either a 4^k-wide one-hot (measured 2.2x slower at k=3) or
+    jnp.take_along_axis, which lowers to a SECOND serialized device gather
+    costing 420 of the 879 ms fast-regime flagship pass (docs/PERF.md,
+    probe52 trace). This formulation stays on the VPU at the table-gather
+    rate: flagship 1.83M vs 1.21M reads/s (probe63).
+    """
+    n = 4**k
+    g = 1 << ((n.bit_length() - 1) // 2)
+    s = n // g
+    c = counters.reshape(counters.shape[:-1] + (g, s))
+    code = jnp.broadcast_to(code, counters.shape[:-1])
+    gi = jax.lax.broadcasted_iota(jnp.int32, c.shape, c.ndim - 2)
+    gidx = (code // _U32(s)).astype(jnp.int32)[..., None, None]
+    grp = jnp.sum(jnp.where(gi == gidx, c, _U32(0)), axis=-2)  # [..., s]
+    si = jax.lax.broadcasted_iota(jnp.int32, grp.shape, grp.ndim - 1)
+    sidx = (code % _U32(s)).astype(jnp.int32)[..., None]
+    return jnp.sum(jnp.where(si == sidx, grp, _U32(0)), axis=-1)
+
+
 def lf_step_fused(tables: dict, cfg: tuple, interval, code, gather_fn=None):
     """Fused-row k-step LF for both interval ends at once.
 
@@ -81,9 +106,8 @@ def lf_step_fused(tables: dict, cfg: tuple, interval, code, gather_fn=None):
         flat = gather_fn(tables["entries"], block.reshape(-1))
         rows = flat.reshape(block.shape + (flat.shape[-1],))
     bm_rows = rows[..., :bmw].reshape(rows.shape[:-1] + (k, 2, nb))
-    cnt = jnp.take_along_axis(
-        rows[..., bmw:], (code[:, None, None] + _U32(0)).astype(jnp.int32), axis=-1
-    )[..., 0]
+    # Slice exactly 4^k counters: gather_fn rows may carry alignment padding.
+    cnt = _pick_counter(rows[..., bmw : bmw + 4**k], code[:, None], k)
 
     masks = _boundary_masks(interval % _U32(d), nb)
     matched = _match_words(bm_rows, code[:, None], k) & masks
@@ -135,9 +159,7 @@ def lf_step_paired(tables: dict, cfg: tuple, interval, code):
     rows = jnp.stack([prow[:, :W], hi_row], axis=1)  # [B, 2, W]
 
     bm_rows = rows[..., :bmw].reshape(rows.shape[:-1] + (k, 2, nb))
-    cnt = jnp.take_along_axis(
-        rows[..., bmw:], (code[:, None, None] + _U32(0)).astype(jnp.int32), axis=-1
-    )[..., 0]
+    cnt = _pick_counter(rows[..., bmw:], code[:, None], k)
     masks = _boundary_masks(interval % _U32(d), nb)
     matched = _match_words(bm_rows, code[:, None], k) & masks
     count = jnp.sum(jax.lax.population_count(matched), axis=-1)
