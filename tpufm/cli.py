@@ -435,8 +435,9 @@ def main(argv=None):
                    help=".fmi (reference format), .npz, or .tpufm "
                         "(mmap-able store — instant genome-scale reload)")
     b.add_argument("--sa", default="auto",
-                   choices=["auto", "native", "doubling", "device"],
-                   help="suffix-sort backend; 'device' sorts on the TPU")
+                   choices=["auto", "native", "doubling", "device", "sharded"],
+                   help="suffix-sort backend; 'device' sorts on the TPU, "
+                        "'sharded' sorts across every local device's HBM")
     b.add_argument("--on-device", action="store_true",
                    help="build the whole index on the accelerator "
                         "(tpufm/index/builder_device.py)")

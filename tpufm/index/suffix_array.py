@@ -132,9 +132,11 @@ def suffix_array(codes: np.ndarray, method: str = "auto") -> np.ndarray:
     """Suffix array of codes + sentinel. codes: uint8 values in [0, 254].
 
     method: "auto" (native if available, else doubling), "native",
-    "doubling", "naive", or "device" (parallel prefix doubling ON the
+    "doubling", "naive", "device" (parallel prefix doubling ON the
     accelerator — tpufm/index/sa_device.py, the TPU-native counterpart of
-    the reference's OpenMP-parallel suffix sort).
+    the reference's OpenMP-parallel suffix sort), or "sharded" (the same
+    doubling sharded over every local device's HBM —
+    tpufm/index/sa_sharded.py, for texts past one chip's ~400 Mbase cap).
     """
     codes = np.asarray(codes, dtype=np.uint8)
     if method == "auto":
@@ -151,6 +153,10 @@ def suffix_array(codes: np.ndarray, method: str = "auto") -> np.ndarray:
         from tpufm.index.sa_device import suffix_array_device
 
         return suffix_array_device(codes)
+    if method == "sharded":
+        from tpufm.index.sa_sharded import suffix_array_sharded
+
+        return suffix_array_sharded(codes)
     if method == "naive":
         return suffix_array_naive(codes)
     raise ValueError(f"unknown method {method!r}")
