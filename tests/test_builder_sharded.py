@@ -1,0 +1,62 @@
+"""Sharded (mesh) index build vs the host builder — 8-device CPU mesh.
+
+build_index_sharded must be bit-identical to build_index for every field,
+across k/d, non-d-aligned text lengths, repetitive texts, and texts small
+enough that some shards are pure padding.
+"""
+
+import numpy as np
+import pytest
+
+from tpufm.config import IndexConfig
+from tpufm.index.builder import build_index
+from tpufm.index.builder_sharded import build_index_sharded
+from tpufm.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(8)
+
+
+def _assert_same(a, b):
+    assert a.bwtsize == b.bwtsize
+    np.testing.assert_array_equal(a.occ, b.occ)
+    np.testing.assert_array_equal(a.bitmaps, b.bitmaps)
+    np.testing.assert_array_equal(np.asarray(a.dollar_pos, np.uint32),
+                                  np.asarray(b.dollar_pos, np.uint32))
+    np.testing.assert_array_equal(a.dollar_base, b.dollar_base)
+
+
+@pytest.mark.parametrize("k,d", [(1, 32), (2, 64), (3, 128), (2, 192)])
+def test_sharded_build_matches_host(rng, mesh8, k, d):
+    codes = rng.integers(0, 4, size=10_000, dtype=np.uint8)
+    cfg = IndexConfig(k=k, d=d)
+    _assert_same(build_index_sharded(codes, cfg, mesh8), build_index(codes, cfg))
+
+
+@pytest.mark.parametrize("n", [5, 63, 64, 257, 4097])
+def test_sharded_build_sizes(rng, mesh8, n):
+    # tiny texts: most shards are pure padding; n=63 makes bwtsize % d == 0
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    cfg = IndexConfig(k=2, d=64)
+    _assert_same(build_index_sharded(codes, cfg, mesh8), build_index(codes, cfg))
+
+
+def test_sharded_build_repetitive(mesh8):
+    codes = np.frombuffer(b"\x00\x01" * 2000, dtype=np.uint8).copy()
+    cfg = IndexConfig(k=2, d=64)
+    _assert_same(build_index_sharded(codes, cfg, mesh8), build_index(codes, cfg))
+
+
+def test_sharded_build_searchable(rng, mesh8):
+    from tpufm.engine import XLAEngine, search_oracle
+    from tpufm.io.genreads import generate_reads
+
+    codes = rng.integers(0, 4, size=20_000, dtype=np.uint8)
+    idx = build_index_sharded(codes, IndexConfig(k=3, d=128), mesh8)
+    reads = generate_reads(codes, 120, 128, seed=9)
+    np.testing.assert_array_equal(
+        np.asarray(XLAEngine(idx).search(reads)),
+        np.asarray(search_oracle(idx, reads)),
+    )

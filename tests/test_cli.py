@@ -228,3 +228,15 @@ def test_cli_locate_mesh(tmp_path, ref, monkeypatch):
     cli.main(["locate", *common, "--mesh", "8",
               "--output", str(tmp_path / "m.pos")])
     assert (tmp_path / "h.pos").read_text() == (tmp_path / "m.pos").read_text()
+
+
+def test_cli_build_sharded_mesh(tmp_path, ref, monkeypatch):
+    # --on-device --mesh N: every build stage sharded over the 8-device CPU
+    # mesh; output byte-identical to the host build.
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    cli.main(["build", str(path), str(n), "--k", "2", "--d", "64",
+              "--on-device", "--mesh", "8", "--output", "sh.fmi"])
+    cli.main(["build", str(path), str(n), "--k", "2", "--d", "64",
+              "--output", "host.fmi"])
+    assert (tmp_path / "sh.fmi").read_bytes() == (tmp_path / "host.fmi").read_bytes()

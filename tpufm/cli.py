@@ -61,7 +61,12 @@ def cmd_build(args):
         print(f"auto config: k={args.k} d={args.d} (recommend lut_m={rec['lut_m']})")
     cfg = IndexConfig(k=args.k, d=args.d)
     t0 = time.perf_counter()
-    if args.on_device:
+    if args.on_device and args.mesh:
+        from tpufm.index.builder_sharded import build_index_sharded
+        from tpufm.parallel.mesh import make_mesh
+
+        index = build_index_sharded(codes, cfg, make_mesh(args.mesh))
+    elif args.on_device:
         from tpufm.index.builder_device import build_index_device
 
         index = build_index_device(codes, cfg)
@@ -441,6 +446,10 @@ def main(argv=None):
     b.add_argument("--on-device", action="store_true",
                    help="build the whole index on the accelerator "
                         "(tpufm/index/builder_device.py)")
+    b.add_argument("--mesh", type=int, default=0,
+                   help="with --on-device: shard every build stage over N "
+                        "devices (tpufm/index/builder_sharded.py) — lifts "
+                        "the single-chip ~400 Mbase on-device cap")
     b.add_argument("--save-ref", action="store_true")
     b.set_defaults(fn=cmd_build)
 

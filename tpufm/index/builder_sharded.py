@@ -1,0 +1,220 @@
+"""k-step FM-index construction sharded over a device mesh.
+
+build_index_device (single chip) holds the full suffix-sort working set
+plus all k BWT levels and both output tables in one HBM — ~400 Mbase cap.
+This pipeline shards every O(n) stage along a 1-D mesh:
+
+  suffix array — distributed prefix doubling (tpufm/index/sa_sharded.py)
+  BWT levels   — per-shard gathers from the replicated 2-bit text
+                 (1 byte/base, the only replicated O(n) array)
+  bitmaps      — per-shard bit-plane packing of d-aligned blocks
+  Occ counts   — per-shard popcount-match per k-mer (the searcher's own
+                 rank primitive, as in builder_device.py)
+
+The shard boundary is d-aligned (shard length is a multiple of d), so
+blocks never straddle devices and the packing/count stages need no
+neighbor communication at all; the only collectives are the suffix sort's
+and one [k]-scalar psum for the dollar positions. Host finalization
+(corrections, exclusive prefix, Cb) is O(E * 4^k) and reuses the exact
+semantics of builder_device.py:151-192 (reference src/genFMindex.c:237-250).
+
+Output is bit-identical to tpufm.index.builder.build_index (asserted by
+tests/test_builder_sharded.py), which is itself byte-exact vs the
+reference gfmiBaseLine binaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpufm.config import IndexConfig
+from tpufm.index.builder import KStepFMIndex, normalize_reference
+
+_cache: dict = {}
+
+
+def _table_program(mesh, axis: str, k: int, d: int, m: int, big: int):
+    """shard_map program: (order_l [m] u32 padded, codes [n] u8 replicated)
+    -> (occ_counts [E_pad, C] u32 uncorrected, bitmaps [E_pad, k, 2, nb] u32,
+    dollar_pos [k] u32)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from tpufm.index.sa_sharded import _shard_map
+
+    u32 = jnp.uint32
+    lax = jax.lax
+    C = 4**k
+    nb = d // 32
+    eloc = m // d
+
+    def fn(order_l, codes):
+        myid = lax.axis_index(axis).astype(u32)
+        gpos = myid * u32(m) + lax.iota(u32, m)
+        real = gpos < u32(big)
+        t = jnp.concatenate([codes, jnp.zeros(1, jnp.uint8)])  # '$' as 'A'
+
+        # dollar_pos[i] = global SA rank of suffix i (one psum of k scalars)
+        dollar_pos = lax.psum(
+            jnp.sum(
+                jnp.where(
+                    (order_l[:, None] == jnp.arange(k, dtype=u32)[None, :])
+                    & real[:, None],
+                    gpos[:, None],
+                    u32(0),
+                ),
+                axis=0,
+            ),
+            axis,
+        )
+
+        # BWT levels: lv_i[j] = T[(SA[j] - 1 - i) mod big], 0 past the text
+        levels = []
+        for i in range(k):
+            prev = (order_l + u32(big - 1 - i)) % u32(big)
+            lv = t[jnp.where(real, prev, u32(0)).astype(jnp.int32)]
+            levels.append(jnp.where(real, lv, jnp.uint8(0)))
+
+        # Bit-plane packing, MSB-first 32-base windows
+        # (reference src/genFMindex.c:402-424)
+        bitmaps = jnp.zeros((eloc, k, 2, nb), u32)
+        for i in range(k):
+            win = levels[i].reshape(eloc, nb, 32)
+            for plane in range(2):
+                bits = ((win >> plane) & 1).astype(u32)
+                w = jnp.zeros((eloc, nb), u32)
+                for j in range(32):
+                    w |= bits[:, :, j] << u32(31 - j)
+                bitmaps = bitmaps.at[:, i, plane, :].set(w)
+
+        # Per-block counts from the packed planes (popcount-match per k-mer)
+        counts = []
+        for c in range(C):
+            msk = jnp.full((eloc, nb), u32(0xFFFFFFFF))
+            for i in range(k):
+                p0 = bitmaps[:, i, 0, :]
+                p1 = bitmaps[:, i, 1, :]
+                msk &= (p0 if (c >> (2 * i)) & 1 else ~p0) & (
+                    p1 if (c >> (2 * i + 1)) & 1 else ~p1
+                )
+            counts.append(
+                jnp.sum(
+                    lax.population_count(msk).astype(jnp.int32), axis=1
+                ).astype(u32)
+            )
+        occ_counts = jnp.stack(counts, axis=1)  # [eloc, C]
+        return occ_counts, bitmaps, dollar_pos
+
+    spec = P(axis)
+    return jax.jit(
+        _shard_map()(
+            fn,
+            mesh=mesh,
+            in_specs=(spec, P()),
+            out_specs=(spec, spec, P()),
+        )
+    )
+
+
+def build_index_sharded(
+    reference,
+    config: IndexConfig = IndexConfig(),
+    mesh=None,
+    axis: str = "data",
+    sa_dev=None,
+) -> KStepFMIndex:
+    """Build a k-step FM-index with every O(n) stage sharded over `mesh`.
+
+    Same result as tpufm.index.builder.build_index (bit-identical). The
+    per-chip working set is ~(sort arrays + k levels + table shards)/P plus
+    the replicated 1-byte text, so an N-chip mesh builds an ~N-times-larger
+    text than build_index_device. sa_dev: optional global device suffix
+    array (uint32 [n+1], e.g. from suffix_array_sharded_arr) to share one
+    sort across builds.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpufm.index.sa_sharded import suffix_array_sharded_arr
+
+    if mesh is None:
+        from tpufm.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+
+    codes = normalize_reference(reference)
+    k, d = config.k, config.d
+    n = int(codes.shape[0])
+    big = n + 1
+    C = config.num_counters
+    nb = config.words_per_plane
+    E = config.num_entries(big)
+    nsh = mesh.devices.size
+    m = d * (-(-big // (nsh * d)))  # d-aligned shard length
+    e_pad = nsh * (m // d)
+
+    codes_dev = jnp.asarray(codes, jnp.uint8)
+    order = (
+        suffix_array_sharded_arr(codes_dev, mesh, axis)
+        if sa_dev is None
+        else sa_dev
+    )
+    if order.shape[0] != big:
+        raise ValueError(f"sa_dev has {order.shape[0]} entries, expected {big}")
+
+    # Re-lay the SA onto the d-aligned table sharding (pads read as 0).
+    op = jnp.zeros(nsh * m, jnp.uint32).at[:big].set(order.astype(jnp.uint32))
+    op = jax.device_put(op, NamedSharding(mesh, P(axis)))
+
+    key = (id(mesh), axis, k, d, m, big)
+    if key not in _cache:
+        _cache[key] = _table_program(mesh, axis, k, d, m, big)
+    occ_counts_g, bitmaps_g, dollar_pos_d = _cache[key](op, codes_dev)
+
+    # --- Host finalization: O(E * 4^k), semantics of builder_device.py ---
+    counts = np.asarray(jax.device_get(occ_counts_g), np.int64)[:E]
+    bm = np.asarray(jax.device_get(bitmaps_g), np.uint32)[:E]
+    bitmaps = np.concatenate([bm, np.zeros((1, k, 2, nb), np.uint32)])
+    dollar_pos = np.asarray(jax.device_get(dollar_pos_d), np.uint32)
+
+    # dollar_base[i] = fused k-mer at dollar_pos[i], '$' read as 'A'
+    dollar_base = np.zeros(k, np.uint32)
+    for i in range(k):
+        off = int(dollar_pos[i]) % d
+        w, b = off // 32, 31 - (off % 32)
+        row = bitmaps[int(dollar_pos[i]) // d]
+        code = 0
+        for lvl in range(k):
+            b0 = (int(row[lvl, 0, w]) >> b) & 1
+            b1 = (int(row[lvl, 1, w]) >> b) & 1
+            code |= (b0 | (b1 << 1)) << (2 * lvl)
+        dollar_base[i] = code
+
+    # '$' positions were counted as their 'A'-encoded k-mer; the in-block
+    # tail pad (E*d - big zeros) was counted as k-mer 0.
+    for i in range(k):
+        counts[int(dollar_pos[i]) // d, int(dollar_base[i])] -= 1
+    pad = E * d - big
+    if pad:
+        counts[E - 1, 0] -= pad
+    totals = counts.sum(axis=0)
+
+    occ = np.zeros((E + 1, C), dtype=np.int64)
+    np.cumsum(counts, axis=0, out=occ[1:])
+    acc = np.zeros(C, np.int64)
+    acc[1:] = np.cumsum(totals)[:-1]
+    for i in range(k):
+        masked = int(dollar_base[i]) & ~((1 << (2 * i)) - 1)
+        acc[masked:] += 1
+    occ += acc
+
+    return KStepFMIndex(
+        config=config,
+        bwtsize=big,
+        occ=occ.astype(np.uint32),
+        bitmaps=bitmaps,
+        dollar_pos=dollar_pos,
+        dollar_base=dollar_base,
+    )
