@@ -240,3 +240,16 @@ def test_cli_build_sharded_mesh(tmp_path, ref, monkeypatch):
     cli.main(["build", str(path), str(n), "--k", "2", "--d", "64",
               "--output", "host.fmi"])
     assert (tmp_path / "sh.fmi").read_bytes() == (tmp_path / "host.fmi").read_bytes()
+
+
+def test_cli_locate_fused(tmp_path, ref, monkeypatch):
+    # --fused must write exactly the same positions file as the two-pass path
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    cli.main(["genreads", str(path), str(n), "12", "32", "--seed", "2",
+              "--output", "q.qry"])
+    common = [str(path), str(n), "q.qry", "12", "32",
+              "--k", "2", "--d", "64", "--sample-rate", "8"]
+    cli.main(["locate", *common, "--output", "two.pos"])
+    cli.main(["locate", *common, "--fused", "--output", "one.pos"])
+    assert (tmp_path / "one.pos").read_text() == (tmp_path / "two.pos").read_text()

@@ -154,3 +154,48 @@ def test_bench_locate_record():
     assert rec["unit"] == "positions/s"
     assert rec["detail"]["bit_exact_vs_oracle"]
     assert rec["detail"]["devices"] == 8
+
+
+def test_search_locate_fused_matches_two_pass(rng):
+    # The fused single-jit engine must equal search + locate_hits exactly,
+    # including absent patterns (empty intervals) and wave-boundary padding.
+    from tpufm.engine.xla import SearchLocateEngine, XLAEngine, LocateEngine
+
+    codes = rng.integers(0, 4, size=6000, dtype=np.uint8)
+    sa = suffix_array(codes, method="doubling")
+    index = build_index(codes, IndexConfig(k=2, d=64), sa=sa)
+    loc = build_locate(codes, sample_rate=16, d=64, sa=sa)
+
+    qlen = 8
+    starts = rng.integers(0, 6000 - qlen, size=37)
+    queries = np.stack([codes[st : st + qlen] for st in starts])
+    queries[-1] = np.array([0, 1, 2, 3] * 2, dtype=np.uint8)  # likely absent
+
+    fused = SearchLocateEngine(index, loc, max_hits=8)
+    iv_f, pos_f = fused.search_locate(queries, wave=16)  # non-divisible wave
+
+    iv = np.asarray(XLAEngine(index).search(queries))
+    pos = LocateEngine(loc).locate_hits(iv, max_hits=8)
+    np.testing.assert_array_equal(iv_f, iv)
+    np.testing.assert_array_equal(pos_f, pos)
+
+
+def test_search_locate_fused_with_lut(rng):
+    from tpufm.engine.xla import SearchLocateEngine, XLAEngine, LocateEngine
+
+    codes = rng.integers(0, 4, size=6000, dtype=np.uint8)
+    sa = suffix_array(codes, method="doubling")
+    index = build_index(codes, IndexConfig(k=2, d=64), sa=sa)
+    loc = build_locate(codes, sample_rate=16, d=64, sa=sa)
+
+    qlen = 12
+    starts = rng.integers(0, 6000 - qlen, size=16)
+    queries = np.stack([codes[st : st + qlen] for st in starts])
+
+    fused = SearchLocateEngine(index, loc, max_hits=4, lut_m=4)
+    iv_f, pos_f = fused.search_locate(queries)
+    iv = np.asarray(XLAEngine(index).search(queries))
+    np.testing.assert_array_equal(iv_f, iv)
+    np.testing.assert_array_equal(
+        pos_f, LocateEngine(loc).locate_hits(iv, max_hits=4)
+    )

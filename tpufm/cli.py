@@ -385,6 +385,14 @@ def cmd_locate(args):
         pos = DataParallelLocate(loc, mesh).locate_hits(
             intervals, max_hits=args.max_hits
         )
+    elif args.fused:
+        # ONE device pass reads -> intervals -> positions (no host
+        # round-trip between search and the locate walk)
+        from tpufm.engine.xla import SearchLocateEngine
+
+        intervals, pos = SearchLocateEngine(
+            index, loc, max_hits=args.max_hits
+        ).search_locate(queries)
     else:
         intervals = XLAEngine(index).search(queries)
         pos = LocateEngine(loc).locate_hits(intervals, max_hits=args.max_hits)
@@ -548,6 +556,9 @@ def main(argv=None):
     lc.add_argument("--d", type=int, default=64)
     lc.add_argument("--sample-rate", type=int, default=32)
     lc.add_argument("--max-hits", type=int, default=16)
+    lc.add_argument("--fused", action="store_true",
+                    help="single-chip: fuse search + locate into one device "
+                         "pass (SearchLocateEngine)")
     lc.add_argument("--on-device", action="store_true",
                     help="build index + locate tables on the accelerator "
                          "(one shared device suffix sort)")

@@ -788,6 +788,85 @@ class LocateEngine:
         return np.where(valid, pos, np.uint32(0xFFFFFFFF))
 
 
+class SearchLocateEngine:
+    """Fused search+locate: ONE device pass from reads to text positions.
+
+    The two-pass flow (XLAEngine.search -> host -> LocateEngine.locate_hits)
+    transfers every interval to the host and re-dispatches the hit rows; the
+    fused program keeps the whole flow device-resident — the search scan's
+    output intervals expand to their first max_hits BWT rows in-register and
+    feed the sampled-SA walk inside the same jit (docs/ROADMAP.md "locate
+    fusion"; the reference has no locate at all).
+
+    Bit-exact vs the two-pass path by construction (same search scan, same
+    walk, same expand semantics as tpufm.index.locate.expand_intervals).
+    """
+
+    #: reads per fused wave: each read carries max_hits walk lanes, so the
+    #: walk's working set is WAVE * max_hits rows
+    WAVE = 1 << 18
+
+    def __init__(self, index, loc, max_hits: int = 4, lut_m: int = 0,
+                 device=None):
+        put = functools.partial(jax.device_put, device=device)
+        base = index.base if isinstance(index, AltCountersIndex) else index
+        self.config = base.config
+        self.bwtsize = base.bwtsize
+        self.max_hits = max_hits
+        entries = build_fused_entries(base)
+        self.tables = {
+            "entries": put(jnp.asarray(entries) if not isinstance(
+                entries, jax.Array) else entries),
+            "dollar_pos": put(np.asarray(base.dollar_pos, np.uint32)),
+            "dollar_base": put(np.asarray(base.dollar_base, np.uint32)),
+            "dollar_block": put(
+                np.asarray(base.dollar_pos, np.uint32) // np.uint32(base.config.d)
+            ),
+        }
+        self.loc_tables, loc_d, sample_rate = build_locate_tables(loc, put)
+        k, d = base.config.k, base.config.d
+        search = make_search_fn(k, d, False, layout="fused", lut_m=lut_m)
+        locate = make_locate_fn(loc_d, sample_rate)
+        if lut_m:
+            self.tables["lut"] = put(
+                jnp.asarray(build_prefix_lut(self.tables, self.bwtsize, k, d, lut_m))
+            )
+
+        mh = max_hits
+
+        def fused(tables, loc_tables, bwtsize, queries):
+            iv = search(tables, bwtsize, queries)  # [B, 2] uint32
+            lo = iv[:, 0]
+            width = jnp.minimum(iv[:, 1] - lo, _U32(mh))
+            cols = jnp.arange(mh, dtype=_U32)[None, :]
+            valid = cols < width[:, None]
+            rows = jnp.where(valid, lo[:, None] + cols, _U32(0))
+            pos = locate(loc_tables, rows.reshape(-1)).reshape(rows.shape)
+            return iv, jnp.where(valid, pos, _U32(0xFFFFFFFF))
+
+        self._fused = jax.jit(fused)
+
+    def search_locate(self, queries, wave: int | None = None):
+        """reads uint8 [B, L] -> (intervals uint32 [B, 2], positions uint32
+        [B, max_hits] padded with 0xFFFFFFFF past each interval's count)."""
+        queries = np.asarray(queries, dtype=np.uint8)
+        B = queries.shape[0]
+        wave = min(wave or self.WAVE, max(B, 1))
+        ivs, poss = [], []
+        for start in range(0, B, wave):
+            q = queries[start : start + wave]
+            pad = -q.shape[0] % wave
+            if pad:
+                q = np.concatenate([q, np.tile(q[-1:], (pad, 1))])
+            iv, pos = self._fused(
+                self.tables, self.loc_tables, _U32(self.bwtsize), jnp.asarray(q)
+            )
+            n = min(wave, B - start)
+            ivs.append(np.asarray(jax.device_get(iv))[:n])
+            poss.append(np.asarray(jax.device_get(pos))[:n])
+        return np.concatenate(ivs), np.concatenate(poss)
+
+
 def build_locate_tables(loc, put):
     """Device table pytree for the sampled-SA locate walk, shared by the
     single-chip LocateEngine and the mesh DataParallelLocate. `put` places
