@@ -809,28 +809,17 @@ class SearchLocateEngine:
     def __init__(self, index, loc, max_hits: int = 4, lut_m: int = 0,
                  device=None):
         put = functools.partial(jax.device_put, device=device)
-        base = index.base if isinstance(index, AltCountersIndex) else index
-        self.config = base.config
-        self.bwtsize = base.bwtsize
+        # Reuse the standard engine's table construction (fused entries +
+        # LUT build/cache) so the search half is byte-for-byte the flagship.
+        xla = XLAEngine(index, device=device, layout="fused", lut_m=lut_m)
+        self.config = xla.config
+        self.bwtsize = xla.bwtsize
         self.max_hits = max_hits
-        entries = build_fused_entries(base)
-        self.tables = {
-            "entries": put(jnp.asarray(entries) if not isinstance(
-                entries, jax.Array) else entries),
-            "dollar_pos": put(np.asarray(base.dollar_pos, np.uint32)),
-            "dollar_base": put(np.asarray(base.dollar_base, np.uint32)),
-            "dollar_block": put(
-                np.asarray(base.dollar_pos, np.uint32) // np.uint32(base.config.d)
-            ),
-        }
+        self.tables = xla.tables
         self.loc_tables, loc_d, sample_rate = build_locate_tables(loc, put)
-        k, d = base.config.k, base.config.d
+        k, d = self.config.k, self.config.d
         search = make_search_fn(k, d, False, layout="fused", lut_m=lut_m)
         locate = make_locate_fn(loc_d, sample_rate)
-        if lut_m:
-            self.tables["lut"] = put(
-                jnp.asarray(build_prefix_lut(self.tables, self.bwtsize, k, d, lut_m))
-            )
 
         mh = max_hits
 
