@@ -72,4 +72,16 @@ pos = DataParallelLocate(loc, mesh).locate_rows(rows)
 np.save(os.path.join(outdir, f"locate_{pid}.npy"), pos)
 np.save(os.path.join(outdir, f"locate_rows_{pid}.npy"), rows)
 
+# Sharded BUILD across processes: suffix sort + table pipeline over the
+# global mesh, then sharded search of the freshly built index.
+from tpufm.index.builder_sharded import build_index_sharded  # noqa: E402
+
+idx_sh = build_index_sharded(codes, IndexConfig(k=2, d=32), mesh)
+out_bs = ShardedIndexEngine(idx_sh, mesh).search(queries)
+np.save(os.path.join(outdir, f"result_shbuild_{pid}.npy"), out_bs)
+np.save(
+    os.path.join(outdir, f"shbuild_occ_{pid}.npy"),
+    np.asarray(idx_sh.occ, np.uint32),
+)
+
 print(f"worker {pid}: ok", flush=True)

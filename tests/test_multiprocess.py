@@ -78,6 +78,15 @@ def test_two_process_data_parallel(tmp_path):
         np.testing.assert_array_equal(
             np.load(tmp_path / f"locate_{pid}.npy"), locate_oracle(loc, rows)
         )
+        # sharded BUILD across processes: occ bit-identical to the host
+        # build, and the built index searches correctly sharded
+        np.testing.assert_array_equal(
+            np.load(tmp_path / f"shbuild_occ_{pid}.npy"),
+            np.asarray(index.occ, np.uint32),
+        )
+        np.testing.assert_array_equal(
+            np.load(tmp_path / f"result_shbuild_{pid}.npy"), expect
+        )
 
 
 @pytest.mark.skipif(

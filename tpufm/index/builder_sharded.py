@@ -137,7 +137,8 @@ def build_index_sharded(
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from tpufm.index.sa_sharded import suffix_array_sharded_arr
+    from tpufm.index.sa_sharded import _replicated_get, suffix_array_sharded_arr
+    from tpufm.parallel.search import put_global
 
     if mesh is None:
         from tpufm.parallel.mesh import make_mesh
@@ -155,9 +156,9 @@ def build_index_sharded(
     m = d * (-(-big // (nsh * d)))  # d-aligned shard length
     e_pad = nsh * (m // d)
 
-    codes_dev = jnp.asarray(codes, jnp.uint8)
+    codes_dev = put_global(codes, NamedSharding(mesh, P()))
     order = (
-        suffix_array_sharded_arr(codes_dev, mesh, axis)
+        suffix_array_sharded_arr(codes, mesh, axis)
         if sa_dev is None
         else sa_dev
     )
@@ -165,8 +166,12 @@ def build_index_sharded(
         raise ValueError(f"sa_dev has {order.shape[0]} entries, expected {big}")
 
     # Re-lay the SA onto the d-aligned table sharding (pads read as 0).
-    op = jnp.zeros(nsh * m, jnp.uint32).at[:big].set(order.astype(jnp.uint32))
-    op = jax.device_put(op, NamedSharding(mesh, P(axis)))
+    # Inside a jit with explicit out_shardings, so the move is a GSPMD
+    # collective — multi-process safe (no local->global device_put).
+    op = jax.jit(
+        lambda o: jnp.pad(o.astype(jnp.uint32), (0, nsh * m - big)),
+        out_shardings=NamedSharding(mesh, P(axis)),
+    )(order)
 
     key = (id(mesh), axis, k, d, m, big)
     if key not in _cache:
@@ -174,8 +179,8 @@ def build_index_sharded(
     occ_counts_g, bitmaps_g, dollar_pos_d = _cache[key](op, codes_dev)
 
     # --- Host finalization: O(E * 4^k), semantics of builder_device.py ---
-    counts = np.asarray(jax.device_get(occ_counts_g), np.int64)[:E]
-    bm = np.asarray(jax.device_get(bitmaps_g), np.uint32)[:E]
+    counts = np.asarray(_replicated_get(occ_counts_g, mesh), np.int64)[:E]
+    bm = np.asarray(_replicated_get(bitmaps_g, mesh), np.uint32)[:E]
     bitmaps = np.concatenate([bm, np.zeros((1, k, 2, nb), np.uint32)])
     dollar_pos = np.asarray(jax.device_get(dollar_pos_d), np.uint32)
 

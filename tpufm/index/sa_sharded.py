@@ -199,15 +199,20 @@ def _programs(mesh, axis: str, m: int, big: int):
     return initial, step_for, shd
 
 
-def suffix_array_sharded_arr(codes_dev, mesh, axis: str = "data"):
-    """Device-resident sharded SA: uint8 global array [n] (any sharding) ->
-    uint32 global array [n+1] sharded over `mesh` holding the suffix array
-    of codes + sentinel."""
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+def suffix_array_sharded_arr(codes, mesh, axis: str = "data"):
+    """Sharded SA: uint8 host/device array [n] -> uint32 global array
+    [n+1] sharded over `mesh` holding the suffix array of codes + sentinel.
 
-    n = int(codes_dev.shape[0])
+    Multi-process safe: inputs are placed with put_global and every
+    collective runs inside shard_map, so the same call works on a
+    jax.distributed multi-host mesh."""
+    import jax
+    import numpy as np_
+
+    from tpufm.parallel.search import put_global
+
+    codes = np_.asarray(jax.device_get(codes), np_.uint8)
+    n = int(codes.shape[0])
     big = n + 1
     nsh = mesh.devices.size
     m = -(-big // nsh)
@@ -218,9 +223,9 @@ def suffix_array_sharded_arr(codes_dev, mesh, axis: str = "data"):
     initial, step_for, shd = _cache[key]
 
     # symbol+1 lanes, 0 sentinel, 0 pads — laid out over the mesh
-    c3 = jnp.zeros(nsh * m, jnp.uint32)
-    c3 = c3.at[:n].set(codes_dev.astype(jnp.uint32) + 1)
-    c3 = jax.device_put(c3, shd)
+    c3 = np_.zeros(nsh * m, np_.uint32)
+    c3[:n] = codes.astype(np_.uint32) + 1
+    c3 = put_global(c3, shd)
 
     rank, order, distinct = initial(c3)
     h = _PACK
@@ -237,9 +242,6 @@ def suffix_array_sharded(
 
     Same contract as tpufm.index.suffix_array.suffix_array: int64 [n+1]
     with result[0] == n. mesh defaults to all local devices."""
-    import jax
-    import jax.numpy as jnp
-
     if mesh is None:
         from tpufm.parallel.mesh import make_mesh
 
@@ -252,5 +254,17 @@ def suffix_array_sharded(
             "sharded suffix array supports symbols in [0, 6] "
             f"(got max {int(codes.max())}); use method='native'"
         )
-    order = suffix_array_sharded_arr(jnp.asarray(codes), mesh, axis)
-    return np.asarray(jax.device_get(order), dtype=np.int64)
+    order = suffix_array_sharded_arr(codes, mesh, axis)
+    return np.asarray(_replicated_get(order, mesh), dtype=np.int64)
+
+
+def _replicated_get(x, mesh):
+    """device_get that works on multi-process meshes: sharded global arrays
+    span non-addressable devices there, so replicate through a jit first."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))(x)
+    return jax.device_get(x)
