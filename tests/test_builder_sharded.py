@@ -60,3 +60,12 @@ def test_sharded_build_searchable(rng, mesh8):
         np.asarray(XLAEngine(idx).search(reads)),
         np.asarray(search_oracle(idx, reads)),
     )
+
+
+@pytest.mark.parametrize("ndev", [2, 5])
+def test_sharded_build_other_mesh_sizes(rng, ndev):
+    codes = rng.integers(0, 4, size=3001, dtype=np.uint8)
+    cfg = IndexConfig(k=2, d=64)
+    _assert_same(
+        build_index_sharded(codes, cfg, make_mesh(ndev)), build_index(codes, cfg)
+    )

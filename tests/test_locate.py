@@ -199,3 +199,16 @@ def test_search_locate_fused_with_lut(rng):
     np.testing.assert_array_equal(
         pos_f, LocateEngine(loc).locate_hits(iv, max_hits=4)
     )
+
+
+def test_search_locate_fused_empty_batch(rng):
+    from tpufm.engine.xla import SearchLocateEngine
+
+    codes = rng.integers(0, 4, size=2000, dtype=np.uint8)
+    sa = suffix_array(codes, method="doubling")
+    index = build_index(codes, IndexConfig(k=2, d=64), sa=sa)
+    loc = build_locate(codes, sample_rate=16, d=64, sa=sa)
+    iv, pos = SearchLocateEngine(index, loc, max_hits=4).search_locate(
+        np.zeros((0, 8), np.uint8)
+    )
+    assert iv.shape == (0, 2) and pos.shape == (0, 4)

@@ -61,6 +61,9 @@ def cmd_build(args):
         print(f"auto config: k={args.k} d={args.d} (recommend lut_m={rec['lut_m']})")
     cfg = IndexConfig(k=args.k, d=args.d)
     t0 = time.perf_counter()
+    if args.mesh and not args.on_device:
+        sys.exit("build --mesh requires --on-device (the sharded build runs "
+                 "on the accelerator mesh; the host build has no mesh mode)")
     if args.on_device and args.mesh:
         from tpufm.index.builder_sharded import build_index_sharded
         from tpufm.parallel.mesh import make_mesh

@@ -837,23 +837,32 @@ class SearchLocateEngine:
 
     def search_locate(self, queries, wave: int | None = None):
         """reads uint8 [B, L] -> (intervals uint32 [B, 2], positions uint32
-        [B, max_hits] padded with 0xFFFFFFFF past each interval's count)."""
+        [B, max_hits] padded with 0xFFFFFFFF past each interval's count).
+
+        Streams through tpufm.utils.waves (2 dispatches in flight); the two
+        outputs ride one pipeline as a [wave, 2 + max_hits] block."""
+        from tpufm.utils.waves import stream_waves
+
         queries = np.asarray(queries, dtype=np.uint8)
-        B = queries.shape[0]
-        wave = min(wave or self.WAVE, max(B, 1))
-        ivs, poss = [], []
-        for start in range(0, B, wave):
-            q = queries[start : start + wave]
-            pad = -q.shape[0] % wave
-            if pad:
-                q = np.concatenate([q, np.tile(q[-1:], (pad, 1))])
-            iv, pos = self._fused(
-                self.tables, self.loc_tables, _U32(self.bwtsize), jnp.asarray(q)
+        if queries.shape[0] == 0:
+            return (
+                np.zeros((0, 2), np.uint32),
+                np.zeros((0, self.max_hits), np.uint32),
             )
-            n = min(wave, B - start)
-            ivs.append(np.asarray(jax.device_get(iv))[:n])
-            poss.append(np.asarray(jax.device_get(pos))[:n])
-        return np.concatenate(ivs), np.concatenate(poss)
+        out = stream_waves(
+            queries,
+            wave or self.WAVE,
+            lambda q: self._fused(
+                self.tables, self.loc_tables, _U32(self.bwtsize), jnp.asarray(q)
+            ),
+            lambda h: np.concatenate(
+                [np.asarray(jax.device_get(h[0])),
+                 np.asarray(jax.device_get(h[1]))], axis=1
+            ),
+            depth=2,
+            pad_mode="cycle",
+        )
+        return np.ascontiguousarray(out[:, :2]), np.ascontiguousarray(out[:, 2:])
 
 
 def build_locate_tables(loc, put):

@@ -69,11 +69,18 @@ def _table_program(mesh, axis: str, k: int, d: int, m: int, big: int):
             axis,
         )
 
-        # BWT levels: lv_i[j] = T[(SA[j] - 1 - i) mod big], 0 past the text
+        # BWT levels: lv_i[j] = T[(SA[j] - 1 - i) mod big], 0 past the text.
+        # Branch instead of (order + big-1-i) % big: that sum reaches ~2*big
+        # and would wrap uint32 for texts past 2^31 bases — exactly the
+        # >single-chip scale this builder exists for.
         levels = []
         for i in range(k):
-            prev = (order_l + u32(big - 1 - i)) % u32(big)
-            lv = t[jnp.where(real, prev, u32(0)).astype(jnp.int32)]
+            back = u32(1 + i)
+            prev = jnp.where(
+                order_l >= back, order_l - back, order_l + (u32(big) - back)
+            )
+            # index with uint32 (int32 would overflow past 2^31 bases)
+            lv = t[jnp.where(real, prev, u32(0))]
             levels.append(jnp.where(real, lv, jnp.uint8(0)))
 
         # Bit-plane packing, MSB-first 32-base windows
@@ -175,7 +182,9 @@ def build_index_sharded(
 
     key = (id(mesh), axis, k, d, m, big)
     if key not in _cache:
-        _cache[key] = _table_program(mesh, axis, k, d, m, big)
+        from tpufm.index.sa_sharded import _cache_put
+
+        _cache_put(_cache, key, _table_program(mesh, axis, k, d, m, big))
     occ_counts_g, bitmaps_g, dollar_pos_d = _cache[key](op, codes_dev)
 
     # --- Host finalization: O(E * 4^k), semantics of builder_device.py ---

@@ -35,7 +35,17 @@ import numpy as np
 
 _PACK = 10  # symbols per initial key, 3 bits each (matches sa_device.py)
 
+#: compiled-program cache, bounded: one entry per (mesh, shard-geometry);
+#: a long-lived process building many differently-sized references would
+#: otherwise accumulate jitted programs (and pin their Mesh) forever
+_CACHE_MAX = 4
 _cache: dict = {}
+
+
+def _cache_put(cache: dict, key, value):
+    cache[key] = value
+    while len(cache) > _CACHE_MAX:
+        cache.pop(next(iter(cache)))
 
 
 def _shard_map():
@@ -139,10 +149,11 @@ def _programs(mesh, axis: str, m: int, big: int):
     def initial_fn(c3):
         """c3 u32 [m]: symbol+1 per lane, 0 at the sentinel and pads.
         -> (rank [m] index-order, sa_candidate [m], distinct)."""
-        # neighbor prefix so every lane can read its next _PACK-1 symbols
+        # neighbor prefix so every lane can read its next _PACK-1 symbols —
+        # send only the _PACK boundary lanes, not the whole shard
         perm = [(i + 1, i) for i in range(nsh - 1)]
-        nxt = lax.ppermute(c3, axis, perm)
-        ext = jnp.concatenate([c3, nxt[:_PACK]])
+        nxt = lax.ppermute(c3[:_PACK], axis, perm)
+        ext = jnp.concatenate([c3, nxt])
         key = jnp.zeros(m, u32)
         for j in range(_PACK):
             key = (key << u32(3)) | lax.dynamic_slice(ext, (j,), (m,))
@@ -219,7 +230,7 @@ def suffix_array_sharded_arr(codes, mesh, axis: str = "data"):
     m = max(m, _PACK)  # neighbor-prefix fetch reads _PACK lanes
     key = (id(mesh), axis, m, big)
     if key not in _cache:
-        _cache[key] = _programs(mesh, axis, m, big)
+        _cache_put(_cache, key, _programs(mesh, axis, m, big))
     initial, step_for, shd = _cache[key]
 
     # symbol+1 lanes, 0 sentinel, 0 pads — laid out over the mesh
