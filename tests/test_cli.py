@@ -253,3 +253,17 @@ def test_cli_locate_fused(tmp_path, ref, monkeypatch):
     cli.main(["locate", *common, "--output", "two.pos"])
     cli.main(["locate", *common, "--fused", "--output", "one.pos"])
     assert (tmp_path / "one.pos").read_text() == (tmp_path / "two.pos").read_text()
+
+
+def test_cli_locate_fused_mesh(tmp_path, ref, monkeypatch):
+    # --fused --mesh N equals the two-pass mesh path byte-for-byte
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    cli.main(["genreads", str(path), str(n), "12", "32", "--seed", "3",
+              "--output", "q.qry"])
+    common = [str(path), str(n), "q.qry", "12", "32",
+              "--k", "2", "--d", "64", "--sample-rate", "8"]
+    cli.main(["locate", *common, "--mesh", "8", "--output", "mesh2.pos"])
+    cli.main(["locate", *common, "--mesh", "8", "--fused",
+              "--output", "mesh1.pos"])
+    assert (tmp_path / "mesh1.pos").read_text() == (tmp_path / "mesh2.pos").read_text()

@@ -222,3 +222,31 @@ def test_sharded_tiny_lut_on_large_mesh(rng, mesh):
     starts = rng.integers(0, len(codes) - 8, size=32)
     q = np.stack([codes[s : s + 8] for s in starts])
     np.testing.assert_array_equal(engine.search(q), search_oracle(index, q))
+
+
+def test_data_parallel_search_locate(rng):
+    # Fused search+locate over the mesh == single-chip fused engine,
+    # including a batch not divisible by the mesh and an absent pattern.
+    from tpufm.engine.xla import SearchLocateEngine
+    from tpufm.index.locate import build_locate
+    from tpufm.index.suffix_array import suffix_array
+    from tpufm.parallel import DataParallelSearchLocate, make_mesh
+
+    codes = rng.integers(0, 4, size=6000, dtype=np.uint8)
+    sa = suffix_array(codes, method="doubling")
+    index = build_index(codes, IndexConfig(k=2, d=64), sa=sa)
+    loc = build_locate(codes, sample_rate=16, d=64, sa=sa)
+
+    qlen = 8
+    starts = rng.integers(0, 6000 - qlen, size=43)
+    queries = np.stack([codes[st : st + qlen] for st in starts])
+    queries[-1] = np.array([0, 1, 2, 3] * 2, dtype=np.uint8)
+
+    mesh = make_mesh(8)
+    dp = DataParallelSearchLocate(index, loc, mesh, max_hits=8, lut_m=2)
+    iv_m, pos_m = dp.search_locate(queries, wave=16)
+
+    ref = SearchLocateEngine(index, loc, max_hits=8, lut_m=2)
+    iv_s, pos_s = ref.search_locate(queries)
+    np.testing.assert_array_equal(iv_m, iv_s)
+    np.testing.assert_array_equal(pos_m, pos_s)

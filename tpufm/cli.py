@@ -384,10 +384,17 @@ def cmd_locate(args):
         )
 
         mesh = make_mesh(args.mesh or None)
-        intervals = DataParallelEngine(index, mesh).search(queries)
-        pos = DataParallelLocate(loc, mesh).locate_hits(
-            intervals, max_hits=args.max_hits
-        )
+        if args.fused:
+            from tpufm.parallel import DataParallelSearchLocate
+
+            intervals, pos = DataParallelSearchLocate(
+                index, loc, mesh, max_hits=args.max_hits
+            ).search_locate(queries)
+        else:
+            intervals = DataParallelEngine(index, mesh).search(queries)
+            pos = DataParallelLocate(loc, mesh).locate_hits(
+                intervals, max_hits=args.max_hits
+            )
     elif args.fused:
         # ONE device pass reads -> intervals -> positions (no host
         # round-trip between search and the locate walk)

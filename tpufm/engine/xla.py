@@ -788,6 +788,30 @@ class LocateEngine:
         return np.where(valid, pos, np.uint32(0xFFFFFFFF))
 
 
+def make_search_locate_fn(
+    k: int, d: int, lut_m: int, loc_d: int, sample_rate: int, max_hits: int
+):
+    """Jittable fused search+locate: (search_tables, locate_tables, bwtsize,
+    queries [B, L]) -> (intervals [B, 2], positions [B, max_hits], padded
+    with 0xFFFFFFFF past each interval's count). Shared by the single-chip
+    SearchLocateEngine and the mesh DataParallelSearchLocate."""
+    search = make_search_fn(k, d, False, layout="fused", lut_m=lut_m)
+    locate = make_locate_fn(loc_d, sample_rate)
+    mh = max_hits
+
+    def fused(tables, loc_tables, bwtsize, queries):
+        iv = search(tables, bwtsize, queries)  # [B, 2] uint32
+        lo = iv[:, 0]
+        width = jnp.minimum(iv[:, 1] - lo, _U32(mh))
+        cols = jnp.arange(mh, dtype=_U32)[None, :]
+        valid = cols < width[:, None]
+        rows = jnp.where(valid, lo[:, None] + cols, _U32(0))
+        pos = locate(loc_tables, rows.reshape(-1)).reshape(rows.shape)
+        return iv, jnp.where(valid, pos, _U32(0xFFFFFFFF))
+
+    return fused
+
+
 class SearchLocateEngine:
     """Fused search+locate: ONE device pass from reads to text positions.
 
@@ -817,23 +841,11 @@ class SearchLocateEngine:
         self.max_hits = max_hits
         self.tables = xla.tables
         self.loc_tables, loc_d, sample_rate = build_locate_tables(loc, put)
-        k, d = self.config.k, self.config.d
-        search = make_search_fn(k, d, False, layout="fused", lut_m=lut_m)
-        locate = make_locate_fn(loc_d, sample_rate)
-
-        mh = max_hits
-
-        def fused(tables, loc_tables, bwtsize, queries):
-            iv = search(tables, bwtsize, queries)  # [B, 2] uint32
-            lo = iv[:, 0]
-            width = jnp.minimum(iv[:, 1] - lo, _U32(mh))
-            cols = jnp.arange(mh, dtype=_U32)[None, :]
-            valid = cols < width[:, None]
-            rows = jnp.where(valid, lo[:, None] + cols, _U32(0))
-            pos = locate(loc_tables, rows.reshape(-1)).reshape(rows.shape)
-            return iv, jnp.where(valid, pos, _U32(0xFFFFFFFF))
-
-        self._fused = jax.jit(fused)
+        self._fused = jax.jit(
+            make_search_locate_fn(
+                self.config.k, self.config.d, lut_m, loc_d, sample_rate, max_hits
+            )
+        )
 
     def search_locate(self, queries, wave: int | None = None):
         """reads uint8 [B, L] -> (intervals uint32 [B, 2], positions uint32

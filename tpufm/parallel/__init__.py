@@ -1,6 +1,6 @@
 from tpufm.parallel.mesh import initialize_distributed, make_mesh
 from tpufm.parallel.search import DataParallelEngine, ShardedIndexEngine
-from tpufm.parallel.locate import DataParallelLocate
+from tpufm.parallel.locate import DataParallelLocate, DataParallelSearchLocate
 
 __all__ = [
     "initialize_distributed",
@@ -8,4 +8,5 @@ __all__ = [
     "DataParallelEngine",
     "ShardedIndexEngine",
     "DataParallelLocate",
+    "DataParallelSearchLocate",
 ]

@@ -85,3 +85,98 @@ class DataParallelLocate:
         rows, valid = expand_intervals(intervals, max_hits)
         pos = self.locate_rows(rows.reshape(-1)).reshape(rows.shape)
         return np.where(valid, pos, np.uint32(0xFFFFFFFF))
+
+
+class DataParallelSearchLocate:
+    """Fused search+locate, batch-sharded over a 1-D mesh.
+
+    The single-jit reads->intervals->positions program
+    (tpufm.engine.xla.make_search_locate_fn) with both table sets
+    replicated and the query batch sharded: each chip searches and walks
+    its own shard; the only collective is the all-gather of the replicated
+    (intervals, positions) outputs."""
+
+    #: reads per chip per wave — each read carries max_hits walk lanes
+    WAVE_PER_CHIP = 1 << 15
+
+    def __init__(self, index, loc, mesh: Mesh, max_hits: int = 4,
+                 lut_m: int = 0, lut_cache: str | None = None):
+        from tpufm.engine.xla import (
+            build_fused_entries,
+            make_search_locate_fn,
+        )
+
+        if lut_m and lut_m % index.config.k:
+            raise ValueError(
+                f"lut_m={lut_m} must be a multiple of k={index.config.k}"
+            )
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.config = index.config
+        self.bwtsize = index.bwtsize
+        self.max_hits = max_hits
+
+        repl = NamedSharding(mesh, P())
+        put = functools.partial(put_global, sharding=repl)
+        tables = {
+            "entries": put(build_fused_entries(index)),
+            "dollar_pos": put(index.dollar_pos),
+            "dollar_base": put(index.dollar_base),
+            "dollar_block": put(np.asarray(index.dollar_block, np.uint32)),
+        }
+        if lut_m:
+            from tpufm.engine.xla import lut_with_cache
+
+            tables["lut"] = lut_with_cache(tables, index, lut_m, lut_cache, put)
+        self.tables = tables
+        self.loc_tables, loc_d, sample_rate = build_locate_tables(loc, put)
+        self.batch_sharding = NamedSharding(mesh, P(self.axis, None))
+        self._fused = jax.jit(
+            make_search_locate_fn(
+                index.config.k, index.config.d, lut_m, loc_d, sample_rate,
+                max_hits,
+            ),
+            out_shardings=(repl, repl),
+        )
+
+    def search_locate(self, queries, wave: int | None = None):
+        """reads uint8 [B, L] -> (intervals uint32 [B, 2], positions uint32
+        [B, max_hits]). Tail batches pad by cycling their own reads."""
+        import jax.numpy as jnp
+        from tpufm.utils.waves import stream_waves
+
+        queries = np.asarray(queries, np.uint8)
+        B = queries.shape[0]
+        if B == 0:
+            return (
+                np.zeros((0, 2), np.uint32),
+                np.zeros((0, self.max_hits), np.uint32),
+            )
+        n = self.mesh.devices.size
+        wave = wave or self.WAVE_PER_CHIP * n
+        wave = max(n, wave - wave % n)
+        # Pre-pad to a mesh multiple (stream_waves pads tail waves, but a
+        # single sub-wave batch would reach put_global undivided).
+        pad = -B % n
+        if pad:
+            queries = np.concatenate([queries, queries[:pad]])
+
+        def dispatch(q):
+            qd = put_global(q, self.batch_sharding)
+            return self._fused(
+                self.tables, self.loc_tables, jnp.uint32(self.bwtsize), qd
+            )
+
+        out = stream_waves(
+            queries,
+            wave,
+            dispatch,
+            lambda h: np.concatenate(
+                [np.asarray(jax.device_get(h[0])),
+                 np.asarray(jax.device_get(h[1]))], axis=1
+            ),
+            depth=2,
+            pad_mode="cycle",
+        )
+        out = out[:B]
+        return np.ascontiguousarray(out[:, :2]), np.ascontiguousarray(out[:, 2:])
