@@ -69,3 +69,30 @@ def test_sharded_build_other_mesh_sizes(rng, ndev):
     _assert_same(
         build_index_sharded(codes, cfg, make_mesh(ndev)), build_index(codes, cfg)
     )
+
+
+@pytest.mark.parametrize("s,d,ndev", [(8, 32, 8), (16, 64, 8), (32, 128, 3)])
+def test_sharded_locate_build_matches_host(rng, s, d, ndev):
+    from tpufm.index.builder_sharded import build_locate_sharded
+    from tpufm.index.locate import build_locate
+
+    codes = rng.integers(0, 4, size=5000, dtype=np.uint8)
+    a = build_locate_sharded(codes, sample_rate=s, d=d, mesh=make_mesh(ndev))
+    b = build_locate(codes, sample_rate=s, d=d)
+    np.testing.assert_array_equal(a.samples, b.samples)
+    np.testing.assert_array_equal(a.mark_words, b.mark_words)
+    np.testing.assert_array_equal(a.mark_rank, b.mark_rank)
+    np.testing.assert_array_equal(a.lf1.occ, b.lf1.occ)
+    np.testing.assert_array_equal(a.lf1.bitmaps, b.lf1.bitmaps)
+
+
+def test_sharded_locate_build_resolves(rng, mesh8):
+    from tpufm.index.builder_sharded import build_locate_sharded
+    from tpufm.index.locate import locate_oracle
+    from tpufm.index.suffix_array import suffix_array
+
+    codes = rng.integers(0, 4, size=3000, dtype=np.uint8)
+    loc = build_locate_sharded(codes, sample_rate=8, d=64, mesh=mesh8)
+    sa = suffix_array(codes, method="doubling")
+    rows = np.arange(len(codes) + 1, dtype=np.uint32)
+    np.testing.assert_array_equal(locate_oracle(loc, rows), sa.astype(np.uint32))

@@ -267,3 +267,18 @@ def test_cli_locate_fused_mesh(tmp_path, ref, monkeypatch):
     cli.main(["locate", *common, "--mesh", "8", "--fused",
               "--output", "mesh1.pos"])
     assert (tmp_path / "mesh1.pos").read_text() == (tmp_path / "mesh2.pos").read_text()
+
+
+def test_cli_locate_on_device_mesh(tmp_path, ref, monkeypatch):
+    # --on-device --mesh N: sharded build of both table sets, positions
+    # byte-identical to the host-built two-pass path
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    cli.main(["genreads", str(path), str(n), "12", "32", "--seed", "4",
+              "--output", "q.qry"])
+    common = [str(path), str(n), "q.qry", "12", "32",
+              "--k", "2", "--d", "64", "--sample-rate", "8"]
+    cli.main(["locate", *common, "--output", "host.pos"])
+    cli.main(["locate", *common, "--on-device", "--mesh", "8",
+              "--output", "meshbuild.pos"])
+    assert (tmp_path / "meshbuild.pos").read_text() == (tmp_path / "host.pos").read_text()

@@ -342,6 +342,25 @@ def cmd_locate(args):
 
         index = load_store(f"{args.from_store}.search.tpufm")
         loc = load_store(f"{args.from_store}.locate.tpufm")
+    elif args.on_device and args.mesh:
+        # sharded build: one mesh suffix sort shared by both table sets
+        from tpufm.index.builder_sharded import (
+            build_index_sharded,
+            build_locate_sharded,
+        )
+        from tpufm.index.sa_sharded import suffix_array_sharded_arr
+        from tpufm.parallel import make_mesh as _mk
+
+        bmesh = _mk(args.mesh)
+        codes = read_reference(args.reference, args.refsize)
+        order = suffix_array_sharded_arr(codes, bmesh)
+        index = build_index_sharded(
+            codes, IndexConfig(k=args.k, d=args.d), bmesh, sa_dev=order
+        )
+        loc = build_locate_sharded(
+            codes, sample_rate=args.sample_rate, d=args.d, mesh=bmesh,
+            sa_dev=order,
+        )
     elif args.on_device:
         # one device suffix sort shared by the search index + locate tables
         import jax

@@ -232,3 +232,124 @@ def build_index_sharded(
         dollar_pos=dollar_pos,
         dollar_base=dollar_base,
     )
+
+
+_locate_cache: dict = {}
+
+
+def _locate_program(mesh, axis: str, d: int, m: int, big: int, s: int):
+    """shard_map program for the sharded locate tables: order_l [m] u32
+    (padded) -> (mark_words [E_pad, nb] u32, per_block [E_pad] u32,
+    samples_sorted [nsh*m] u32 — SA values of marked positions compacted to
+    the front in BWT-position order)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from tpufm.index.sa_sharded import _shard_map, make_global_sort
+
+    u32 = jnp.uint32
+    lax = jax.lax
+    nb = d // 32
+    eloc = m // d
+    nsh = mesh.devices.size
+    global_sort = make_global_sort(axis, nsh, m)
+
+    def fn(order_l):
+        myid = lax.axis_index(axis).astype(u32)
+        gpos = myid * u32(m) + lax.iota(u32, m)
+        real = gpos < u32(big)
+        marked = real & ((order_l % u32(s)) == 0)
+
+        # mark bitmaps: MSB-first 32-position windows, d-aligned blocks
+        mbits = marked.astype(u32).reshape(eloc, nb, 32)
+        words = jnp.zeros((eloc, nb), u32)
+        for j in range(32):
+            words |= mbits[:, :, j] << u32(31 - j)
+        per_block = jnp.sum(
+            lax.population_count(words).astype(jnp.int32), axis=1
+        ).astype(u32)
+
+        # samples: compact marked SA values to the front in p order via the
+        # same merge network the suffix sort uses (pads key 0xFFFFFFFF)
+        key = jnp.where(marked, gpos, u32(0xFFFFFFFF))
+        _, samples = global_sort((key, order_l), num_keys=1)
+        return words, per_block, samples
+
+    spec = P(axis)
+    return jax.jit(
+        _shard_map()(
+            fn, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec, spec)
+        )
+    )
+
+
+def build_locate_sharded(
+    reference,
+    sample_rate: int = 32,
+    d: int = 128,
+    mesh=None,
+    axis: str = "data",
+    sa_dev=None,
+):
+    """Build locate tables with every O(n) stage sharded over `mesh` —
+    bit-identical to tpufm.index.locate.build_locate. One sharded suffix
+    sort is shared between the k=1 LF index and the mark/sample tables."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpufm.index.locate import LocateIndex
+    from tpufm.index.sa_sharded import _replicated_get, suffix_array_sharded_arr
+
+    if mesh is None:
+        from tpufm.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+
+    codes = normalize_reference(reference)
+    n = int(codes.shape[0])
+    big = n + 1
+    nsh = mesh.devices.size
+    m = d * (-(-big // (nsh * d)))
+    nb = d // 32
+    E = -(-big // d)
+
+    order = (
+        suffix_array_sharded_arr(codes, mesh, axis)
+        if sa_dev is None
+        else sa_dev
+    )
+    lf1 = build_index_sharded(
+        codes, IndexConfig(k=1, d=d), mesh, axis, sa_dev=order
+    )
+
+    op = jax.jit(
+        lambda o: jnp.pad(o.astype(jnp.uint32), (0, nsh * m - big)),
+        out_shardings=NamedSharding(mesh, P(axis)),
+    )(order)
+
+    key = (id(mesh), axis, d, m, big, sample_rate)
+    if key not in _locate_cache:
+        from tpufm.index.sa_sharded import _cache_put
+
+        _cache_put(
+            _locate_cache, key, _locate_program(mesh, axis, d, m, big, sample_rate)
+        )
+    words_g, per_block_g, samples_g = _locate_cache[key](op)
+
+    n_sampled = -(-big // sample_rate)  # multiples of sample_rate in [0, big)
+    mark_words = np.zeros((E + 1, nb), np.uint32)
+    mark_words[:E] = np.asarray(_replicated_get(words_g, mesh), np.uint32)[:E]
+    per_block = np.asarray(_replicated_get(per_block_g, mesh), np.int64)[:E]
+    mark_rank = np.zeros(E + 1, np.uint32)
+    mark_rank[1:] = np.cumsum(per_block).astype(np.uint32)
+    samples = np.asarray(_replicated_get(samples_g, mesh), np.uint32)[:n_sampled]
+
+    return LocateIndex(
+        lf1=lf1,
+        sample_rate=sample_rate,
+        mark_words=mark_words,
+        mark_rank=mark_rank,
+        samples=samples,
+    )

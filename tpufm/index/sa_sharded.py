@@ -58,23 +58,19 @@ def _shard_map():
     return shard_map
 
 
-def _programs(mesh, axis: str, m: int, big: int):
-    """Build (initial, step(h)) jitted programs for one (mesh, m, big)."""
+def make_global_sort(axis: str, nsh: int, m: int):
+    """Shard-level global sort over a 1-D mesh axis: local `lax.sort` plus
+    nsh rounds of odd-even block transposition (ppermute shard exchange +
+    merge-split). Takes/returns tuples of [m] per-shard arrays; the first
+    num_keys arrays are the (unique-total-order) sort keys, the rest ride
+    as payload. Reused by the sharded suffix sort and the sharded locate
+    sample compaction."""
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    u32 = jnp.uint32
     lax = jax.lax
-    nsh = mesh.devices.size
-    spec = P(axis)
-    shd = NamedSharding(mesh, spec)
-
-    def gidx():
-        return lax.axis_index(axis).astype(u32) * u32(m) + lax.iota(u32, m)
 
     def transpose_round(parity, arrs, num_keys):
-        """One odd-even merge-split round over already-sorted shards."""
         pairs = []
         lo = parity
         while lo + 1 < nsh:
@@ -109,6 +105,26 @@ def _programs(mesh, axis: str, m: int, big: int):
         for r in range(nsh):
             arrs = transpose_round(r % 2, arrs, num_keys)
         return arrs
+
+    return global_sort
+
+
+def _programs(mesh, axis: str, m: int, big: int):
+    """Build (initial, step(h)) jitted programs for one (mesh, m, big)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    u32 = jnp.uint32
+    lax = jax.lax
+    nsh = mesh.devices.size
+    spec = P(axis)
+    shd = NamedSharding(mesh, spec)
+
+    def gidx():
+        return lax.axis_index(axis).astype(u32) * u32(m) + lax.iota(u32, m)
+
+    global_sort = make_global_sort(axis, nsh, m)
 
     def boundary_prev(xs):
         """For each array, the previous global element of each shard's
