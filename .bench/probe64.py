@@ -36,7 +36,7 @@ def tunnel_up() -> bool:
     return code == 0
 
 
-def wait_tunnel(max_tries=40):
+def wait_tunnel(max_tries=200):
     for i in range(max_tries):
         try:
             if tunnel_up():
