@@ -96,3 +96,16 @@ def test_sharded_locate_build_resolves(rng, mesh8):
     sa = suffix_array(codes, method="doubling")
     rows = np.arange(len(codes) + 1, dtype=np.uint32)
     np.testing.assert_array_equal(locate_oracle(loc, rows), sa.astype(np.uint32))
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_sharded_build_fuzz(trial, mesh8):
+    # Random (k, d, n) sharded builds must be bit-identical to the host
+    # builder — the sharded analog of tests/test_fuzz.py.
+    rng = np.random.default_rng(1000 + trial)
+    k = int(rng.integers(1, 4))
+    d = int(rng.choice([32, 64, 96, 128]))
+    n = int(rng.integers(50, 8000))
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    cfg = IndexConfig(k=k, d=d)
+    _assert_same(build_index_sharded(codes, cfg, mesh8), build_index(codes, cfg))

@@ -212,3 +212,26 @@ def test_search_locate_fused_empty_batch(rng):
         np.zeros((0, 8), np.uint8)
     )
     assert iv.shape == (0, 2) and pos.shape == (0, 4)
+
+
+@pytest.mark.parametrize("max_hits,s", [(1, 1), (64, 4)])
+def test_search_locate_fused_edges(rng, max_hits, s):
+    # max_hits=1 truncation, max_hits far beyond interval widths, and
+    # sample_rate=1 (every row marked, walk exits immediately).
+    from tpufm.engine.xla import SearchLocateEngine, XLAEngine, LocateEngine
+
+    codes = rng.integers(0, 4, size=3000, dtype=np.uint8)
+    sa = suffix_array(codes, method="doubling")
+    index = build_index(codes, IndexConfig(k=1, d=32), sa=sa)
+    loc = build_locate(codes, sample_rate=s, d=32, sa=sa)
+
+    qlen = 4  # short patterns -> wide intervals
+    starts = rng.integers(0, 3000 - qlen, size=21)
+    queries = np.stack([codes[st : st + qlen] for st in starts])
+
+    fused = SearchLocateEngine(index, loc, max_hits=max_hits)
+    iv_f, pos_f = fused.search_locate(queries)
+    iv = np.asarray(XLAEngine(index).search(queries))
+    pos = LocateEngine(loc).locate_hits(iv, max_hits=max_hits)
+    np.testing.assert_array_equal(iv_f, iv)
+    np.testing.assert_array_equal(pos_f, pos)
