@@ -109,3 +109,30 @@ def test_sharded_build_fuzz(trial, mesh8):
     codes = rng.integers(0, 4, size=n, dtype=np.uint8)
     cfg = IndexConfig(k=k, d=d)
     _assert_same(build_index_sharded(codes, cfg, mesh8), build_index(codes, cfg))
+
+
+def test_sharded_build_device_resident_to_engine(rng, mesh8):
+    # return_host=False: tables stay as global sharded device arrays and
+    # feed ShardedIndexEngine directly — results equal oracle; the host
+    # path equals it bit-for-bit.
+    import jax
+
+    from tpufm.engine.oracle import search_oracle
+    from tpufm.parallel import ShardedIndexEngine
+
+    codes = rng.integers(0, 4, size=9000, dtype=np.uint8)
+    cfg = IndexConfig(k=2, d=64)
+    dev = build_index_sharded(codes, cfg, mesh8, return_host=False)
+    assert isinstance(dev.occ, jax.Array) and isinstance(dev.bitmaps, jax.Array)
+    host = build_index(codes, cfg)
+    E1 = host.occ.shape[0]
+    got_occ = np.asarray(jax.device_get(dev.occ))
+    got_bm = np.asarray(jax.device_get(dev.bitmaps))
+    np.testing.assert_array_equal(got_occ[:E1], host.occ)
+    np.testing.assert_array_equal(got_bm[:E1], host.bitmaps)
+    assert not got_occ[E1:].any() and not got_bm[E1:].any()  # zero pad rows
+
+    starts = rng.integers(0, 9000 - 24, size=64)
+    q = np.stack([codes[i : i + 24] for i in starts])
+    got = ShardedIndexEngine(dev, mesh8).search(q)
+    np.testing.assert_array_equal(got, search_oracle(host, q))

@@ -35,8 +35,15 @@ _cache: dict = {}
 
 def _table_program(mesh, axis: str, k: int, d: int, m: int, big: int):
     """shard_map program: (order_l [m] u32 padded, codes [n] u8 replicated)
-    -> (occ_counts [E_pad, C] u32 uncorrected, bitmaps [E_pad, k, 2, nb] u32,
-    dollar_pos [k] u32)."""
+    -> (occ_rows [E_pad, C] u32 FINAL exclusive-prefix+Cb rows (zeros past
+    row E), final_row [C] u32 replicated (the sentinel row E),
+    bitmaps [E_pad, k, 2, nb] u32, dollar_pos [k] u32, dollar_base [k] u32).
+
+    The whole finalization (dollar-base read-back, '$'/tail-pad
+    corrections, two-level exclusive prefix, Cb accumulation — reference
+    src/genFMindex.c:237-250 semantics) runs in-shard: nothing but tiny
+    replicated scalars ever needs the host, so return_host=False hands the
+    tables straight to a sharded engine."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -48,6 +55,8 @@ def _table_program(mesh, axis: str, k: int, d: int, m: int, big: int):
     C = 4**k
     nb = d // 32
     eloc = m // d
+    E = -(-big // d)
+    nsh = mesh.devices.size
 
     def fn(order_l, codes):
         myid = lax.axis_index(axis).astype(u32)
@@ -111,17 +120,82 @@ def _table_program(mesh, axis: str, k: int, d: int, m: int, big: int):
                 ).astype(u32)
             )
         occ_counts = jnp.stack(counts, axis=1)  # [eloc, C]
-        return occ_counts, bitmaps, dollar_pos
+
+        # ---- On-device finalization -------------------------------------
+        start_blk = myid * u32(eloc)
+        blkid = start_blk + lax.iota(u32, eloc)
+
+        # dollar_base[i]: the fused k-mer at dollar_pos[i], read back from
+        # the packed planes by whichever shard owns that block (psum merge).
+        dollar_base = jnp.zeros(k, u32)
+        for i_ in range(k):
+            dp = dollar_pos[i_]
+            g = dp // u32(d)
+            off = dp % u32(d)
+            w = (off // u32(32)).astype(jnp.int32)
+            b = u32(31) - (off % u32(32))
+            mine = (g >= start_blk) & (g < start_blk + u32(eloc))
+            lb = jnp.where(mine, g - start_blk, u32(0)).astype(jnp.int32)
+            code = u32(0)
+            for lvl in range(k):
+                p0 = bitmaps[lb, lvl, 0, w]
+                p1 = bitmaps[lb, lvl, 1, w]
+                bit = ((p0 >> b) & u32(1)) | (((p1 >> b) & u32(1)) << u32(1))
+                code |= bit << u32(2 * lvl)
+            dollar_base = dollar_base.at[i_].set(
+                lax.psum(jnp.where(mine, code, u32(0)), axis)
+            )
+
+        # Pad blocks (global id >= E) contribute nothing.
+        occ_counts = jnp.where((blkid < u32(E))[:, None], occ_counts, u32(0))
+        # '$' positions were counted as their 'A'-encoded k-mer; the
+        # in-block tail pad (E*d - big zeros) was counted as k-mer 0.
+        for i_ in range(k):
+            g = dollar_pos[i_] // u32(d)
+            mine = (g >= start_blk) & (g < start_blk + u32(eloc))
+            lb = jnp.where(mine, g - start_blk, u32(eloc)).astype(jnp.int32)
+            occ_counts = occ_counts.at[
+                lb, dollar_base[i_].astype(jnp.int32)
+            ].add(u32(0xFFFFFFFF), mode="drop")
+        pad = E * d - big
+        if pad:
+            g_last = (E - 1) // eloc  # owning shard of block E-1
+            lb = jnp.where(
+                myid == u32(g_last), u32((E - 1) % eloc), u32(eloc)
+            ).astype(jnp.int32)
+            occ_counts = occ_counts.at[lb, 0].add(
+                u32(-pad & 0xFFFFFFFF), mode="drop"
+            )
+
+        # Two-level exclusive prefix over blocks + Cb accumulation.
+        inc = jnp.cumsum(occ_counts, axis=0, dtype=u32)  # [eloc, C]
+        tots = lax.all_gather(inc[-1], axis)  # [nsh, C]
+        offset = jnp.sum(
+            jnp.where((jnp.arange(nsh, dtype=u32) < myid)[:, None], tots, u32(0)),
+            axis=0,
+        )
+        totals = jnp.sum(tots, axis=0)  # [C] replicated
+        acc = jnp.concatenate(
+            [jnp.zeros(1, u32), jnp.cumsum(totals, dtype=u32)[:-1]]
+        )
+        for i_ in range(k):
+            masked = dollar_base[i_] & ~u32((1 << (2 * i_)) - 1)
+            acc = acc + (jnp.arange(C, dtype=u32) >= masked).astype(u32)
+        occ_rows = offset[None] + (inc - occ_counts) + acc[None]
+        occ_rows = jnp.where((blkid < u32(E))[:, None], occ_rows, u32(0))
+        final_row = totals + acc
+
+        return occ_rows, final_row, bitmaps, dollar_pos, dollar_base
 
     spec = P(axis)
-    return jax.jit(
-        _shard_map()(
-            fn,
-            mesh=mesh,
-            in_specs=(spec, P()),
-            out_specs=(spec, spec, P()),
-        )
+    kw = dict(
+        mesh=mesh, in_specs=(spec, P()), out_specs=(spec, P(), spec, P(), P())
     )
+    try:
+        smapped = _shard_map()(fn, check_vma=False, **kw)
+    except TypeError:  # older JAX: the flag was named check_rep
+        smapped = _shard_map()(fn, check_rep=False, **kw)
+    return jax.jit(smapped)
 
 
 def build_index_sharded(
@@ -130,6 +204,7 @@ def build_index_sharded(
     mesh=None,
     axis: str = "data",
     sa_dev=None,
+    return_host: bool = True,
 ) -> KStepFMIndex:
     """Build a k-step FM-index with every O(n) stage sharded over `mesh`.
 
@@ -139,6 +214,10 @@ def build_index_sharded(
     text than build_index_device. sa_dev: optional global device suffix
     array (uint32 [n+1], e.g. from suffix_array_sharded_arr) to share one
     sort across builds.
+
+    return_host=False keeps occ/bitmaps as GLOBAL SHARDED device arrays —
+    the tables never touch the host, so an index larger than any single
+    memory (host or chip) can go straight into ShardedIndexEngine.
     """
     import jax
     import jax.numpy as jnp
@@ -185,49 +264,44 @@ def build_index_sharded(
         from tpufm.index.sa_sharded import _cache_put
 
         _cache_put(_cache, key, _table_program(mesh, axis, k, d, m, big))
-    occ_counts_g, bitmaps_g, dollar_pos_d = _cache[key](op, codes_dev)
+    occ_rows_g, final_row_d, bitmaps_g, dollar_pos_d, dollar_base_d = _cache[
+        key
+    ](op, codes_dev)
 
-    # --- Host finalization: O(E * 4^k), semantics of builder_device.py ---
-    counts = np.asarray(_replicated_get(occ_counts_g, mesh), np.int64)[:E]
-    bm = np.asarray(_replicated_get(bitmaps_g, mesh), np.uint32)[:E]
-    bitmaps = np.concatenate([bm, np.zeros((1, k, 2, nb), np.uint32)])
     dollar_pos = np.asarray(jax.device_get(dollar_pos_d), np.uint32)
+    dollar_base = np.asarray(jax.device_get(dollar_base_d), np.uint32)
 
-    # dollar_base[i] = fused k-mer at dollar_pos[i], '$' read as 'A'
-    dollar_base = np.zeros(k, np.uint32)
-    for i in range(k):
-        off = int(dollar_pos[i]) % d
-        w, b = off // 32, 31 - (off % 32)
-        row = bitmaps[int(dollar_pos[i]) // d]
-        code = 0
-        for lvl in range(k):
-            b0 = (int(row[lvl, 0, w]) >> b) & 1
-            b1 = (int(row[lvl, 1, w]) >> b) & 1
-            code |= (b0 | (b1 << 1)) << (2 * lvl)
-        dollar_base[i] = code
-
-    # '$' positions were counted as their 'A'-encoded k-mer; the in-block
-    # tail pad (E*d - big zeros) was counted as k-mer 0.
-    for i in range(k):
-        counts[int(dollar_pos[i]) // d, int(dollar_base[i])] -= 1
-    pad = E * d - big
-    if pad:
-        counts[E - 1, 0] -= pad
-    totals = counts.sum(axis=0)
-
-    occ = np.zeros((E + 1, C), dtype=np.int64)
-    np.cumsum(counts, axis=0, out=occ[1:])
-    acc = np.zeros(C, np.int64)
-    acc[1:] = np.cumsum(totals)[:-1]
-    for i in range(k):
-        masked = int(dollar_base[i]) & ~((1 << (2 * i)) - 1)
-        acc[masked:] += 1
-    occ += acc
+    if return_host:
+        occ = np.zeros((E + 1, C), np.uint32)
+        occ[:E] = np.asarray(_replicated_get(occ_rows_g, mesh), np.uint32)[:E]
+        occ[E] = np.asarray(jax.device_get(final_row_d), np.uint32)
+        bm = np.asarray(_replicated_get(bitmaps_g, mesh), np.uint32)[:E]
+        bitmaps = np.concatenate([bm, np.zeros((1, k, 2, nb), np.uint32)])
+    else:
+        # Assemble the global sharded tables on device (one GSPMD relayout
+        # each) — the tables never exist on the host. Rows are padded from
+        # E+1 up to a mesh multiple so the row axis shards evenly; the pad
+        # rows are zero and unreachable (block indexes never exceed E), and
+        # ShardedIndexEngine's own padding becomes a no-op.
+        shard_rows = NamedSharding(mesh, P(axis))
+        rows_pad = nsh * (-(-(E + 1) // nsh))
+        occ = jax.jit(
+            lambda o, fr: jnp.concatenate(
+                [o[:E], fr[None], jnp.zeros((rows_pad - E - 1, C), jnp.uint32)]
+            ),
+            out_shardings=shard_rows,
+        )(occ_rows_g, final_row_d)
+        bitmaps = jax.jit(
+            lambda b: jnp.concatenate(
+                [b[:E], jnp.zeros((rows_pad - E, k, 2, nb), jnp.uint32)]
+            ),
+            out_shardings=shard_rows,
+        )(bitmaps_g)
 
     return KStepFMIndex(
         config=config,
         bwtsize=big,
-        occ=occ.astype(np.uint32),
+        occ=occ,
         bitmaps=bitmaps,
         dollar_pos=dollar_pos,
         dollar_base=dollar_base,

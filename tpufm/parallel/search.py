@@ -432,18 +432,29 @@ class ShardedIndexEngine:
         total = index.occ.shape[0]
         e_local = -(-total // n_dev)
         pad = e_local * n_dev - total
-        occ = np.pad(index.occ, ((0, pad), (0, 0)))
-        bitmaps = np.pad(index.bitmaps, ((0, pad), (0, 0), (0, 0), (0, 0)))
         self.e_local = e_local
 
         shard_rows = NamedSharding(mesh, P(self.axis))
         repl = NamedSharding(mesh, P())
-        self.occ = put_global(occ, shard_rows)
-        self.bitmaps = put_global(bitmaps, shard_rows)
+        if isinstance(index.occ, jax.Array):
+            # Device-resident tables (build_index_sharded return_host=False):
+            # re-pad with a GSPMD relayout — the tables never touch the host.
+            self.occ, self.bitmaps = jax.jit(
+                lambda o, b: (
+                    jnp.pad(o, ((0, pad), (0, 0))),
+                    jnp.pad(b, ((0, pad), (0, 0), (0, 0), (0, 0))),
+                ),
+                out_shardings=(shard_rows, shard_rows),
+            )(index.occ, index.bitmaps)
+        else:
+            occ = np.pad(index.occ, ((0, pad), (0, 0)))
+            bitmaps = np.pad(index.bitmaps, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            self.occ = put_global(occ, shard_rows)
+            self.bitmaps = put_global(bitmaps, shard_rows)
         self.dollar = (
-            put_global(index.dollar_pos, repl),
-            put_global(index.dollar_base, repl),
-            put_global(np.asarray(index.dollar_block, np.uint32), repl),
+            put_global(np.asarray(jax.device_get(index.dollar_pos)), repl),
+            put_global(np.asarray(jax.device_get(index.dollar_base)), repl),
+            put_global(np.asarray(jax.device_get(index.dollar_block), np.uint32), repl),
         )
 
         if routing not in ("allgather", "ring", "a2a"):
