@@ -282,3 +282,17 @@ def test_cli_locate_on_device_mesh(tmp_path, ref, monkeypatch):
     cli.main(["locate", *common, "--on-device", "--mesh", "8",
               "--output", "meshbuild.pos"])
     assert (tmp_path / "meshbuild.pos").read_text() == (tmp_path / "host.pos").read_text()
+
+
+def test_cli_bench_search_locate_fused():
+    """tpufm bench --locate --fused: the one-pass record, verified vs the
+    host oracles."""
+    from tpufm.bench import run_bench_search_locate
+
+    rec = run_bench_search_locate(
+        refsize=40000, k=2, d=64, sample_rate=8, num_queries=512,
+        query_len=24, iterations=1, lut_m=4, max_hits=4,
+    )
+    assert rec["detail"]["bit_exact_vs_oracle"]
+    assert rec["unit"] == "reads/s"
+    assert rec["detail"]["max_hits"] == 4

@@ -410,6 +410,79 @@ def run_bench_locate(
     }
 
 
+def run_bench_search_locate(
+    refsize: int = 10_000_000,
+    k: int = 3,
+    d: int = 128,
+    sample_rate: int = 32,
+    num_queries: int = 1 << 20,
+    query_len: int = 120,
+    iterations: int = 5,
+    seed: int = 0,
+    lut_m: int = 0,
+    max_hits: int = 4,
+) -> dict:
+    """Fused one-pass search+locate record (SearchLocateEngine): reads in,
+    text positions out, one device program. Verified on a uniform read
+    sample against the HOST oracles (search_oracle + locate_hits)."""
+    _enable_compile_cache()
+
+    from tpufm.config import IndexConfig
+    from tpufm.engine.oracle import search_oracle
+    from tpufm.engine.xla import SearchLocateEngine
+    from tpufm.index.builder import build_index
+    from tpufm.index.locate import build_locate, locate_hits
+    from tpufm.index.suffix_array import suffix_array
+    from tpufm.io.genreads import generate_reads
+
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=refsize, dtype=np.uint8)
+    t0 = time.perf_counter()
+    sa = suffix_array(codes)
+    index = build_index(codes, IndexConfig(k=k, d=d), sa=sa)
+    loc = build_locate(codes, sample_rate=sample_rate, d=d, sa=sa)
+    build_s = time.perf_counter() - t0
+    queries = generate_reads(codes, query_len, num_queries, seed=seed + 1)
+
+    eng = SearchLocateEngine(index, loc, max_hits=max_hits, lut_m=lut_m)
+    eng.search_locate(queries)  # warm / compile
+    times = []
+    for _ in range(iterations):
+        t0 = time.perf_counter()
+        iv, pos = eng.search_locate(queries)  # host fetch = true barrier
+        times.append(time.perf_counter() - t0)
+    mean_s = sum(times) / len(times)
+
+    n_verify = min(num_queries, 8192)
+    vidx = np.sort(
+        np.random.default_rng(seed + 2).choice(
+            num_queries, n_verify, replace=False
+        )
+    )
+    iv_o = np.asarray(search_oracle(index, queries[vidx]))
+    pos_o = locate_hits(loc, iv_o, max_hits=max_hits)
+    exact = bool((iv[vidx] == iv_o).all() and (pos[vidx] == pos_o).all())
+
+    reads_s = num_queries / mean_s
+    return {
+        "metric": f"fused search+locate reads/s (k={k}, d={d}, "
+        f"s={sample_rate}, max_hits={max_hits}, lut={lut_m}, "
+        f"{num_queries} x {query_len} bp, {refsize} bases)",
+        "value": round(reads_s),
+        "unit": "reads/s",
+        "vs_baseline": None,
+        "detail": {
+            "reads_per_s": round(reads_s),
+            "positions_per_s": round(reads_s * max_hits),
+            "seconds_per_pass": mean_s,
+            "build_seconds": round(build_s, 1),
+            "bit_exact_vs_oracle": exact,
+            "verified_reads": n_verify,
+            "max_hits": max_hits,
+        },
+    }
+
+
 def run_bench_multichip(
     refsize: int = 10_000_000,
     k: int = 3,

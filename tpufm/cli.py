@@ -224,7 +224,22 @@ def _make_engine(index, args):
 
 
 def cmd_bench(args):
-    if args.locate:
+    if args.locate and args.fused:
+        from tpufm.bench import run_bench_search_locate
+
+        record = run_bench_search_locate(
+            refsize=args.refsize,
+            k=args.k,
+            d=args.d,
+            sample_rate=args.sample_rate,
+            num_queries=args.numqueries,
+            query_len=args.length,
+            iterations=args.iterations,
+            seed=args.seed,
+            lut_m=args.lut,
+            max_hits=args.max_hits,
+        )
+    elif args.locate:
         from tpufm.bench import run_bench_locate
 
         record = run_bench_locate(
@@ -555,6 +570,11 @@ def main(argv=None):
     be.add_argument("--locate", action="store_true",
                     help="benchmark the sampled-SA locate walk "
                          "(positions/s; --numqueries = rows)")
+    be.add_argument("--fused", action="store_true",
+                    help="with --locate: the one-pass search+locate record "
+                         "(SearchLocateEngine)")
+    be.add_argument("--max-hits", type=int, default=4,
+                    help="with --locate --fused: positions per read")
     be.add_argument("--sample-rate", type=int, default=32,
                     help="locate SA sampling rate (with --locate)")
     be.add_argument("--mesh", type=int, default=None, metavar="N",
