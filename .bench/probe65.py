@@ -83,10 +83,36 @@ def regime_recheck():
              "exact": rec["detail"]["bit_exact_vs_oracle"]})
 
 
+def wave_recheck():
+    """The 1M-read wave optimum predates the hier pick — re-sweep."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpufm.config import IndexConfig
+    from tpufm.engine.xla import XLAEngine
+    from tpufm.index.builder import build_index
+    from tpufm.io.genreads import generate_reads
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=10_000_000, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=3, d=128))
+    eng = XLAEngine(index, lut_m=12)
+    reads = generate_reads(codes, 120, 1 << 22, seed=1)
+    for wave in (1 << 19, 1 << 20, 1 << 21, 1 << 22):
+        eng.search(reads[:wave], wave=wave)  # warm this shape
+        t0 = time.perf_counter()
+        eng.search(reads, wave=wave)
+        dt = time.perf_counter() - t0
+        log({"exp": "wave65", "wave": wave,
+             "reads_per_s": int((1 << 22) / dt)})
+
+
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["fused", "regime"]
+    which = sys.argv[1:] or ["fused", "regime", "wave"]
     if "fused" in which:
         fused_locate_bench()
     if "regime" in which:
         regime_recheck()
+    if "wave" in which:
+        wave_recheck()
     print("probe65 done", flush=True)
