@@ -207,3 +207,23 @@ def test_xla_paired_requires_lut():
         from tpufm.engine.xla import make_search_fn
 
         make_search_fn(2, 64, False, layout="paired", lut_m=0)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 4, 5, 6])
+def test_pick_counter_matches_take_along_axis(rng, k):
+    """_pick_counter (two-stage one-hot, docs/PERF.md 'The counter pick,
+    solved') must select exactly counters[..., code] for every k — the
+    [2^k, 2^k] regroup math is an even power of two at every k, but pin
+    that down directly rather than only through the engine parity tests."""
+    import jax.numpy as jnp
+
+    from tpufm.engine.xla import _pick_counter
+
+    n = 4**k
+    counters = rng.integers(0, 2**32, size=(17, 2, n), dtype=np.uint32)
+    code = rng.integers(0, n, size=(17,), dtype=np.uint32)
+    got = _pick_counter(jnp.asarray(counters), jnp.asarray(code)[:, None], k)
+    want = np.take_along_axis(
+        counters, code[:, None, None].astype(np.int64), axis=-1
+    )[..., 0]
+    np.testing.assert_array_equal(np.asarray(got), want)

@@ -415,7 +415,10 @@ class ShardedIndexEngine:
     ):
         if isinstance(index, AltCountersIndex):
             raise NotImplementedError(
-                "sharded-index mode uses the baseline counter layout"
+                "sharded-index mode uses the baseline counter layout "
+                "(a deliberate decision — docs/DISTRIBUTED.md 'Why sharded "
+                "mode is baseline-layout only'); rebuild with layout="
+                "'baseline' for identical results"
             )
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
