@@ -296,3 +296,64 @@ def test_cli_bench_search_locate_fused():
     assert rec["detail"]["bit_exact_vs_oracle"]
     assert rec["unit"] == "reads/s"
     assert rec["detail"]["max_hits"] == 4
+
+
+def test_cli_any_length_search(tmp_path, ref, monkeypatch):
+    """build --tail + odd-length reads: the k=1 tail sibling is auto-loaded
+    and the result matches the k=1 oracle (any-length extension — the
+    reference rejects L % k != 0)."""
+    from tpufm.engine.oracle import search_oracle
+    from tpufm.index.formats import load_npz
+    from tpufm.io.fasta import load_queries
+    from tpufm.io.results import load_results
+
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+
+    cli.main(["build", str(path), str(n), "--k", "3", "--d", "64", "--tail"])
+    fmi = tmp_path / f"ref.fa.{n}.64fmi3steps.fmi"
+    assert fmi.exists() and (tmp_path / (fmi.name + ".tail.npz")).exists()
+
+    cli.main(["genreads", str(path), str(n), "25", "48", "--seed", "5",
+              "--output", "odd.qry"])  # 25 % 3 == 1
+    cli.main(["search", str(fmi), "odd.qry", "25", "48", "--iterations", "1"])
+    res = load_results(str(fmi) + ".res.tpu")
+    tail = load_npz(str(fmi) + ".tail.npz")
+    qs = load_queries(tmp_path / "odd.qry", 25, 48)
+    np.testing.assert_array_equal(res, search_oracle(tail, qs))
+    assert (res[:, 1] > res[:, 0]).all()
+
+    # the mesh engine takes the same tail sibling
+    cli.main(["search", str(fmi), "odd.qry", "25", "48", "--iterations", "1",
+              "--mesh", "8", "--output", "mesh.res"])
+    np.testing.assert_array_equal(load_results("mesh.res"), res)
+
+
+def test_cli_odd_length_without_tail_exits(tmp_path, ref, monkeypatch):
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    cli.main(["build", str(path), str(n), "--k", "3", "--d", "64"])
+    fmi = tmp_path / f"ref.fa.{n}.64fmi3steps.fmi"
+    cli.main(["genreads", str(path), str(n), "25", "16", "--seed", "5",
+              "--output", "odd.qry"])
+    with pytest.raises(SystemExit, match="tail"):
+        cli.main(["search", str(fmi), "odd.qry", "25", "16"])
+
+
+def test_cli_locate_any_length(tmp_path, ref, monkeypatch):
+    """tpufm locate with an odd read length: the locate tables' own k=1 LF
+    index serves as the tail, two-pass and fused paths agree."""
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    cli.main(["genreads", str(path), str(n), "13", "32", "--seed", "6",
+              "--output", "q.qry"])  # 13 % 2 == 1
+    common = [str(path), str(n), "q.qry", "13", "32",
+              "--k", "2", "--d", "64", "--sample-rate", "8"]
+    cli.main(["locate", *common, "--output", "two.pos"])
+    cli.main(["locate", *common, "--fused", "--output", "fused.pos"])
+    cli.main(["locate", *common, "--mesh", "8", "--output", "mesh.pos"])
+    two = (tmp_path / "two.pos").read_text()
+    assert two == (tmp_path / "fused.pos").read_text()
+    assert two == (tmp_path / "mesh.pos").read_text()
+    # every line resolves at least one genuine position
+    assert all(line.strip() for line in two.splitlines())

@@ -64,17 +64,32 @@ def cmd_build(args):
     if args.mesh and not args.on_device:
         sys.exit("build --mesh requires --on-device (the sharded build runs "
                  "on the accelerator mesh; the host build has no mesh mode)")
+    tail = None
     if args.on_device and args.mesh:
         from tpufm.index.builder_sharded import build_index_sharded
         from tpufm.parallel.mesh import make_mesh
 
-        index = build_index_sharded(codes, cfg, make_mesh(args.mesh))
+        mesh = make_mesh(args.mesh)
+        index = build_index_sharded(codes, cfg, mesh)
+        if args.tail:
+            tail = build_index_sharded(codes, IndexConfig(k=1, d=args.d), mesh)
     elif args.on_device:
         from tpufm.index.builder_device import build_index_device
 
         index = build_index_device(codes, cfg)
+        if args.tail:
+            tail = build_index_device(codes, IndexConfig(k=1, d=args.d))
     else:
-        index = build_index(codes, cfg, sa_method=args.sa)
+        sa = None
+        if args.tail and args.k != 1:
+            # one suffix sort feeds both the main and the tail build
+            from tpufm.index.suffix_array import suffix_array
+
+            sa = suffix_array(codes, method=args.sa)
+        index = build_index(codes, cfg, sa_method=args.sa, sa=sa)
+        if args.tail:
+            tail = build_index(codes, IndexConfig(k=1, d=args.d),
+                               sa_method=args.sa, sa=sa)
     print(f"built k={args.k} d={args.d} bwtsize={index.bwtsize} "
           f"entries={index.nentries} in {time.perf_counter() - t0:.1f}s"
           f"{' (on device)' if args.on_device else ''}")
@@ -90,6 +105,11 @@ def cmd_build(args):
     else:
         write_fmi(out, index, Layout.BASELINE)
     print(f"wrote {out}")
+    if tail is not None:
+        # sibling k=1 index: `tpufm search` auto-loads it to accept ANY
+        # query length (the reference rejects L % k != 0 outright)
+        save_npz(f"{out}.tail.npz", tail)
+        print(f"wrote {out}.tail.npz (k=1 any-length tail index)")
     if args.save_ref:
         # normalized re-emitted FASTA (reference common/common.c:119-130)
         write_reference(f"{args.reference}.{args.refsize}.fa", decode_bases(codes))
@@ -122,9 +142,23 @@ def cmd_genreads(args):
 
 
 def cmd_search(args):
+    import os
+
     index = _load_any_index(args.index)
     queries = load_queries(args.queries, args.qrysize, args.numqueries)
-    engine = _make_engine(index, args)
+    tail = None
+    k = (index.base if hasattr(index, "base") else index).config.k
+    if args.qrysize % k:
+        tpath = getattr(args, "tail", None) or f"{args.index}.tail.npz"
+        if not os.path.exists(tpath):
+            sys.exit(
+                f"query length {args.qrysize} is not divisible by k={k}; "
+                f"no tail index at {tpath} — rebuild with `tpufm build "
+                "--tail` or pass --tail PATH (the reference rejects such "
+                "lengths outright; tpufm runs them with k=1 tail rounds)"
+            )
+        tail = load_npz(tpath)
+    engine = _make_engine(index, args, tail_index=tail)
     out = args.output or f"{args.index}.res.tpu"
 
     if args.resume:
@@ -154,7 +188,7 @@ def cmd_search(args):
     print(f"wrote {out}")
 
 
-def _make_engine(index, args):
+def _make_engine(index, args, tail_index=None):
     from tpufm.engine.xla import XLAEngine
     from tpufm.index.layouts import make_alt_counters
     from tpufm.index.builder import KStepFMIndex
@@ -163,6 +197,12 @@ def _make_engine(index, args):
     lut_m = getattr(args, "lut", 0)
     mesh_n = getattr(args, "mesh", None)
     sharded = getattr(args, "sharded", False)
+    if tail_index is not None and (sharded or engine in ("pallas", "xla-ac")):
+        sys.exit(
+            "any-length queries (tail index) are supported by --engine "
+            "xla/xla-paired, single-chip or --mesh N; pad reads to a "
+            "multiple of k for --sharded/pallas/xla-ac"
+        )
 
     if mesh_n is not None or sharded:
         # Multi-chip engines behind the same CLI surface the reference's
@@ -198,6 +238,7 @@ def _make_engine(index, args):
             lut_m=lut_m,
             lut_cache=f"{args.index}.lut{lut_m}.npz" if lut_m else None,
             pad_words=getattr(args, "pad_words", None),
+            tail_index=tail_index,
         )
 
     if engine == "pallas":
@@ -212,6 +253,7 @@ def _make_engine(index, args):
         return XLAEngine(
             index, layout="paired", lut_m=lut_m,
             lut_cache=f"{args.index}.lut{lut_m}.npz",
+            tail_index=tail_index,
         )
     return XLAEngine(
         index,
@@ -220,6 +262,7 @@ def _make_engine(index, args):
         # load it instead of re-running the 4^m m-mer batch search
         lut_cache=f"{args.index}.lut{lut_m}.npz" if lut_m else None,
         pad_words=getattr(args, "pad_words", None),
+        tail_index=tail_index,
     )
 
 
@@ -407,6 +450,10 @@ def cmd_locate(args):
         save_store(f"{args.store}.locate.tpufm", loc)
         print(f"stored {args.store}.search.tpufm + {args.store}.locate.tpufm")
     queries = load_queries(args.queries, args.qrysize, args.numqueries)
+    # Any query length: the locate tables' k=1 LF index doubles as the tail
+    # index for the r = L mod k leftover characters (fused paths alias it
+    # in-place; the two-pass paths hand it to the search engine).
+    tail = loc.lf1 if args.qrysize % index.config.k else None
 
     if args.mesh is not None:
         # Multi-chip: batch-sharded search + row-sharded locate walk over
@@ -425,7 +472,9 @@ def cmd_locate(args):
                 index, loc, mesh, max_hits=args.max_hits
             ).search_locate(queries)
         else:
-            intervals = DataParallelEngine(index, mesh).search(queries)
+            intervals = DataParallelEngine(
+                index, mesh, tail_index=tail
+            ).search(queries)
             pos = DataParallelLocate(loc, mesh).locate_hits(
                 intervals, max_hits=args.max_hits
             )
@@ -438,7 +487,7 @@ def cmd_locate(args):
             index, loc, max_hits=args.max_hits
         ).search_locate(queries)
     else:
-        intervals = XLAEngine(index).search(queries)
+        intervals = XLAEngine(index, tail_index=tail).search(queries)
         pos = LocateEngine(loc).locate_hits(intervals, max_hits=args.max_hits)
 
     out = args.output or f"{args.queries}.pos"
@@ -503,6 +552,10 @@ def main(argv=None):
                         "devices (tpufm/index/builder_sharded.py) — lifts "
                         "the single-chip ~400 Mbase on-device cap")
     b.add_argument("--save-ref", action="store_true")
+    b.add_argument("--tail", action="store_true",
+                   help="also build a k=1 tail index (<out>.tail.npz) so "
+                        "search accepts ANY query length, not just "
+                        "multiples of k")
     b.set_defaults(fn=cmd_build)
 
     t = sub.add_parser("transform", help="emit alternate index layouts")
@@ -544,6 +597,9 @@ def main(argv=None):
     s.add_argument("--routing", default="allgather",
                    choices=["allgather", "ring", "a2a"],
                    help="collective plan for --sharded lookups")
+    s.add_argument("--tail", default=None, metavar="PATH",
+                   help="k=1 tail index enabling any query length "
+                        "(default: <index>.tail.npz when the length needs it)")
     s.add_argument("--resume", action="store_true",
                    help="checkpoint each wave; a re-run with the same "
                         "arguments continues after a crash")

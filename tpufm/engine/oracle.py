@@ -125,11 +125,14 @@ def fuse_query_kmers(queries: np.ndarray, k: int) -> np.ndarray:
     return codes
 
 
-def search_oracle(index, queries: np.ndarray) -> np.ndarray:
+def search_oracle(index, queries: np.ndarray, tail_index=None) -> np.ndarray:
     """Full backward search of a query batch. Returns uint32 [B, 2] (L, R).
 
     index: KStepFMIndex or AltCountersIndex.
     queries: uint8 [B, L] 2-bit codes.
+    tail_index: optional k=1 KStepFMIndex over the same text — accepts any
+    query length by finishing the L mod k leftover leading characters with
+    single-step rounds (ground truth for the engines' tail extension).
     """
     if isinstance(index, AltCountersIndex):
         base, step = index.base, lf_step_oracle_ac
@@ -137,7 +140,15 @@ def search_oracle(index, queries: np.ndarray) -> np.ndarray:
         base, step = index, lf_step_oracle
 
     k = base.config.k
-    codes = fuse_query_kmers(np.asarray(queries, dtype=np.uint8), k)
+    queries = np.asarray(queries, dtype=np.uint8)
+    rem = queries.shape[1] % k
+    if rem and tail_index is None:
+        raise ValueError(
+            f"query length {queries.shape[1]} not divisible by k={k}; "
+            "pass tail_index (k=1) to search any length"
+        )
+    head, body = queries[:, :rem], queries[:, rem:]
+    codes = fuse_query_kmers(body, k)
     B = queries.shape[0]
 
     lo = np.zeros(B, dtype=_U32)
@@ -145,4 +156,9 @@ def search_oracle(index, queries: np.ndarray) -> np.ndarray:
     for r in range(codes.shape[0]):
         lo = step(index, lo, codes[r])
         hi = step(index, hi, codes[r])
+    if rem:
+        tcodes = fuse_query_kmers(head, 1)  # [rem, B], right-to-left
+        for r in range(rem):
+            lo = lf_step_oracle(tail_index, lo, tcodes[r])
+            hi = lf_step_oracle(tail_index, hi, tcodes[r])
     return np.stack([lo, hi], axis=1)

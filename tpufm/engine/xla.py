@@ -278,6 +278,34 @@ def fuse_round_codes(queries, k: int):
     return code.T
 
 
+def _tail_scan(tables: dict, tail_d: int, iv, head):
+    """Finish a backward search with head.shape[1] single-character LF
+    rounds on the auxiliary 1-step table (tables['tail_*']).
+
+    This is the any-read-length extension: a k-step index can only step k
+    characters at a time, so the reference's fixed-k builds reject query
+    lengths not divisible by k outright (the round loop assumes it,
+    src/fmIndexCPUBaseline.c:200-228 — real 151 bp Illumina reads cannot
+    run at k=3 there at all). Here the r = L mod k leftover LEADING
+    characters (backward search processes them last) take r extra
+    one-gather rounds on a tiny k=1 fused table.
+    """
+    tt = {
+        "entries": tables["tail_entries"],
+        "dollar_pos": tables["tail_dollar_pos"],
+        "dollar_base": tables["tail_dollar_base"],
+        "dollar_block": tables["tail_dollar_block"],
+    }
+    cfg1 = (1, tail_d, tail_d // 32)
+    codes = head[:, ::-1].astype(_U32).T  # [r, B], right-to-left
+
+    def body(iv, code):
+        return lf_step_fused(tt, cfg1, iv, code), None
+
+    iv, _ = jax.lax.scan(body, iv, codes)
+    return iv
+
+
 def make_search_fn(
     k: int,
     d: int,
@@ -285,6 +313,7 @@ def make_search_fn(
     layout: str = "fused",
     lut_m: int = 0,
     gather_fn=None,
+    tail_d: int | None = None,
 ):
     """Build the jittable batch search: (tables, bwtsize, queries) -> [B, 2].
 
@@ -299,6 +328,13 @@ def make_search_fn(
     the backward search collapse into ONE gather instead of lut_m/k k-step
     rounds (a round-eliminator the reference's fixed-k design cannot express;
     cf. its per-round entry fetch, src/fmIndexCPUBaseline.c:200-228).
+
+    tail_d is not None: tables additionally hold a k=1 fused table under
+    'tail_entries'/'tail_dollar_*' (sample distance tail_d), and query
+    lengths with L mod k != 0 are accepted — the r leftover leading
+    characters run as r single-step rounds after the k-step scan
+    (_tail_scan). Without it, such lengths raise (the reference's
+    behavior).
     """
     nb = d // 32
     if layout not in ("fused", "split", "paired"):
@@ -317,23 +353,31 @@ def make_search_fn(
 
         def search_paired(tables, bwtsize, queries):
             L = queries.shape[1]
-            if (L - lut_m) % k:
+            r = (L - lut_m) % k
+            if r and tail_d is None:
                 raise ValueError(
-                    f"query length {L} minus lut_m {lut_m} not divisible by k={k}"
+                    f"query length {L} minus lut_m {lut_m} not divisible by "
+                    f"k={k}; supply a tail_index (k=1) to search any length"
                 )
+            head, queries = queries[:, :r], queries[:, r:]
+            L -= r
             iv0 = tables["lut"][fuse_prefix_codes(queries, lut_m)]
             ok0 = jnp.ones(queries.shape[0], dtype=bool)
-            if L == lut_m:
-                return iv0, ok0
-            codes = fuse_round_codes(queries[:, : L - lut_m], k)
+            iv = iv0
+            if L > lut_m:
+                codes = fuse_round_codes(queries[:, : L - lut_m], k)
 
-            def body(carry, code):
-                iv, ok = carry
-                iv2, ok2 = lf_step_paired(tables, cfg_p, iv, code)
-                return (iv2, ok & ok2), None
+                def body(carry, code):
+                    iv, ok = carry
+                    iv2, ok2 = lf_step_paired(tables, cfg_p, iv, code)
+                    return (iv2, ok & ok2), None
 
-            (iv, ok), _ = jax.lax.scan(body, (iv0, ok0), codes)
-            return iv, ok
+                (iv, ok0), _ = jax.lax.scan(body, (iv0, ok0), codes)
+            if r:
+                # the tail rounds use the standard fused step — no validity
+                # caveat, ok is untouched
+                iv = _tail_scan(tables, tail_d, iv, head)
+            return iv, ok0
 
         return search_paired
 
@@ -350,6 +394,11 @@ def make_search_fn(
         cfg_ac = (k, d, nb, (4**k) // 2)
 
         def search_ac(tables, bwtsize, queries):
+            if queries.shape[1] % k:
+                raise ValueError(
+                    f"alt-counters requires query length divisible by k={k} "
+                    "(the any-length tail extension is fused/split-layout only)"
+                )
             codes = fuse_round_codes(queries, k)
             B = queries.shape[0]
             lo0 = jnp.zeros(B, dtype=_U32)
@@ -376,13 +425,19 @@ def make_search_fn(
             return lf_step_split(tables, cfg, iv, code)
 
     def search(tables, bwtsize, queries):
-        B = queries.shape[0]
+        B, L = queries.shape
+        r = (L - lut_m) % k if lut_m else L % k
+        if r and tail_d is None:
+            raise ValueError(
+                f"query length {L} leaves {r} leftover character(s) at k={k}"
+                + (f" (after the {lut_m}-mer LUT)" if lut_m else "")
+                + "; supply a tail_index (k=1) to search any length"
+            )
+        head, queries = queries[:, :r], queries[:, r:]
+        L -= r
         if lut_m:
-            L = queries.shape[1]
-            if (L - lut_m) % k:
-                raise ValueError(
-                    f"query length {L} minus lut_m {lut_m} not divisible by k={k}"
-                )
+            if L < lut_m:
+                raise ValueError(f"query length {L + r} shorter than lut_m={lut_m}")
             iv0 = tables["lut"][fuse_prefix_codes(queries, lut_m)]
             codes = fuse_round_codes(queries[:, : L - lut_m], k) if L > lut_m else None
         else:
@@ -390,15 +445,16 @@ def make_search_fn(
                 [jnp.zeros(B, dtype=_U32), jnp.full(B, bwtsize, dtype=_U32)],
                 axis=1,
             )
-            codes = fuse_round_codes(queries, k)
+            codes = fuse_round_codes(queries, k) if L else None
 
-        if codes is None:
-            return iv0
+        iv = iv0
+        if codes is not None:
+            def body(iv, code):
+                return step(tables, iv, code), None
 
-        def body(iv, code):
-            return step(tables, iv, code), None
-
-        iv, _ = jax.lax.scan(body, iv0, codes)
+            iv, _ = jax.lax.scan(body, iv0, codes)
+        if r:
+            iv = _tail_scan(tables, tail_d, iv, head)
         return iv
 
     return search
@@ -418,8 +474,14 @@ class XLAEngine:
         lut_m: int = 0,
         lut_cache: str | None = None,
         gather: str = "xla",
+        tail_index: KStepFMIndex | None = None,
     ):
-        """pad_words: pad each fused entry row to this many uint32 words
+        """tail_index: a k=1 index over the SAME text (any d) enabling
+        queries of ANY length — the r = L mod k leftover characters run as
+        r single-step rounds on its (tiny) fused table. Build one with
+        IndexConfig(k=1) or `tpufm build --tail`.
+
+        pad_words: pad each fused entry row to this many uint32 words
         (e.g. 128 = 512 B rows). Measured on TPU v5e, the XLA gather hits a
         fast path for some (rows, width) shapes and a ~1.7x slower one for
         others; padding to a 512 B row flips slow shapes to the fast path at
@@ -490,6 +552,26 @@ class XLAEngine:
                 tables["occ_slim"] = put(index.occ_slim)
             else:
                 tables["occ"] = put(base.occ)
+        self.tail_d = None
+        if tail_index is not None:
+            if self.alt_counters:
+                raise ValueError("tail_index is not supported with alt-counters")
+            if tail_index.config.k != 1:
+                raise ValueError(
+                    f"tail_index must be a k=1 index, got k={tail_index.config.k}"
+                )
+            if tail_index.bwtsize != base.bwtsize:
+                raise ValueError(
+                    f"tail_index bwtsize {tail_index.bwtsize} != index "
+                    f"bwtsize {base.bwtsize} (different texts?)"
+                )
+            tables["tail_entries"] = put(build_fused_entries(tail_index))
+            tables["tail_dollar_pos"] = put(tail_index.dollar_pos)
+            tables["tail_dollar_base"] = put(tail_index.dollar_base)
+            tables["tail_dollar_block"] = put(
+                np.asarray(tail_index.dollar_block, dtype=np.uint32)
+            )
+            self.tail_d = tail_index.config.d
         self.tables = tables
 
         if lut_m:
@@ -509,6 +591,7 @@ class XLAEngine:
                 layout=layout,
                 lut_m=lut_m,
                 gather_fn=gather_fn,
+                tail_d=self.tail_d,
             )
         )
 
@@ -591,7 +674,7 @@ class XLAEngine:
             self._repair_search = jax.jit(
                 make_search_fn(
                     self.config.k, self.config.d, False,
-                    layout="fused", lut_m=self.lut_m,
+                    layout="fused", lut_m=self.lut_m, tail_d=self.tail_d,
                 )
             )
         n = queries_bad.shape[0]
@@ -794,12 +877,26 @@ def make_search_locate_fn(
     """Jittable fused search+locate: (search_tables, locate_tables, bwtsize,
     queries [B, L]) -> (intervals [B, 2], positions [B, max_hits], padded
     with 0xFFFFFFFF past each interval's count). Shared by the single-chip
-    SearchLocateEngine and the mesh DataParallelSearchLocate."""
-    search = make_search_fn(k, d, False, layout="fused", lut_m=lut_m)
+    SearchLocateEngine and the mesh DataParallelSearchLocate.
+
+    Any query length is accepted at no table cost: the locate walk's fused
+    rows ARE a k=1 LF table (lf1 bitmaps | occ | mark words — lf_step_fused
+    ignores the trailing mark columns like row padding), so the r = L mod k
+    leftover characters run their single-step tail rounds (_tail_scan)
+    against locate_rows directly."""
+    search = make_search_fn(k, d, False, layout="fused", lut_m=lut_m,
+                            tail_d=loc_d)
     locate = make_locate_fn(loc_d, sample_rate)
     mh = max_hits
 
     def fused(tables, loc_tables, bwtsize, queries):
+        tables = dict(
+            tables,
+            tail_entries=loc_tables["locate_rows"],
+            tail_dollar_pos=loc_tables["dollar_pos"],
+            tail_dollar_base=loc_tables["dollar_base"],
+            tail_dollar_block=loc_tables["dollar_block"],
+        )
         iv = search(tables, bwtsize, queries)  # [B, 2] uint32
         lo = iv[:, 0]
         width = jnp.minimum(iv[:, 1] - lo, _U32(mh))

@@ -79,6 +79,7 @@ class DataParallelEngine:
         lut_m: int = 0,
         lut_cache: str | None = None,
         pad_words: int | None = None,
+        tail_index=None,
     ):
         if isinstance(index, AltCountersIndex):
             base, self.alt_counters = index.base, True
@@ -106,6 +107,25 @@ class DataParallelEngine:
         else:
             tables["bitmaps"] = put(base.bitmaps)
             tables["occ_slim"] = put(index.occ_slim)
+        tail_d = None
+        if tail_index is not None:
+            # any-read-length extension, replicated like the main table
+            # (validation mirrors XLAEngine's)
+            from tpufm.engine.xla import build_fused_entries
+
+            if self.alt_counters:
+                raise ValueError("tail_index is not supported with alt-counters")
+            if tail_index.config.k != 1 or tail_index.bwtsize != base.bwtsize:
+                raise ValueError(
+                    "tail_index must be a k=1 index over the same text"
+                )
+            tables["tail_entries"] = put(build_fused_entries(tail_index))
+            tables["tail_dollar_pos"] = put(tail_index.dollar_pos)
+            tables["tail_dollar_base"] = put(tail_index.dollar_base)
+            tables["tail_dollar_block"] = put(
+                np.asarray(tail_index.dollar_block, dtype=np.uint32)
+            )
+            tail_d = tail_index.config.d
         self.tables = tables
 
         if lut_m:
@@ -120,6 +140,7 @@ class DataParallelEngine:
             self.alt_counters,
             layout=layout,
             lut_m=lut_m,
+            tail_d=tail_d,
         )
         # Results replicated on exit: the all-gather merge of the per-chip
         # (lo, hi) shards.
