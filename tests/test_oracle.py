@@ -122,6 +122,7 @@ def test_query_len_not_divisible_by_k_raises():
     try:
         eng.search(np.zeros((4, 7), np.uint8))
     except ValueError as e:
-        assert "not divisible" in str(e)
+        # without a tail index such lengths still raise, pointing at it
+        assert "tail_index" in str(e)
     else:
         raise AssertionError("expected ValueError")

@@ -161,6 +161,22 @@ def cmd_search(args):
     engine = _make_engine(index, args, tail_index=tail)
     out = args.output or f"{args.index}.res.tpu"
 
+    B = queries.shape[0]
+    if getattr(args, "rc", False):
+        # Both strands in ONE engine pass: the reverse-complements ride the
+        # same batch (same program, 2B reads), minus-strand intervals land
+        # in <out>.rc. TIME: then covers both strands of every read.
+        from tpufm.utils.encoding import reverse_complement
+
+        queries = np.concatenate([queries, reverse_complement(queries)])
+
+    def _emit(res):
+        write_results(out, res[:B])
+        print(f"wrote {out}")
+        if res.shape[0] > B:
+            write_results(f"{out}.rc", res[B:])
+            print(f"wrote {out}.rc (minus strand)")
+
     if args.resume:
         # Checkpointed stream: each completed wave persists; a killed run
         # re-invoked with the same arguments continues where it stopped.
@@ -171,8 +187,7 @@ def cmd_search(args):
         # TIME: reports pure search seconds — checkpoint fsync I/O excluded
         # (it is resume overhead, not part of the reference protocol's pass).
         print(f"TIME: \t {stats['search_s']}")
-        write_results(out, res)
-        print(f"wrote {out}")
+        _emit(res)
         return
 
     iters = args.iterations
@@ -184,8 +199,7 @@ def cmd_search(args):
     # Same one-number protocol as the reference (common/searchQueries.c:117-118).
     print(f"TIME: \t {dt}")
 
-    write_results(out, res)
-    print(f"wrote {out}")
+    _emit(res)
 
 
 def _make_engine(index, args, tail_index=None):
@@ -450,6 +464,12 @@ def cmd_locate(args):
         save_store(f"{args.store}.locate.tpufm", loc)
         print(f"stored {args.store}.search.tpufm + {args.store}.locate.tpufm")
     queries = load_queries(args.queries, args.qrysize, args.numqueries)
+    nq = queries.shape[0]
+    if args.rc:
+        # minus-strand positions in the same device pass (see search --rc)
+        from tpufm.utils.encoding import reverse_complement
+
+        queries = np.concatenate([queries, reverse_complement(queries)])
     # Any query length: the locate tables' k=1 LF index doubles as the tail
     # index for the r = L mod k leftover characters (fused paths alias it
     # in-place; the two-pass paths hand it to the search engine).
@@ -490,11 +510,40 @@ def cmd_locate(args):
         intervals = XLAEngine(index, tail_index=tail).search(queries)
         pos = LocateEngine(loc).locate_hits(intervals, max_hits=args.max_hits)
 
+    cmap = None
+    if args.contigs:
+        # chromosome:offset output — positions resolved against the
+        # multi-FASTA record map; matches that run past their record's
+        # end (concatenation artifacts) are flagged ':spans'
+        import os
+
+        from tpufm.io.contigs import read_contigs
+
+        if not os.path.exists(args.reference):
+            sys.exit(
+                "--contigs needs the reference FASTA to map record "
+                "boundaries (pass its real path even with --from-store)"
+            )
+        cmap = read_contigs(args.reference, args.refsize or None)
+
+    def _write_pos(path, rows):
+        with open(path, "w") as fp:
+            for row in rows:
+                if cmap is not None:
+                    labels = cmap.format(row, query_len=args.qrysize)
+                    fp.write(" ".join(s for s in labels if s is not None) + "\n")
+                else:
+                    fp.write(
+                        " ".join(str(int(x)) for x in row if x != 0xFFFFFFFF)
+                        + "\n"
+                    )
+
     out = args.output or f"{args.queries}.pos"
-    with open(out, "w") as fp:
-        for row in pos:
-            fp.write(" ".join(str(int(x)) for x in row if x != 0xFFFFFFFF) + "\n")
-    print(f"wrote {out} ({queries.shape[0]} queries, max {args.max_hits} hits each)")
+    _write_pos(out, pos[:nq])
+    print(f"wrote {out} ({nq} queries, max {args.max_hits} hits each)")
+    if args.rc:
+        _write_pos(f"{out}.rc", pos[nq:])
+        print(f"wrote {out}.rc (minus strand)")
 
 
 def cmd_diff(args):
@@ -600,6 +649,9 @@ def main(argv=None):
     s.add_argument("--tail", default=None, metavar="PATH",
                    help="k=1 tail index enabling any query length "
                         "(default: <index>.tail.npz when the length needs it)")
+    s.add_argument("--rc", action="store_true",
+                   help="also search every read's reverse complement in the "
+                        "same pass; minus-strand intervals go to <out>.rc")
     s.add_argument("--resume", action="store_true",
                    help="checkpoint each wave; a re-run with the same "
                         "arguments continues after a crash")
@@ -675,6 +727,16 @@ def main(argv=None):
     lc.add_argument("--from-store", default=None, metavar="PREFIX",
                     help="load prebuilt stores; reference/refsize are "
                          "ignored (pass '-' 0)")
+    lc.add_argument("--rc", action="store_true",
+                    help="also locate every read's reverse complement in "
+                         "the same pass; minus-strand positions go to "
+                         "<out>.rc")
+    lc.add_argument("--contigs", action="store_true",
+                    help="write chromosome:offset instead of absolute "
+                         "positions (multi-FASTA record map from the "
+                         "reference file; matches crossing a record "
+                         "boundary are flagged ':spans'). Needs the "
+                         "reference FASTA, also with --from-store")
     lc.add_argument("--output", default=None)
     lc.set_defaults(fn=cmd_locate)
 

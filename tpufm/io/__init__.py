@@ -1,6 +1,7 @@
 from tpufm.io.fasta import read_reference, write_reference, load_queries
 from tpufm.io.results import write_results, load_results
 from tpufm.io.genreads import generate_reads
+from tpufm.io.contigs import ContigMap, read_contigs
 
 __all__ = [
     "read_reference",
@@ -9,4 +10,6 @@ __all__ = [
     "write_results",
     "load_results",
     "generate_reads",
+    "ContigMap",
+    "read_contigs",
 ]

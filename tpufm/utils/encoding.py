@@ -43,6 +43,18 @@ def decode_bases(codes: np.ndarray) -> bytes:
     return _CODE_TO_ASCII[np.asarray(codes, dtype=np.uint8)].tobytes()
 
 
+def reverse_complement(codes: np.ndarray) -> np.ndarray:
+    """Reverse-complement 2-bit codes along the last axis.
+
+    With A=0, C=1, G=2, T=3 the complement is 3 - code (A<->T, C<->G), so
+    rc(q) = 3 - q[..., ::-1]. Searching rc(q) finds the minus-strand
+    occurrences of q; the returned locate coordinate is the leftmost base
+    of the match on the forward text, the convention aligners report for
+    minus-strand hits."""
+    codes = np.asarray(codes, dtype=np.uint8)
+    return (np.uint8(3) - codes[..., ::-1]).astype(np.uint8)
+
+
 def fuse_kmer_codes(levels: np.ndarray) -> np.ndarray:
     """Fuse per-level 2-bit codes into one k-tuple code.
 
