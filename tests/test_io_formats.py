@@ -1,0 +1,50 @@
+"""Gzipped FASTA/query input and FASTQ queries — real-world read-set shapes
+the reference's loaders never handled (its readRef/loadQueries are plain-text
+FASTA only, common/common.c:42-199)."""
+
+import gzip
+
+import numpy as np
+
+from tpufm.io.contigs import read_contigs
+from tpufm.io.fasta import load_queries, read_reference, write_reference
+from tpufm.utils.encoding import decode_bases
+
+
+def test_gzip_reference_roundtrip(tmp_path, rng):
+    codes = rng.integers(0, 4, size=2000, dtype=np.uint8)
+    plain = tmp_path / "ref.fa"
+    write_reference(plain, decode_bases(codes))
+    gz = tmp_path / "ref.fa.gz"
+    gz.write_bytes(gzip.compress(plain.read_bytes()))
+    np.testing.assert_array_equal(read_reference(gz, 2000), codes)
+    # detection is by magic bytes, not extension
+    sneaky = tmp_path / "ref2.fa"
+    sneaky.write_bytes(gz.read_bytes())
+    np.testing.assert_array_equal(read_reference(sneaky, 2000), codes)
+    # contig scan follows the same path
+    cmap = read_contigs(gz)
+    assert cmap.total == 2000 and len(cmap.names) == 1
+
+
+def test_fastq_queries(tmp_path, rng):
+    reads = rng.integers(0, 4, size=(20, 36), dtype=np.uint8)
+    fq = tmp_path / "r.fastq"
+    with open(fq, "wb") as fp:
+        for i, r in enumerate(reads):
+            seq = decode_bases(r)
+            fp.write(b"@read%d some desc\n%s\n+\n%s\n" % (i, seq, b"I" * 36))
+    np.testing.assert_array_equal(load_queries(fq, 36, 20), reads)
+    # gzipped FASTQ too
+    fqgz = tmp_path / "r.fastq.gz"
+    fqgz.write_bytes(gzip.compress(fq.read_bytes()))
+    np.testing.assert_array_equal(load_queries(fqgz, 36, 20), reads)
+
+
+def test_fasta_queries_unchanged(tmp_path, rng):
+    reads = rng.integers(0, 4, size=(8, 24), dtype=np.uint8)
+    qry = tmp_path / "q.qry"
+    with open(qry, "wb") as fp:
+        for i, r in enumerate(reads):
+            fp.write(b"> r%d\n%s\n" % (i, decode_bases(r)))
+    np.testing.assert_array_equal(load_queries(qry, 24, 8), reads)

@@ -72,7 +72,9 @@ def read_contigs(path, refsize: int | None = None) -> ContigMap:
     starts: list[int] = []
     total = 0
     pending: str | None = None
-    with open(path, "rb") as fp:
+    from tpufm.io.fasta import open_maybe_gzip
+
+    with open_maybe_gzip(path) as fp:
         first = fp.readline()
         if not first.startswith(b">"):
             raise ValueError(f"{path}: not a FASTA file (missing '>' header)")

@@ -22,11 +22,24 @@ from tpufm.utils.encoding import encode_bases
 _LINE = 70
 
 
+def open_maybe_gzip(path, mode: str = "rb"):
+    """Open a file, transparently decompressing gzip (real references and
+    read sets ship as .fa.gz/.fastq.gz). Detection is by the 2-byte gzip
+    magic, not the extension, so renamed files still work."""
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        import gzip
+
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
 def read_reference(path, refsize: int | None = None) -> np.ndarray:
     """Read a (M)FASTA reference into uint8 2-bit codes of length refsize."""
     chunks = []
     total = 0
-    with open(path, "rb") as fp:
+    with open_maybe_gzip(path) as fp:
         first = fp.readline()
         if not first.startswith(b">"):
             raise ValueError(f"{path}: not a FASTA file (missing '>' header)")
@@ -62,22 +75,47 @@ def write_reference(path, seq: bytes | str) -> None:
 
 
 def load_queries(path, query_len: int, num_queries: int | None = None) -> np.ndarray:
-    """Load a multi-FASTA query file into uint8 codes [num_queries, query_len]."""
+    """Load a query file into uint8 codes [num_queries, query_len].
+
+    Accepts the reference's multi-FASTA `.qry` shape AND 4-line FASTQ
+    (detected by the leading '@'; quality lines ignored), both optionally
+    gzipped — real read sets ship as .fastq.gz."""
     reads = []
-    with open(path, "rb") as fp:
-        for line in fp:
-            if line.startswith(b">"):
-                continue
-            seq = line.strip()
-            if not seq:
-                continue
-            if len(seq) != query_len:
-                raise ValueError(
-                    f"{path}: read of length {len(seq)}, expected {query_len}"
-                )
-            reads.append(seq)
-            if num_queries is not None and len(reads) == num_queries:
-                break
+    with open_maybe_gzip(path) as fp:
+        first = fp.read(1)
+        fastq = first == b"@"
+        fp.seek(0)
+        if fastq:
+            while True:
+                header = fp.readline()
+                if not header:
+                    break
+                seq = fp.readline().strip()
+                fp.readline()  # '+'
+                fp.readline()  # quality
+                if not seq:
+                    continue
+                if len(seq) != query_len:
+                    raise ValueError(
+                        f"{path}: read of length {len(seq)}, expected {query_len}"
+                    )
+                reads.append(seq)
+                if num_queries is not None and len(reads) == num_queries:
+                    break
+        else:
+            for line in fp:
+                if line.startswith(b">"):
+                    continue
+                seq = line.strip()
+                if not seq:
+                    continue
+                if len(seq) != query_len:
+                    raise ValueError(
+                        f"{path}: read of length {len(seq)}, expected {query_len}"
+                    )
+                reads.append(seq)
+                if num_queries is not None and len(reads) == num_queries:
+                    break
     if num_queries is not None and len(reads) < num_queries:
         raise ValueError(f"{path}: only {len(reads)} reads, need {num_queries}")
     blob = b"".join(reads)
