@@ -1,0 +1,103 @@
+"""Hamming-distance<=1 counting — `count --mismatches 1`.
+
+TPU formulation of approximate matching (tpufm extension; the reference has
+none): each read's 3L+1 single-substitution variants are generated on device
+and ride the ordinary batched scan as extra batch lanes — no branchy
+backtracking, full sensitivity, exact counts. Ground truth here is a naive
+sliding-window Hamming scan of the text.
+"""
+
+import numpy as np
+import pytest
+
+from tpufm.config import IndexConfig
+from tpufm.engine.xla import XLAEngine
+from tpufm.index.builder import build_index
+
+
+def _naive_mm_count(codes, read, dist=1):
+    wins = np.lib.stride_tricks.sliding_window_view(codes, read.shape[0])
+    return int(((wins != read[None, :]).sum(axis=1) <= dist).sum())
+
+
+def _setup(rng, n=1500, k=2, d=64):
+    # small alphabet-4 text has plenty of <=1-mismatch near-hits at short L
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=k, d=d), sa_method="doubling")
+    return codes, index
+
+
+@pytest.mark.parametrize("qlen,k,lut", [(8, 2, 0), (12, 2, 4), (12, 3, 6)])
+def test_count_mismatch_matches_naive(rng, qlen, k, lut):
+    codes, index = _setup(rng, k=k)
+    eng = XLAEngine(index, lut_m=lut)
+    starts = rng.integers(0, len(codes) - qlen, size=24)
+    qs = np.stack([codes[s : s + qlen] for s in starts])
+    qs = np.concatenate([qs, rng.integers(0, 4, size=(8, qlen), dtype=np.uint8)])
+    got = eng.count(qs, mismatches=1)
+    want = np.array([_naive_mm_count(codes, q) for q in qs], dtype=np.uint32)
+    np.testing.assert_array_equal(got, want)
+    # sampled reads have >= their exact occurrence
+    exact = eng.count(qs, mismatches=0)
+    assert (got >= exact).all() and (exact[:24] >= 1).all()
+
+
+def test_count_exact_equals_interval_width(rng):
+    codes, index = _setup(rng)
+    eng = XLAEngine(index)
+    qs = rng.integers(0, 4, size=(32, 10), dtype=np.uint8)
+    iv = eng.search(qs)
+    np.testing.assert_array_equal(eng.count(qs), iv[:, 1] - iv[:, 0])
+
+
+def test_count_mismatch_with_tail(rng):
+    # odd length: variants preserve L, tail rounds apply to every variant
+    codes, index = _setup(rng, k=3)
+    tail = build_index(codes, IndexConfig(k=1, d=64), sa_method="doubling")
+    eng = XLAEngine(index, tail_index=tail)
+    qlen = 11  # 11 % 3 == 2
+    starts = rng.integers(0, len(codes) - qlen, size=16)
+    qs = np.stack([codes[s : s + qlen] for s in starts])
+    got = eng.count(qs, mismatches=1)
+    want = np.array([_naive_mm_count(codes, q) for q in qs], dtype=np.uint32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_count_mismatch_waves(rng):
+    # result must not depend on the wave split
+    codes, index = _setup(rng)
+    eng = XLAEngine(index)
+    qs = rng.integers(0, 4, size=(64, 8), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        eng.count(qs, mismatches=1, wave=7), eng.count(qs, mismatches=1)
+    )
+
+
+def test_count_mismatch_e2_rejected(rng):
+    codes, index = _setup(rng)
+    with pytest.raises(NotImplementedError, match="mismatches=2"):
+        XLAEngine(index).count(np.zeros((4, 8), np.uint8), mismatches=2)
+
+
+def test_cli_count(tmp_path, rng, monkeypatch):
+    from tpufm import cli
+    from tpufm.io.fasta import write_reference
+    from tpufm.utils.encoding import decode_bases
+
+    monkeypatch.chdir(tmp_path)
+    codes = rng.integers(0, 4, size=2000, dtype=np.uint8)
+    write_reference("ref.fa", decode_bases(codes))
+    cli.main(["build", "ref.fa", "2000", "--k", "2", "--d", "64"])
+    fmi = "ref.fa.2000.64fmi2steps.fmi"
+    qlen = 10
+    starts = rng.integers(0, 2000 - qlen, size=16)
+    qs = np.stack([codes[s : s + qlen] for s in starts])
+    with open("q.qry", "wb") as fp:
+        for i in range(16):
+            fp.write(b"> r%d\n%s\n" % (i, decode_bases(qs[i])))
+    cli.main(["count", fmi, "q.qry", str(qlen), "16",
+              "--mismatches", "1", "--rc", "--output", "c.cnt"])
+    got = np.loadtxt("c.cnt", dtype=np.uint32)
+    want = np.array([_naive_mm_count(codes, q) for q in qs], dtype=np.uint32)
+    np.testing.assert_array_equal(got, want)
+    assert (tmp_path / "c.cnt.rc").exists()

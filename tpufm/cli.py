@@ -141,23 +141,29 @@ def cmd_genreads(args):
     print(f"wrote {out} ({args.num} reads x {args.length} bp)")
 
 
-def cmd_search(args):
+def _maybe_tail(args, index):
+    """Load the k=1 tail index when the query length needs one (any-length
+    support); exits with guidance when it is needed but absent."""
     import os
 
+    k = (index.base if hasattr(index, "base") else index).config.k
+    if args.qrysize % k == 0:
+        return None
+    tpath = getattr(args, "tail", None) or f"{args.index}.tail.npz"
+    if not os.path.exists(tpath):
+        sys.exit(
+            f"query length {args.qrysize} is not divisible by k={k}; "
+            f"no tail index at {tpath} — rebuild with `tpufm build "
+            "--tail` or pass --tail PATH (the reference rejects such "
+            "lengths outright; tpufm runs them with k=1 tail rounds)"
+        )
+    return load_npz(tpath)
+
+
+def cmd_search(args):
     index = _load_any_index(args.index)
     queries = load_queries(args.queries, args.qrysize, args.numqueries)
-    tail = None
-    k = (index.base if hasattr(index, "base") else index).config.k
-    if args.qrysize % k:
-        tpath = getattr(args, "tail", None) or f"{args.index}.tail.npz"
-        if not os.path.exists(tpath):
-            sys.exit(
-                f"query length {args.qrysize} is not divisible by k={k}; "
-                f"no tail index at {tpath} — rebuild with `tpufm build "
-                "--tail` or pass --tail PATH (the reference rejects such "
-                "lengths outright; tpufm runs them with k=1 tail rounds)"
-            )
-        tail = load_npz(tpath)
+    tail = _maybe_tail(args, index)
     engine = _make_engine(index, args, tail_index=tail)
     out = args.output or f"{args.index}.res.tpu"
 
@@ -278,6 +284,45 @@ def _make_engine(index, args, tail_index=None):
         pad_words=getattr(args, "pad_words", None),
         tail_index=tail_index,
     )
+
+
+def cmd_count(args):
+    """Occurrence counts per read — exact (R - L) or within Hamming
+    distance 1 (`--mismatches 1`: on-device 3L+1 variant expansion, full
+    sensitivity; tpufm extension, the reference has no approximate
+    matching). One integer per line."""
+    from tpufm.engine.xla import XLAEngine
+    from tpufm.index.builder import KStepFMIndex
+
+    index = _load_any_index(args.index)
+    if not isinstance(index, KStepFMIndex):
+        sys.exit("count needs a baseline-layout index (not alt-counters)")
+    queries = load_queries(args.queries, args.qrysize, args.numqueries)
+    tail = _maybe_tail(args, index)
+    B = queries.shape[0]
+    if args.rc:
+        from tpufm.utils.encoding import reverse_complement
+
+        queries = np.concatenate([queries, reverse_complement(queries)])
+    engine = XLAEngine(
+        index,
+        lut_m=args.lut,
+        lut_cache=f"{args.index}.lut{args.lut}.npz" if args.lut else None,
+        tail_index=tail,
+    )
+
+    cnt = engine.count(queries, mismatches=args.mismatches)  # warm + compile
+    t0 = time.perf_counter()
+    for _ in range(args.iterations):
+        cnt = engine.count(queries, mismatches=args.mismatches)
+    print(f"TIME: \t {(time.perf_counter() - t0) / args.iterations}")
+
+    out = args.output or f"{args.queries}.cnt"
+    np.savetxt(out, cnt[:B], fmt="%d")
+    print(f"wrote {out}")
+    if args.rc:
+        np.savetxt(f"{out}.rc", cnt[B:], fmt="%d")
+        print(f"wrote {out}.rc (minus strand)")
 
 
 def cmd_bench(args):
@@ -657,6 +702,27 @@ def main(argv=None):
                         "arguments continues after a crash")
     s.add_argument("--output", default=None)
     s.set_defaults(fn=cmd_search)
+
+    cn = sub.add_parser(
+        "count", help="occurrence counts per read (exact or <=1 mismatch)"
+    )
+    cn.add_argument("index")
+    cn.add_argument("queries")
+    cn.add_argument("qrysize", type=int)
+    cn.add_argument("numqueries", type=int)
+    cn.add_argument("--mismatches", type=int, default=0, choices=[0, 1],
+                    help="1 = count occurrences within Hamming distance 1 "
+                         "(on-device 3L+1 variant expansion, full "
+                         "sensitivity, ~3L x the exact-search device work)")
+    cn.add_argument("--lut", type=int, default=0,
+                    help="prefix LUT m-mer size (same as search --lut)")
+    cn.add_argument("--tail", default=None, metavar="PATH",
+                    help="k=1 tail index enabling any query length")
+    cn.add_argument("--rc", action="store_true",
+                    help="also count the reverse complements; <out>.rc")
+    cn.add_argument("--iterations", type=int, default=1)
+    cn.add_argument("--output", default=None)
+    cn.set_defaults(fn=cmd_count)
 
     be = sub.add_parser("bench", help="synthetic benchmark, one JSON line")
     be.add_argument("--refsize", type=int, default=10_000_000)
