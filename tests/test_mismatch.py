@@ -101,3 +101,82 @@ def test_cli_count(tmp_path, rng, monkeypatch):
     want = np.array([_naive_mm_count(codes, q) for q in qs], dtype=np.uint32)
     np.testing.assert_array_equal(got, want)
     assert (tmp_path / "c.cnt.rc").exists()
+
+
+def test_locate_mismatch_matches_naive(rng):
+    """locate_mismatch: the position SET of Hamming<=1 hits equals a naive
+    text scan (max_hits large enough that nothing truncates)."""
+    from tpufm.engine.xla import SearchLocateEngine
+    from tpufm.index.locate import build_locate
+    from tpufm.index.suffix_array import suffix_array
+
+    codes = rng.integers(0, 4, size=1500, dtype=np.uint8)
+    sa = suffix_array(codes, method="doubling")
+    index = build_index(codes, IndexConfig(k=2, d=64), sa=sa)
+    loc = build_locate(codes, sample_rate=8, d=64, sa=sa)
+    eng = SearchLocateEngine(index, loc, max_hits=64)
+
+    qlen = 9
+    starts = rng.integers(0, 1500 - qlen, size=16)
+    qs = np.stack([codes[s : s + qlen] for s in starts])
+    pos = eng.locate_mismatch(qs)
+    wins = np.lib.stride_tricks.sliding_window_view(codes, qlen)
+    for i, q in enumerate(qs):
+        want = set(np.flatnonzero((wins != q[None]).sum(1) <= 1).tolist())
+        got = set(int(x) for x in pos[i] if x != 0xFFFFFFFF)
+        assert len(want) <= 64, "test setup: raise max_hits"
+        assert got == want, (i, sorted(got), sorted(want))
+
+
+def test_locate_mismatch_cap_and_waves(rng):
+    from tpufm.engine.xla import SearchLocateEngine
+    from tpufm.index.locate import build_locate
+    from tpufm.index.suffix_array import suffix_array
+
+    codes = rng.integers(0, 4, size=1200, dtype=np.uint8)
+    sa = suffix_array(codes, method="doubling")
+    index = build_index(codes, IndexConfig(k=2, d=64), sa=sa)
+    loc = build_locate(codes, sample_rate=8, d=64, sa=sa)
+    eng = SearchLocateEngine(index, loc, max_hits=2)
+    qs = rng.integers(0, 4, size=(24, 6), dtype=np.uint8)  # short -> many hits
+    pos = eng.locate_mismatch(qs)
+    assert pos.shape == (24, 2)
+    # fill count = min(true <=1-mm count, max_hits), exactly
+    wins = np.lib.stride_tricks.sliding_window_view(codes, 6)
+    want_n = np.array(
+        [min(2, int(((wins != q[None]).sum(1) <= 1).sum())) for q in qs]
+    )
+    np.testing.assert_array_equal((pos != 0xFFFFFFFF).sum(1), want_n)
+    # wave split must not change results
+    np.testing.assert_array_equal(eng.locate_mismatch(qs, wave=5), pos)
+    # every reported position is a genuine <=1-mismatch site
+    for i, q in enumerate(qs):
+        for x in pos[i]:
+            if x != 0xFFFFFFFF:
+                assert (wins[int(x)] != q).sum() <= 1
+
+
+def test_cli_locate_mismatch(tmp_path, rng, monkeypatch):
+    from tpufm import cli
+    from tpufm.io.fasta import write_reference
+    from tpufm.utils.encoding import decode_bases
+
+    monkeypatch.chdir(tmp_path)
+    codes = rng.integers(0, 4, size=2000, dtype=np.uint8)
+    write_reference("g.fa", decode_bases(codes))
+    qlen = 15
+    starts = rng.integers(0, 2000 - qlen, size=12)
+    qs = np.stack([codes[s : s + qlen] for s in starts])
+    mut = qs.copy()  # plant one error per read
+    p = rng.integers(0, qlen, size=12)
+    mut[np.arange(12), p] = (mut[np.arange(12), p] + 1) % 4
+    with open("q.qry", "wb") as fp:
+        for i in range(12):
+            fp.write(b"> r%d\n%s\n" % (i, decode_bases(mut[i])))
+    cli.main(["locate", "g.fa", "2000", "q.qry", str(qlen), "12",
+              "--k", "2", "--d", "64", "--sample-rate", "8",
+              "--mismatches", "1", "--output", "m.pos"])
+    lines = open("m.pos").read().splitlines()
+    assert len(lines) == 12
+    for line, s in zip(lines, starts):
+        assert str(int(s)) in line.split()  # origin recovered despite error

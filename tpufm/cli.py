@@ -520,7 +520,17 @@ def cmd_locate(args):
     # in-place; the two-pass paths hand it to the search engine).
     tail = loc.lf1 if args.qrysize % index.config.k else None
 
-    if args.mesh is not None:
+    if args.mismatches:
+        # Hamming<=1 positions: variants ride the fused search+locate pass
+        # (engine/xla.py make_mismatch_locate_fn). Single-chip fused path.
+        if args.mesh is not None:
+            sys.exit("--mismatches is single-chip for now; drop --mesh")
+        from tpufm.engine.xla import SearchLocateEngine
+
+        pos = SearchLocateEngine(
+            index, loc, max_hits=args.max_hits
+        ).locate_mismatch(queries)
+    elif args.mesh is not None:
         # Multi-chip: batch-sharded search + row-sharded locate walk over
         # the same mesh (tables replicated — they are small, docs/PERF.md).
         from tpufm.parallel import (
@@ -797,6 +807,10 @@ def main(argv=None):
                     help="also locate every read's reverse complement in "
                          "the same pass; minus-strand positions go to "
                          "<out>.rc")
+    lc.add_argument("--mismatches", type=int, default=0, choices=[0, 1],
+                    help="1 = positions of occurrences within Hamming "
+                         "distance 1 (on-device variant expansion; up to "
+                         "max-hits per read)")
     lc.add_argument("--contigs", action="store_true",
                     help="write chromosome:offset instead of absolute "
                          "positions (multi-FASTA record map from the "

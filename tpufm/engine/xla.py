@@ -995,6 +995,58 @@ def make_search_locate_fn(
     return fused
 
 
+def make_mismatch_locate_fn(
+    k: int, d: int, lut_m: int, loc_d: int, sample_rate: int, max_hits: int
+):
+    """Jittable Hamming<=1 locate: (search_tables, locate_tables, bwtsize,
+    queries [W, L]) -> positions uint32 [W, max_hits] (0xFFFFFFFF padded).
+
+    One device pass: the 3L+1 single-substitution variants ride the batched
+    scan (_variants1 — variant patterns are pairwise distinct, so no
+    position can be reported twice), the variant intervals expand to BWT
+    rows, a cumsum/scatter compaction keeps the first max_hits candidate
+    rows per READ, and only those walk the sampled-SA locate — the walk
+    cost stays W*max_hits lanes, not W*(3L+1)*max_hits."""
+    search = make_search_fn(k, d, False, layout="fused", lut_m=lut_m,
+                            tail_d=loc_d)
+    locate = make_locate_fn(loc_d, sample_rate)
+    mh = max_hits
+
+    def fn(tables, loc_tables, bwtsize, queries):
+        tables = dict(
+            tables,
+            tail_entries=loc_tables["locate_rows"],
+            tail_dollar_pos=loc_tables["dollar_pos"],
+            tail_dollar_base=loc_tables["dollar_base"],
+            tail_dollar_block=loc_tables["dollar_block"],
+        )
+        W, L = queries.shape
+        V = 3 * L + 1
+        iv = search(
+            tables, bwtsize, _variants1(queries).reshape(W * V, L)
+        ).reshape(W, V, 2)
+        lo = iv[..., 0]
+        width = jnp.minimum(iv[..., 1] - lo, _U32(mh))
+        cols = jnp.arange(mh, dtype=_U32)[None, None, :]
+        valid = cols < width[..., None]                      # [W, V, mh]
+        rows = jnp.where(valid, lo[..., None] + cols, _U32(0))
+        rows = rows.reshape(W, V * mh)
+        validf = valid.reshape(W, V * mh)
+        # compact: kept candidates go to columns 0..mh-1, overflow and
+        # invalid lanes land in the discarded pad column mh
+        slot = jnp.cumsum(validf.astype(jnp.int32), axis=1) - 1
+        slot = jnp.where(validf & (slot < mh), slot, mh)
+        crows = jnp.zeros((W, mh + 1), _U32).at[
+            jnp.arange(W, dtype=jnp.int32)[:, None], slot
+        ].set(rows)
+        nkept = jnp.minimum(jnp.sum(validf, axis=1), mh)
+        pos = locate(loc_tables, crows[:, :mh].reshape(-1)).reshape(W, mh)
+        keep = jnp.arange(mh, dtype=jnp.int32)[None, :] < nkept[:, None]
+        return jnp.where(keep, pos, _U32(0xFFFFFFFF))
+
+    return fn
+
+
 class SearchLocateEngine:
     """Fused search+locate: ONE device pass from reads to text positions.
 
@@ -1024,6 +1076,7 @@ class SearchLocateEngine:
         self.max_hits = max_hits
         self.tables = xla.tables
         self.loc_tables, loc_d, sample_rate = build_locate_tables(loc, put)
+        self.lut_m, self.loc_d, self.sample_rate = lut_m, loc_d, sample_rate
         self._fused = jax.jit(
             make_search_locate_fn(
                 self.config.k, self.config.d, lut_m, loc_d, sample_rate, max_hits
@@ -1058,6 +1111,37 @@ class SearchLocateEngine:
             pad_mode="cycle",
         )
         return np.ascontiguousarray(out[:, :2]), np.ascontiguousarray(out[:, 2:])
+
+    def locate_mismatch(self, queries, wave: int | None = None) -> np.ndarray:
+        """Positions of occurrences within Hamming distance 1: uint8 [B, L]
+        -> uint32 [B, max_hits], 0xFFFFFFFF padded, at most max_hits hits
+        per read in (variant, SA) enumeration order. One device pass per
+        wave (make_mismatch_locate_fn); each read fans out to 3L+1 search
+        lanes, so waves shrink accordingly."""
+        from tpufm.utils.waves import stream_waves
+
+        queries = np.asarray(queries, dtype=np.uint8)
+        if queries.shape[0] == 0:
+            return np.zeros((0, self.max_hits), np.uint32)
+        L = queries.shape[1]
+        if not hasattr(self, "_mm_locate"):
+            self._mm_locate = jax.jit(
+                make_mismatch_locate_fn(
+                    self.config.k, self.config.d, self.lut_m, self.loc_d,
+                    self.sample_rate, self.max_hits,
+                )
+            )
+        wave = wave or max(1, (1 << 20) // (3 * L + 1))
+        return stream_waves(
+            queries,
+            wave,
+            lambda q: self._mm_locate(
+                self.tables, self.loc_tables, _U32(self.bwtsize), jnp.asarray(q)
+            ),
+            lambda h: np.asarray(jax.device_get(h)),
+            depth=2,
+            pad_mode="cycle",
+        )
 
 
 def build_locate_tables(loc, put):
