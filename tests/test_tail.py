@@ -173,3 +173,62 @@ def test_tail_fused_locate_mesh(rng):
     ).search_locate(queries)
     np.testing.assert_array_equal(iv1, iv2)
     np.testing.assert_array_equal(pos1, pos2)
+
+
+def test_tail_search_device_waved(rng):
+    # the device-resident waved path honors the tail like .search does
+    import jax.numpy as jnp
+
+    codes, index, tail = _mk(rng, 3, 64, 1200)
+    eng = XLAEngine(index, tail_index=tail)
+    queries = _queries(rng, codes, 13, hits=24, misses=8)
+    got = np.asarray(
+        eng.search_device_waved(jnp.asarray(queries), wave=16)
+    )
+    np.testing.assert_array_equal(got, search_oracle(tail, queries))
+
+
+def test_cli_odd_length_alt_counters_exits(tmp_path, rng, monkeypatch):
+    from tpufm import cli
+    from tpufm.io.fasta import write_reference
+    from tpufm.utils.encoding import decode_bases
+
+    monkeypatch.chdir(tmp_path)
+    codes = rng.integers(0, 4, size=2000, dtype=np.uint8)
+    write_reference("ref.fa", decode_bases(codes))
+    cli.main(["build", "ref.fa", "2000", "--k", "2", "--d", "64", "--tail"])
+    fmi = "ref.fa.2000.64fmi2steps.fmi"
+    cli.main(["transform", fmi])
+    cli.main(["genreads", "ref.fa", "2000", "13", "8", "--output", "o.qry"])
+    with pytest.raises(SystemExit, match="alt-counters"):
+        cli.main(["search", fmi + ".ac", "o.qry", "13", "8",
+                  "--engine", "xla-ac"])
+
+
+def test_cli_build_tail_on_device(tmp_path, rng, monkeypatch):
+    """--tail on the device and sharded build paths: one shared suffix sort,
+    tail byte-identical to a host-built k=1 index; k=1 builds reuse the main
+    index as the tail outright."""
+    from tpufm import cli
+    from tpufm.index.formats import load_npz
+    from tpufm.io.fasta import write_reference
+    from tpufm.utils.encoding import decode_bases
+
+    monkeypatch.chdir(tmp_path)
+    codes = rng.integers(0, 4, size=3000, dtype=np.uint8)
+    write_reference("ref.fa", decode_bases(codes))
+    host_tail = build_index(codes, IndexConfig(k=1, d=64), sa_method="doubling")
+
+    for extra, outn in ((["--on-device"], "dev.npz"),
+                        (["--on-device", "--mesh", "8"], "mesh.npz")):
+        cli.main(["build", "ref.fa", "3000", "--k", "2", "--d", "64",
+                  "--tail", *extra, "--output", outn])
+        t = load_npz(f"{outn}.tail.npz")
+        assert t.config.k == 1
+        np.testing.assert_array_equal(t.occ, host_tail.occ)
+        np.testing.assert_array_equal(t.bitmaps, host_tail.bitmaps)
+
+    cli.main(["build", "ref.fa", "3000", "--k", "1", "--d", "64",
+              "--tail", "--output", "k1.npz"])
+    t = load_npz("k1.npz.tail.npz")
+    np.testing.assert_array_equal(t.occ, host_tail.occ)

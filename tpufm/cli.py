@@ -64,32 +64,54 @@ def cmd_build(args):
     if args.mesh and not args.on_device:
         sys.exit("build --mesh requires --on-device (the sharded build runs "
                  "on the accelerator mesh; the host build has no mesh mode)")
+    # --tail: the k=1 sibling shares ONE suffix sort with the main build on
+    # every path (host sa=, device/sharded sa_dev=); at k=1 the main index
+    # IS the tail, no second build at all.
+    want_tail = args.tail and args.k != 1
     tail = None
     if args.on_device and args.mesh:
         from tpufm.index.builder_sharded import build_index_sharded
         from tpufm.parallel.mesh import make_mesh
 
         mesh = make_mesh(args.mesh)
-        index = build_index_sharded(codes, cfg, mesh)
-        if args.tail:
-            tail = build_index_sharded(codes, IndexConfig(k=1, d=args.d), mesh)
+        order = None
+        if want_tail:
+            from tpufm.index.sa_sharded import suffix_array_sharded_arr
+
+            order = suffix_array_sharded_arr(codes, mesh)
+        index = build_index_sharded(codes, cfg, mesh, sa_dev=order)
+        if want_tail:
+            tail = build_index_sharded(
+                codes, IndexConfig(k=1, d=args.d), mesh, sa_dev=order
+            )
     elif args.on_device:
         from tpufm.index.builder_device import build_index_device
 
-        index = build_index_device(codes, cfg)
-        if args.tail:
-            tail = build_index_device(codes, IndexConfig(k=1, d=args.d))
+        order = None
+        if want_tail:
+            import jax
+            import jax.numpy as jnp
+
+            from tpufm.index.sa_device import suffix_array_device_arr
+
+            order = suffix_array_device_arr(jax.device_put(jnp.asarray(codes)))
+        index = build_index_device(codes, cfg, sa_dev=order)
+        if want_tail:
+            tail = build_index_device(
+                codes, IndexConfig(k=1, d=args.d), sa_dev=order
+            )
     else:
         sa = None
-        if args.tail and args.k != 1:
-            # one suffix sort feeds both the main and the tail build
+        if want_tail:
             from tpufm.index.suffix_array import suffix_array
 
             sa = suffix_array(codes, method=args.sa)
         index = build_index(codes, cfg, sa_method=args.sa, sa=sa)
-        if args.tail:
+        if want_tail:
             tail = build_index(codes, IndexConfig(k=1, d=args.d),
                                sa_method=args.sa, sa=sa)
+    if args.tail and args.k == 1:
+        tail = index
     print(f"built k={args.k} d={args.d} bwtsize={index.bwtsize} "
           f"entries={index.nentries} in {time.perf_counter() - t0:.1f}s"
           f"{' (on device)' if args.on_device else ''}")
@@ -149,6 +171,12 @@ def _maybe_tail(args, index):
     k = (index.base if hasattr(index, "base") else index).config.k
     if args.qrysize % k == 0:
         return None
+    if hasattr(index, "base"):  # AltCountersIndex
+        sys.exit(
+            f"query length {args.qrysize} is not divisible by k={k} and "
+            "the alt-counters layout cannot take k=1 tail rounds; use the "
+            "baseline index (any-length) or pad reads to a multiple of k"
+        )
     tpath = getattr(args, "tail", None) or f"{args.index}.tail.npz"
     if not os.path.exists(tpath):
         sys.exit(
@@ -160,6 +188,25 @@ def _maybe_tail(args, index):
     return load_npz(tpath)
 
 
+def _rc_expand(queries):
+    """Append every read's reverse complement: both strands ride ONE engine
+    pass (same program, 2B batch lanes). Results split back with
+    _emit_strands — minus-strand output lands in the `.rc` sibling."""
+    from tpufm.utils.encoding import reverse_complement
+
+    return np.concatenate([queries, reverse_complement(queries)])
+
+
+def _emit_strands(out, rows, B, write_one):
+    """write rows[:B] to `out`; when the batch was rc-doubled (_rc_expand),
+    rows[B:] to `out`.rc — the one convention shared by search/count/locate."""
+    write_one(out, rows[:B])
+    print(f"wrote {out}")
+    if rows.shape[0] > B:
+        write_one(f"{out}.rc", rows[B:])
+        print(f"wrote {out}.rc (minus strand)")
+
+
 def cmd_search(args):
     index = _load_any_index(args.index)
     queries = load_queries(args.queries, args.qrysize, args.numqueries)
@@ -169,19 +216,10 @@ def cmd_search(args):
 
     B = queries.shape[0]
     if getattr(args, "rc", False):
-        # Both strands in ONE engine pass: the reverse-complements ride the
-        # same batch (same program, 2B reads), minus-strand intervals land
-        # in <out>.rc. TIME: then covers both strands of every read.
-        from tpufm.utils.encoding import reverse_complement
-
-        queries = np.concatenate([queries, reverse_complement(queries)])
+        queries = _rc_expand(queries)
 
     def _emit(res):
-        write_results(out, res[:B])
-        print(f"wrote {out}")
-        if res.shape[0] > B:
-            write_results(f"{out}.rc", res[B:])
-            print(f"wrote {out}.rc (minus strand)")
+        _emit_strands(out, res, B, write_results)
 
     if args.resume:
         # Checkpointed stream: each completed wave persists; a killed run
@@ -301,9 +339,7 @@ def cmd_count(args):
     tail = _maybe_tail(args, index)
     B = queries.shape[0]
     if args.rc:
-        from tpufm.utils.encoding import reverse_complement
-
-        queries = np.concatenate([queries, reverse_complement(queries)])
+        queries = _rc_expand(queries)
     engine = XLAEngine(
         index,
         lut_m=args.lut,
@@ -318,11 +354,7 @@ def cmd_count(args):
     print(f"TIME: \t {(time.perf_counter() - t0) / args.iterations}")
 
     out = args.output or f"{args.queries}.cnt"
-    np.savetxt(out, cnt[:B], fmt="%d")
-    print(f"wrote {out}")
-    if args.rc:
-        np.savetxt(f"{out}.rc", cnt[B:], fmt="%d")
-        print(f"wrote {out}.rc (minus strand)")
+    _emit_strands(out, cnt, B, lambda p, a: np.savetxt(p, a, fmt="%d"))
 
 
 def cmd_bench(args):
@@ -511,10 +543,7 @@ def cmd_locate(args):
     queries = load_queries(args.queries, args.qrysize, args.numqueries)
     nq = queries.shape[0]
     if args.rc:
-        # minus-strand positions in the same device pass (see search --rc)
-        from tpufm.utils.encoding import reverse_complement
-
-        queries = np.concatenate([queries, reverse_complement(queries)])
+        queries = _rc_expand(queries)
     # Any query length: the locate tables' k=1 LF index doubles as the tail
     # index for the r = L mod k leftover characters (fused paths alias it
     # in-place; the two-pass paths hand it to the search engine).
@@ -594,11 +623,8 @@ def cmd_locate(args):
                     )
 
     out = args.output or f"{args.queries}.pos"
-    _write_pos(out, pos[:nq])
-    print(f"wrote {out} ({nq} queries, max {args.max_hits} hits each)")
-    if args.rc:
-        _write_pos(f"{out}.rc", pos[nq:])
-        print(f"wrote {out}.rc (minus strand)")
+    print(f"{nq} queries, max {args.max_hits} hits each")
+    _emit_strands(out, pos, nq, _write_pos)
 
 
 def cmd_diff(args):

@@ -714,6 +714,7 @@ class XLAEngine:
                 layout=self.layout,
                 lut_m=self.lut_m,
                 gather_fn=self._gather_fn,
+                tail_d=self.tail_d,
             )
 
             def waved(tables, bwtsize, q3):

@@ -80,42 +80,34 @@ def load_queries(path, query_len: int, num_queries: int | None = None) -> np.nda
     Accepts the reference's multi-FASTA `.qry` shape AND 4-line FASTQ
     (detected by the leading '@'; quality lines ignored), both optionally
     gzipped — real read sets ship as .fastq.gz."""
-    reads = []
-    with open_maybe_gzip(path) as fp:
-        first = fp.read(1)
-        fastq = first == b"@"
-        fp.seek(0)
+    def _seq_lines(fp, fastq):
         if fastq:
             while True:
                 header = fp.readline()
                 if not header:
-                    break
-                seq = fp.readline().strip()
+                    return
+                yield fp.readline().strip()
                 fp.readline()  # '+'
                 fp.readline()  # quality
-                if not seq:
-                    continue
-                if len(seq) != query_len:
-                    raise ValueError(
-                        f"{path}: read of length {len(seq)}, expected {query_len}"
-                    )
-                reads.append(seq)
-                if num_queries is not None and len(reads) == num_queries:
-                    break
         else:
             for line in fp:
-                if line.startswith(b">"):
-                    continue
-                seq = line.strip()
-                if not seq:
-                    continue
-                if len(seq) != query_len:
-                    raise ValueError(
-                        f"{path}: read of length {len(seq)}, expected {query_len}"
-                    )
-                reads.append(seq)
-                if num_queries is not None and len(reads) == num_queries:
-                    break
+                if not line.startswith(b">"):
+                    yield line.strip()
+
+    reads = []
+    with open_maybe_gzip(path) as fp:
+        fastq = fp.read(1) == b"@"
+        fp.seek(0)
+        for seq in _seq_lines(fp, fastq):
+            if not seq:
+                continue
+            if len(seq) != query_len:
+                raise ValueError(
+                    f"{path}: read of length {len(seq)}, expected {query_len}"
+                )
+            reads.append(seq)
+            if num_queries is not None and len(reads) == num_queries:
+                break
     if num_queries is not None and len(reads) < num_queries:
         raise ValueError(f"{path}: only {len(reads)} reads, need {num_queries}")
     blob = b"".join(reads)
