@@ -357,3 +357,19 @@ def test_cli_locate_any_length(tmp_path, ref, monkeypatch):
     assert two == (tmp_path / "mesh.pos").read_text()
     # every line resolves at least one genuine position
     assert all(line.strip() for line in two.splitlines())
+
+
+def test_cli_bench_mismatch():
+    """tpufm bench --mismatches 1: verified Hamming<=1 counting record."""
+    from tpufm.bench import run_bench_mismatch
+
+    rec = run_bench_mismatch(
+        refsize=40000, k=2, d=64, num_queries=256, query_len=24,
+        iterations=1, lut_m=4,
+    )
+    assert rec["detail"]["bit_exact_vs_naive"]
+    assert rec["unit"] == "reads/s"
+    lanes = rec["detail"]["variant_lanes_per_s"]
+    assert abs(lanes - rec["detail"]["reads_per_s"] * 73) <= 73  # rounding
+    # every planted-error read recovers its origin
+    assert rec["detail"]["recovered"] == 256

@@ -56,3 +56,42 @@ def test_engines_agree_and_count_correctly(trial):
     # interval width == true occurrence count
     for q, (lo, hi) in zip(queries, expect):
         assert hi - lo == naive_count(codes, q), (k, d, n, L)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_any_length_and_mismatch(trial):
+    """Random (k, d, n, L) with L NOT constrained to k-multiples: the tail
+    path must agree with the k=1 oracle, and count(mismatches=1) with a
+    naive Hamming scan."""
+    rng = np.random.default_rng(7000 + trial)
+    k = int(rng.integers(2, 5))
+    d = int(rng.choice([32, 64, 96]))
+    n = int(rng.integers(200, 2500))
+    L = int(rng.integers(4, 20))
+
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=k, d=d), sa_method="doubling")
+    tail = build_index(codes, IndexConfig(k=1, d=d), sa_method="doubling")
+    eng = XLAEngine(index, tail_index=tail)
+
+    n_hit = 8 if n > L else 0
+    starts = rng.integers(0, n - L, size=n_hit)
+    qs = np.concatenate(
+        [
+            np.stack([codes[s : s + L] for s in starts])
+            if n_hit
+            else np.zeros((0, L), np.uint8),
+            rng.integers(0, 4, size=(8, L), dtype=np.uint8),
+        ]
+    )
+    got = eng.search(qs)
+    np.testing.assert_array_equal(got, search_oracle(tail, qs))
+    widths = got[:, 1].astype(np.int64) - got[:, 0]
+    for q, w in zip(qs, widths):
+        assert w == naive_count(codes, q)
+
+    wins = np.lib.stride_tricks.sliding_window_view(codes, L)
+    want_mm = np.array(
+        [((wins != q[None]).sum(1) <= 1).sum() for q in qs], dtype=np.uint32
+    )
+    np.testing.assert_array_equal(eng.count(qs, mismatches=1), want_mm)

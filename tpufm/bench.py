@@ -483,6 +483,90 @@ def run_bench_search_locate(
     }
 
 
+def run_bench_mismatch(
+    refsize: int = 10_000_000,
+    k: int = 3,
+    d: int = 128,
+    num_queries: int = 1 << 16,
+    query_len: int = 120,
+    iterations: int = 3,
+    seed: int = 0,
+    lut_m: int = 0,
+    error_rate: float = 1.0,
+) -> dict:
+    """Hamming<=1 counting record (XLAEngine.count(mismatches=1)): each read
+    fans out to 3L+1 on-device variants, so the interesting rates are both
+    reads/s and effective variant-lanes/s (comparable to the exact-search
+    reads/s). error_rate: fraction of sampled reads given ONE planted
+    substitution — these reads' exact search misses, the mismatch count
+    must recover them (asserted on the verification sample vs a naive
+    sliding-window Hamming scan)."""
+    _enable_compile_cache()
+
+    from tpufm.config import IndexConfig
+    from tpufm.engine.xla import XLAEngine
+    from tpufm.index.builder import build_index
+    from tpufm.io.genreads import generate_reads
+
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=refsize, dtype=np.uint8)
+    t0 = time.perf_counter()
+    index = build_index(codes, IndexConfig(k=k, d=d))
+    build_s = time.perf_counter() - t0
+    queries = np.asarray(
+        generate_reads(codes, query_len, num_queries, seed=seed + 1)
+    )
+    n_err = int(num_queries * error_rate)
+    if n_err:
+        pos = rng.integers(0, query_len, size=n_err)
+        off = rng.integers(1, 4, size=n_err).astype(np.uint8)
+        rows = np.arange(n_err)
+        queries[rows, pos] = (queries[rows, pos] + off) & 3
+
+    eng = XLAEngine(index, lut_m=lut_m)
+    cnt = eng.count(queries, mismatches=1)  # warm / compile
+    times = []
+    for _ in range(iterations):
+        t0 = time.perf_counter()
+        cnt = eng.count(queries, mismatches=1)
+        times.append(time.perf_counter() - t0)
+    mean_s = sum(times) / len(times)
+
+    n_verify = min(num_queries, 512)  # naive scan is O(n * L) per read
+    vidx = np.sort(
+        np.random.default_rng(seed + 2).choice(
+            num_queries, n_verify, replace=False
+        )
+    )
+    wins = np.lib.stride_tricks.sliding_window_view(codes, query_len)
+    want = np.array(
+        [((wins != q[None]).sum(1) <= 1).sum() for q in queries[vidx]],
+        dtype=np.uint32,
+    )
+    exact = bool((cnt[vidx] == want).all())
+
+    reads_s = num_queries / mean_s
+    fan = 3 * query_len + 1
+    return {
+        "metric": f"Hamming<=1 count reads/s (k={k}, d={d}, lut={lut_m}, "
+        f"{num_queries} x {query_len} bp, {refsize} bases, "
+        f"{fan} variants/read)",
+        "value": round(reads_s),
+        "unit": "reads/s",
+        "vs_baseline": None,  # the reference has no approximate matching
+        "detail": {
+            "reads_per_s": round(reads_s),
+            "variant_lanes_per_s": round(reads_s * fan),
+            "seconds_per_pass": mean_s,
+            "build_seconds": round(build_s, 1),
+            "bit_exact_vs_naive": exact,
+            "verified_reads": n_verify,
+            "planted_error_reads": n_err,
+            "recovered": int((cnt > 0).sum()),
+        },
+    }
+
+
 def run_bench_multichip(
     refsize: int = 10_000_000,
     k: int = 3,

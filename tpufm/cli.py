@@ -358,6 +358,21 @@ def cmd_count(args):
 
 
 def cmd_bench(args):
+    if args.mismatches:
+        from tpufm.bench import run_bench_mismatch
+
+        record = run_bench_mismatch(
+            refsize=args.refsize,
+            k=args.k,
+            d=args.d,
+            num_queries=args.numqueries,
+            query_len=args.length,
+            iterations=args.iterations,
+            seed=args.seed,
+            lut_m=args.lut,
+        )
+        print(json.dumps(record))
+        return
     if args.locate and args.fused:
         from tpufm.bench import run_bench_search_locate
 
@@ -770,6 +785,9 @@ def main(argv=None):
     be.add_argument("--seed", type=int, default=0)
     be.add_argument("--engine", default="xla")
     be.add_argument("--lut", type=int, default=0)
+    be.add_argument("--mismatches", type=int, default=0, choices=[0, 1],
+                    help="1 = benchmark Hamming<=1 counting (3L+1 on-device "
+                         "variants/read), verified vs a naive Hamming scan")
     be.add_argument("--multichip", action="store_true",
                     help="data-parallel over all local devices")
     be.add_argument("--sharded", action="store_true",
