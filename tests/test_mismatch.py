@@ -180,3 +180,41 @@ def test_cli_locate_mismatch(tmp_path, rng, monkeypatch):
     assert len(lines) == 12
     for line, s in zip(lines, starts):
         assert str(int(s)) in line.split()  # origin recovered despite error
+
+
+def test_count_mismatch_data_parallel(rng):
+    """DataParallelEngine.count over the virtual mesh == XLAEngine.count,
+    including the mismatch fan-out, odd lengths, and a non-mesh-multiple
+    batch."""
+    import jax
+
+    from tpufm.parallel import DataParallelEngine, make_mesh
+
+    codes, index = _setup(rng, k=3)
+    tail = build_index(codes, IndexConfig(k=1, d=64), sa_method="doubling")
+    mesh = make_mesh(len(jax.devices()))
+    dp = DataParallelEngine(index, mesh, tail_index=tail)
+    sc = XLAEngine(index, tail_index=tail)
+    qs = rng.integers(0, 4, size=(21, 10), dtype=np.uint8)  # 21 % 8 != 0
+    np.testing.assert_array_equal(dp.count(qs), sc.count(qs))
+    np.testing.assert_array_equal(
+        dp.count(qs, mismatches=1), sc.count(qs, mismatches=1)
+    )
+
+
+def test_cli_count_mesh(tmp_path, rng, monkeypatch):
+    from tpufm import cli
+    from tpufm.io.fasta import write_reference
+    from tpufm.utils.encoding import decode_bases
+
+    monkeypatch.chdir(tmp_path)
+    codes = rng.integers(0, 4, size=2000, dtype=np.uint8)
+    write_reference("ref.fa", decode_bases(codes))
+    cli.main(["build", "ref.fa", "2000", "--k", "2", "--d", "64"])
+    fmi = "ref.fa.2000.64fmi2steps.fmi"
+    cli.main(["genreads", "ref.fa", "2000", "10", "16", "--output", "q.qry"])
+    cli.main(["count", fmi, "q.qry", "10", "16",
+              "--mismatches", "1", "--output", "a.cnt"])
+    cli.main(["count", fmi, "q.qry", "10", "16",
+              "--mismatches", "1", "--mesh", "8", "--output", "b.cnt"])
+    assert (tmp_path / "a.cnt").read_text() == (tmp_path / "b.cnt").read_text()

@@ -340,12 +340,18 @@ def cmd_count(args):
     B = queries.shape[0]
     if args.rc:
         queries = _rc_expand(queries)
-    engine = XLAEngine(
-        index,
-        lut_m=args.lut,
-        lut_cache=f"{args.index}.lut{args.lut}.npz" if args.lut else None,
-        tail_index=tail,
-    )
+    lut_cache = f"{args.index}.lut{args.lut}.npz" if args.lut else None
+    if args.mesh is not None:
+        from tpufm.parallel import DataParallelEngine, make_mesh
+
+        engine = DataParallelEngine(
+            index, make_mesh(args.mesh or None),
+            lut_m=args.lut, lut_cache=lut_cache, tail_index=tail,
+        )
+    else:
+        engine = XLAEngine(
+            index, lut_m=args.lut, lut_cache=lut_cache, tail_index=tail
+        )
 
     cnt = engine.count(queries, mismatches=args.mismatches)  # warm + compile
     t0 = time.perf_counter()
@@ -771,6 +777,9 @@ def main(argv=None):
                     help="k=1 tail index enabling any query length")
     cn.add_argument("--rc", action="store_true",
                     help="also count the reverse complements; <out>.rc")
+    cn.add_argument("--mesh", type=int, default=None, metavar="N",
+                    help="data-parallel counting over an N-device mesh "
+                         "(0 = all local devices)")
     cn.add_argument("--iterations", type=int, default=1)
     cn.add_argument("--output", default=None)
     cn.set_defaults(fn=cmd_count)

@@ -133,6 +133,7 @@ class DataParallelEngine:
 
             tables["lut"] = lut_with_cache(tables, base, lut_m, lut_cache, put)
 
+        self.lut_m, self._tail_d = lut_m, tail_d
         self.batch_sharding = NamedSharding(mesh, P(self.axis, None))
         search = make_search_fn(
             self.config.k,
@@ -171,6 +172,49 @@ class DataParallelEngine:
 
     def search_device(self, queries_sharded):
         return self._search(self.tables, _U32(self.bwtsize), queries_sharded)
+
+    def count(self, queries, mismatches: int = 0) -> np.ndarray:
+        """Occurrence counts per read over the mesh, uint32 [B] — the
+        batch-sharded twin of XLAEngine.count. mismatches=1 fans each chip's
+        query shard out to its 3L+1 on-device variants
+        (make_count_mismatch_fn); waves sized so every chip carries the
+        single-chip lane optimum."""
+        queries = np.asarray(queries, dtype=np.uint8)
+        if mismatches == 0:
+            iv = self.search(queries)
+            return (iv[:, 1] - iv[:, 0]).astype(np.uint32)
+        if mismatches != 1:
+            raise NotImplementedError("mismatches must be 0 or 1")
+        if self.alt_counters:
+            raise ValueError("count(mismatches=1) requires the fused layout")
+        from tpufm.engine.xla import make_count_mismatch_fn
+        from tpufm.utils.waves import stream_waves
+
+        n = self.mesh.devices.size
+        B, L = queries.shape
+        if not hasattr(self, "_count_mm"):
+            self._count_mm = jax.jit(
+                make_count_mismatch_fn(
+                    self.config.k, self.config.d, self.lut_m, self._tail_d
+                ),
+                out_shardings=NamedSharding(self.mesh, P()),
+            )
+        # pre-pad to a mesh multiple: stream_waves pads tail WAVES, but a
+        # single sub-wave batch would reach shard_queries undivided
+        pad = -B % n
+        if pad:
+            queries = np.concatenate([queries, queries[:pad]])
+        wave = max(1, (1 << 20) // (3 * L + 1)) * n
+        return stream_waves(
+            queries,
+            wave,
+            lambda q: self._count_mm(
+                self.tables, _U32(self.bwtsize), self.shard_queries(q)
+            ),
+            lambda h: np.asarray(jax.device_get(h)),
+            depth=2,
+            pad_mode="cycle",
+        )[:B]
 
 
 def _answer_owned(
