@@ -329,15 +329,27 @@ def test_cli_any_length_search(tmp_path, ref, monkeypatch):
     np.testing.assert_array_equal(load_results("mesh.res"), res)
 
 
-def test_cli_odd_length_without_tail_exits(tmp_path, ref, monkeypatch):
+def test_cli_odd_length_without_tail_derives(tmp_path, ref, monkeypatch):
+    """No .tail.npz sibling: the k=1 tail derives from the index itself
+    (its level-0 bitplanes ARE BWT0) — any length works on ANY index."""
+    from tpufm.engine.oracle import search_oracle
+    from tpufm.index.builder import build_index as _bi
+    from tpufm.io.fasta import load_queries
+    from tpufm.io.results import load_results
+    from tpufm.config import IndexConfig as _IC
+
     path, n, codes = ref
     monkeypatch.chdir(tmp_path)
     cli.main(["build", str(path), str(n), "--k", "3", "--d", "64"])
     fmi = tmp_path / f"ref.fa.{n}.64fmi3steps.fmi"
     cli.main(["genreads", str(path), str(n), "25", "16", "--seed", "5",
               "--output", "odd.qry"])
-    with pytest.raises(SystemExit, match="tail"):
-        cli.main(["search", str(fmi), "odd.qry", "25", "16"])
+    cli.main(["search", str(fmi), "odd.qry", "25", "16", "--iterations", "1"])
+    tail = _bi(codes, _IC(k=1, d=64), sa_method="doubling")
+    qs = load_queries("odd.qry", 25, 16)
+    np.testing.assert_array_equal(
+        load_results(str(fmi) + ".res.tpu"), search_oracle(tail, qs)
+    )
 
 
 def test_cli_locate_any_length(tmp_path, ref, monkeypatch):

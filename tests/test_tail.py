@@ -232,3 +232,35 @@ def test_cli_build_tail_on_device(tmp_path, rng, monkeypatch):
               "--tail", "--output", "k1.npz"])
     t = load_npz("k1.npz.tail.npz")
     np.testing.assert_array_equal(t.occ, host_tail.occ)
+
+
+@pytest.mark.parametrize("k,d,n", [(2, 32, 777), (3, 64, 2000), (4, 32, 500),
+                                   (3, 128, 1500)])
+def test_derive_tail_byte_identical(rng, k, d, n):
+    """derive_tail reconstructs the k=1 index from the k-step tables alone —
+    byte-identical to building k=1 from the text (no text/SA needed)."""
+    from tpufm.index.builder import derive_tail
+
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=k, d=d), sa_method="doubling")
+    want = build_index(codes, IndexConfig(k=1, d=d), sa_method="doubling")
+    got = derive_tail(index)
+    assert got.config.k == 1 and got.bwtsize == want.bwtsize
+    np.testing.assert_array_equal(got.occ, want.occ)
+    np.testing.assert_array_equal(got.bitmaps, want.bitmaps)
+    np.testing.assert_array_equal(got.dollar_pos, want.dollar_pos)
+    np.testing.assert_array_equal(got.dollar_base, want.dollar_base)
+    # and it actually searches: odd lengths vs the k=1 oracle
+    queries = _queries(rng, codes, 2 * k + 1, hits=16, misses=8)
+    np.testing.assert_array_equal(
+        XLAEngine(index, tail_index=got).search(queries),
+        search_oracle(want, queries),
+    )
+
+
+def test_derive_tail_k1_identity(rng):
+    from tpufm.index.builder import derive_tail
+
+    codes = rng.integers(0, 4, size=400, dtype=np.uint8)
+    index = build_index(codes, IndexConfig(k=1, d=32), sa_method="doubling")
+    assert derive_tail(index) is index

@@ -178,14 +178,17 @@ def _maybe_tail(args, index):
             "baseline index (any-length) or pad reads to a multiple of k"
         )
     tpath = getattr(args, "tail", None) or f"{args.index}.tail.npz"
-    if not os.path.exists(tpath):
-        sys.exit(
-            f"query length {args.qrysize} is not divisible by k={k}; "
-            f"no tail index at {tpath} — rebuild with `tpufm build "
-            "--tail` or pass --tail PATH (the reference rejects such "
-            "lengths outright; tpufm runs them with k=1 tail rounds)"
-        )
-    return load_npz(tpath)
+    if os.path.exists(tpath):
+        return load_npz(tpath)
+    # No precomputed sibling: the k=1 tail is fully derivable from the
+    # index itself (level-0 bitplanes ARE BWT0) — any length just works.
+    from tpufm.index.builder import derive_tail
+
+    print(
+        f"note: query length {args.qrysize} % k={k} != 0 — deriving the "
+        f"k=1 tail from the index (`tpufm build --tail` precomputes it)"
+    )
+    return derive_tail(index)
 
 
 def _rc_expand(queries):

@@ -222,6 +222,71 @@ def build_index(
     )
 
 
+def derive_tail(index: KStepFMIndex) -> KStepFMIndex:
+    """Derive the k=1 (any-length tail) index from ANY k-step index — no
+    text, no suffix array, no rebuild.
+
+    The level-0 bitplanes store BWT0 verbatim ('$' as 'A', see build_index
+    above), so one linear counting pass over them reproduces the k=1
+    Occ/Cb tables byte-identically to building k=1 from the text
+    (tests/test_tail.py::test_derive_tail_byte_identical), and the k=1
+    bitmaps are the level-0 slice itself. The level-0 '$' reads as 'A', so
+    dollar_base is always [0] — matching the from-text build, where
+    BWT0[dollar_pos[0]] is the sentinel.
+
+    This makes any-read-length search available on every existing index:
+    the CLI derives the tail on the fly when no `.tail.npz` sibling exists.
+    """
+    cfg = index.config
+    if cfg.k == 1:
+        return index
+    d = cfg.d
+    E = index.nentries
+    bwtsize = index.bwtsize
+    dp0 = int(index.dollar_pos[0])
+
+    shifts = np.arange(31, -1, -1, dtype=np.uint32)
+    counts = np.zeros((E, 4), dtype=np.int64)
+    chunk = max(1, (1 << 27) // d)  # blocks per pass (bounds temporaries)
+    for b0 in range(0, E, chunk):
+        b1 = min(b0 + chunk, E)
+        w = np.asarray(index.bitmaps[b0:b1, 0])  # [B, 2, nb]
+        bits = ((w[..., None] >> shifts) & np.uint32(1)).astype(np.uint8)
+        chars = (
+            bits[:, 0].reshape(b1 - b0, d)
+            | (bits[:, 1].reshape(b1 - b0, d) << 1)
+        )
+        gpos = np.arange(b0 * d, b1 * d, dtype=np.int64).reshape(b1 - b0, d)
+        valid = gpos < bwtsize  # trailing pad bits of the last block
+        if b0 * d <= dp0 < b1 * d:
+            valid[dp0 // d - b0, dp0 % d] = False  # dollar-exclusive
+        key = (
+            chars.astype(np.int64)
+            + np.arange(b1 - b0, dtype=np.int64)[:, None] * 4
+        )[valid]
+        counts[b0:b1] += np.bincount(key, minlength=(b1 - b0) * 4).reshape(
+            -1, 4
+        )
+
+    totals = counts.sum(axis=0)
+    occ = np.zeros((E + 1, 4), dtype=np.int64)
+    np.cumsum(counts, axis=0, out=occ[1:])
+    acc = np.zeros(4, dtype=np.int64)
+    acc[1:] = np.cumsum(totals)[:-1]
+    c0 = int(index.dollar_base[0]) & 3  # level-0 char at dp0 — always 'A'
+    acc[c0:] += 1
+    occ += acc
+
+    return KStepFMIndex(
+        config=IndexConfig(k=1, d=d),
+        bwtsize=bwtsize,
+        occ=occ.astype(np.uint32),
+        bitmaps=np.ascontiguousarray(index.bitmaps[:, :1]),
+        dollar_pos=np.asarray([dp0], dtype=np.uint32),
+        dollar_base=np.asarray([c0], dtype=np.uint32),
+    )
+
+
 def derive_bwts(codes: np.ndarray, k: int, sa: np.ndarray | None = None):
     """Return the k BWT level strings (bytes, with '$') and dollar positions —
     the debugging view the reference dumps under INDEX_DGB=1
