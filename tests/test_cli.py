@@ -323,10 +323,14 @@ def test_cli_any_length_search(tmp_path, ref, monkeypatch):
     np.testing.assert_array_equal(res, search_oracle(tail, qs))
     assert (res[:, 1] > res[:, 0]).all()
 
-    # the mesh engine takes the same tail sibling
+    # the mesh and sharded engines take the same tail sibling
     cli.main(["search", str(fmi), "odd.qry", "25", "48", "--iterations", "1",
               "--mesh", "8", "--output", "mesh.res"])
     np.testing.assert_array_equal(load_results("mesh.res"), res)
+    cli.main(["search", str(fmi), "odd.qry", "25", "48", "--iterations", "1",
+              "--mesh", "8", "--sharded", "--routing", "a2a",
+              "--output", "sh.res"])
+    np.testing.assert_array_equal(load_results("sh.res"), res)
 
 
 def test_cli_odd_length_without_tail_derives(tmp_path, ref, monkeypatch):

@@ -264,3 +264,37 @@ def test_derive_tail_k1_identity(rng):
     codes = rng.integers(0, 4, size=400, dtype=np.uint8)
     index = build_index(codes, IndexConfig(k=1, d=32), sa_method="doubling")
     assert derive_tail(index) is index
+
+
+@pytest.mark.parametrize("routing", ["allgather", "ring", "a2a"])
+def test_tail_sharded_index(rng, routing):
+    """Sharded engine: main table sharded, k=1 tail REPLICATED — odd-length
+    batches match the k=1 oracle on every routing."""
+    import jax
+
+    from tpufm.parallel import ShardedIndexEngine, make_mesh
+
+    codes, index, tail = _mk(rng, 3, 64, 1500)
+    mesh = make_mesh(len(jax.devices()))
+    eng = ShardedIndexEngine(index, mesh, routing=routing, tail_index=tail)
+    queries = _queries(rng, codes, 13, hits=32, misses=16)
+    np.testing.assert_array_equal(
+        eng.search(queries), search_oracle(tail, queries)
+    )
+
+
+def test_tail_sharded_with_lut(rng):
+    import jax
+
+    from tpufm.parallel import ShardedIndexEngine, make_mesh
+
+    codes, index, tail = _mk(rng, 3, 32, 1200)
+    mesh = make_mesh(len(jax.devices()))
+    eng = ShardedIndexEngine(index, mesh, lut_m=6, tail_index=tail)
+    queries = _queries(rng, codes, 31, hits=32, misses=16)  # (31-6) % 3 == 1
+    np.testing.assert_array_equal(
+        eng.search(queries), search_oracle(tail, queries)
+    )
+    # even length through the same tail-equipped program
+    q2 = _queries(rng, codes, 30, hits=16, misses=8)
+    np.testing.assert_array_equal(eng.search(q2), search_oracle(index, q2))

@@ -258,11 +258,11 @@ def _make_engine(index, args, tail_index=None):
     lut_m = getattr(args, "lut", 0)
     mesh_n = getattr(args, "mesh", None)
     sharded = getattr(args, "sharded", False)
-    if tail_index is not None and (sharded or engine in ("pallas", "xla-ac")):
+    if tail_index is not None and engine in ("pallas", "xla-ac"):
         sys.exit(
             "any-length queries (tail index) are supported by --engine "
-            "xla/xla-paired, single-chip or --mesh N; pad reads to a "
-            "multiple of k for --sharded/pallas/xla-ac"
+            "xla/xla-paired (single-chip, --mesh N, or --sharded); pad "
+            "reads to a multiple of k for pallas/xla-ac"
         )
 
     if mesh_n is not None or sharded:
@@ -290,6 +290,7 @@ def _make_engine(index, args, tail_index=None):
                 mesh,
                 routing=getattr(args, "routing", "allgather"),
                 lut_m=lut_m,
+                tail_index=tail_index,
             )
         if engine == "xla-ac" and isinstance(index, KStepFMIndex):
             index = make_alt_counters(index)

@@ -477,6 +477,7 @@ class ShardedIndexEngine:
         mesh: Mesh,
         routing: str = "allgather",
         lut_m: int = 0,
+        tail_index=None,
     ):
         if isinstance(index, AltCountersIndex):
             raise NotImplementedError(
@@ -525,6 +526,37 @@ class ShardedIndexEngine:
             put_global(np.asarray(jax.device_get(index.dollar_block), np.uint32), repl),
         )
 
+        # Any-length tail: the main table is sharded (that is the point of
+        # this engine), but the k=1 tail is ~2/(2k + 4^k/nb) of its size
+        # (e.g. ~1/6 at k=3 d=192) and its <=k-1 rounds per query do not
+        # justify a collective circulation — REPLICATE it and run the tail
+        # rounds chip-locally on each query shard.
+        self.tail_d = None
+        if tail_index is not None:
+            from tpufm.engine.xla import build_fused_entries
+
+            if tail_index.config.k != 1 or tail_index.bwtsize != index.bwtsize:
+                raise ValueError(
+                    "tail_index must be a k=1 index over the same text"
+                )
+            self.tail = (
+                put_global(
+                    np.asarray(jax.device_get(build_fused_entries(tail_index))),
+                    repl,
+                ),
+                put_global(np.asarray(jax.device_get(tail_index.dollar_pos)), repl),
+                put_global(np.asarray(jax.device_get(tail_index.dollar_base)), repl),
+                put_global(
+                    np.asarray(jax.device_get(tail_index.dollar_block), np.uint32),
+                    repl,
+                ),
+            )
+            self.tail_d = tail_index.config.d
+        else:
+            z = put_global(np.zeros(1, np.uint32), repl)
+            self.tail = (put_global(np.zeros((1, 1), np.uint32), repl), z, z, z)
+        tail_d = self.tail_d
+
         if routing not in ("allgather", "ring", "a2a"):
             raise ValueError(f"unknown routing {routing!r}")
         step = {
@@ -537,8 +569,18 @@ class ShardedIndexEngine:
         axis = self.axis
 
         def make_search(with_lut: bool):
-            def search_local(occ_shard, bitmaps_shard, dollar, lut, bwtsize, queries):
+            def search_local(occ_shard, bitmaps_shard, dollar, lut, tail,
+                             bwtsize, queries):
                 B, L = queries.shape
+                r = (L - lut_m) % k if with_lut else L % k
+                if r and tail_d is None:
+                    raise ValueError(
+                        f"query length {L} leaves {r} leftover character(s) "
+                        f"at k={k}; supply a tail_index (k=1) to search any "
+                        "length"
+                    )
+                head, queries = queries[:, :r], queries[:, r:]
+                L -= r
                 if with_lut:
                     from tpufm.engine.xla import fuse_prefix_codes
 
@@ -572,7 +614,24 @@ class ShardedIndexEngine:
                     return (iv[:B], iv[B:]), jnp.asarray(ov)
 
                 (lo, hi), ov = jax.lax.scan(body, (lo0, hi0), codes)
-                return jnp.stack([lo, hi], axis=1), ov
+                iv = jnp.stack([lo, hi], axis=1)
+                if r:
+                    # tail rounds are chip-local: replicated k=1 table,
+                    # this chip's query shard — no collective needed
+                    from tpufm.engine.xla import _tail_scan
+
+                    iv = _tail_scan(
+                        {
+                            "tail_entries": tail[0],
+                            "tail_dollar_pos": tail[1],
+                            "tail_dollar_base": tail[2],
+                            "tail_dollar_block": tail[3],
+                        },
+                        tail_d,
+                        iv,
+                        head,
+                    )
+                return iv, ov
 
             # Results leave the jit REPLICATED (an 8 B/read all-gather):
             # device_get on a P(axis)-sharded output would span
@@ -586,6 +645,7 @@ class ShardedIndexEngine:
                         P(axis),
                         (P(), P(), P()),
                         P(),
+                        (P(), P(), P(), P()),
                         P(),
                         P(axis, None),
                     ),
@@ -636,7 +696,7 @@ class ShardedIndexEngine:
         """Device-resident dispatch: (intervals, overflow_flags) handles,
         no host sync — the benchmarking entry point."""
         return (program or self._search)(
-            self.occ, self.bitmaps, self.dollar, self.lut,
+            self.occ, self.bitmaps, self.dollar, self.lut, self.tail,
             _U32(self.bwtsize), queries_sharded,
         )
 
