@@ -218,3 +218,23 @@ def test_cli_count_mesh(tmp_path, rng, monkeypatch):
     cli.main(["count", fmi, "q.qry", "10", "16",
               "--mismatches", "1", "--mesh", "8", "--output", "b.cnt"])
     assert (tmp_path / "a.cnt").read_text() == (tmp_path / "b.cnt").read_text()
+
+
+def test_locate_mismatch_data_parallel(rng):
+    import jax
+
+    from tpufm.engine.xla import SearchLocateEngine
+    from tpufm.index.locate import build_locate
+    from tpufm.index.suffix_array import suffix_array
+    from tpufm.parallel import make_mesh
+    from tpufm.parallel.locate import DataParallelSearchLocate
+
+    codes = rng.integers(0, 4, size=1500, dtype=np.uint8)
+    sa = suffix_array(codes, method="doubling")
+    index = build_index(codes, IndexConfig(k=2, d=64), sa=sa)
+    loc = build_locate(codes, sample_rate=8, d=64, sa=sa)
+    qs = rng.integers(0, 4, size=(21, 9), dtype=np.uint8)  # 21 % 8 != 0
+    single = SearchLocateEngine(index, loc, max_hits=8).locate_mismatch(qs)
+    mesh = make_mesh(len(jax.devices()))
+    dp = DataParallelSearchLocate(index, loc, mesh, max_hits=8)
+    np.testing.assert_array_equal(dp.locate_mismatch(qs), single)

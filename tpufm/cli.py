@@ -576,14 +576,20 @@ def cmd_locate(args):
 
     if args.mismatches:
         # Hamming<=1 positions: variants ride the fused search+locate pass
-        # (engine/xla.py make_mismatch_locate_fn). Single-chip fused path.
+        # (engine/xla.py make_mismatch_locate_fn), single-chip or mesh.
         if args.mesh is not None:
-            sys.exit("--mismatches is single-chip for now; drop --mesh")
-        from tpufm.engine.xla import SearchLocateEngine
+            from tpufm.parallel import DataParallelSearchLocate, make_mesh
 
-        pos = SearchLocateEngine(
-            index, loc, max_hits=args.max_hits
-        ).locate_mismatch(queries)
+            pos = DataParallelSearchLocate(
+                index, loc, make_mesh(args.mesh or None),
+                max_hits=args.max_hits,
+            ).locate_mismatch(queries)
+        else:
+            from tpufm.engine.xla import SearchLocateEngine
+
+            pos = SearchLocateEngine(
+                index, loc, max_hits=args.max_hits
+            ).locate_mismatch(queries)
     elif args.mesh is not None:
         # Multi-chip: batch-sharded search + row-sharded locate walk over
         # the same mesh (tables replicated — they are small, docs/PERF.md).

@@ -106,6 +106,8 @@ class DataParallelSearchLocate:
             make_search_locate_fn,
         )
 
+        self._lut_m = lut_m
+
         if lut_m and lut_m % index.config.k:
             raise ValueError(
                 f"lut_m={lut_m} must be a multiple of k={index.config.k}"
@@ -130,6 +132,7 @@ class DataParallelSearchLocate:
             tables["lut"] = lut_with_cache(tables, index, lut_m, lut_cache, put)
         self.tables = tables
         self.loc_tables, loc_d, sample_rate = build_locate_tables(loc, put)
+        self._loc_d, self._sample_rate = loc_d, sample_rate
         self.batch_sharding = NamedSharding(mesh, P(self.axis, None))
         self._fused = jax.jit(
             make_search_locate_fn(
@@ -180,3 +183,43 @@ class DataParallelSearchLocate:
         )
         out = out[:B]
         return np.ascontiguousarray(out[:, :2]), np.ascontiguousarray(out[:, 2:])
+
+    def locate_mismatch(self, queries, wave: int | None = None) -> np.ndarray:
+        """Positions of Hamming<=1 hits over the mesh: uint8 [B, L] ->
+        uint32 [B, max_hits] (0xFFFFFFFF padded) — the batch-sharded twin of
+        SearchLocateEngine.locate_mismatch (same single-jit variant fan-out
+        + in-register compaction, each chip handling its query shard)."""
+        import jax.numpy as jnp
+        from tpufm.utils.waves import stream_waves
+
+        queries = np.asarray(queries, np.uint8)
+        B = queries.shape[0]
+        if B == 0:
+            return np.zeros((0, self.max_hits), np.uint32)
+        L = queries.shape[1]
+        if not hasattr(self, "_mm"):
+            from tpufm.engine.xla import make_mismatch_locate_fn
+
+            self._mm = jax.jit(
+                make_mismatch_locate_fn(
+                    self.config.k, self.config.d, self._lut_m, self._loc_d,
+                    self._sample_rate, self.max_hits,
+                ),
+                out_shardings=NamedSharding(self.mesh, P()),
+            )
+        n = self.mesh.devices.size
+        pad = -B % n
+        if pad:
+            queries = np.concatenate([queries, queries[:pad]])
+        wave = max(1, (1 << 20) // (3 * L + 1)) * n
+        return stream_waves(
+            queries,
+            wave,
+            lambda q: self._mm(
+                self.tables, self.loc_tables, jnp.uint32(self.bwtsize),
+                put_global(q, self.batch_sharding),
+            ),
+            lambda h: np.asarray(jax.device_get(h)),
+            depth=2,
+            pad_mode="cycle",
+        )[:B]
