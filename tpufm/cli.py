@@ -574,7 +574,44 @@ def cmd_locate(args):
     # in-place; the two-pass paths hand it to the search engine).
     tail = loc.lf1 if args.qrysize % index.config.k else None
 
-    if args.mismatches:
+    if args.mismatches >= 2:
+        # Pigeonhole seed-and-extend (engine/seed.py): m+1 disjoint seeds
+        # ride the exact scan, candidates walk the sampled SA, and the
+        # verify pass XOR+popcounts against the 2-bit packed text — so the
+        # text itself is needed (re-read it in --from-store mode, exactly
+        # like --contigs).
+        import os
+
+        if args.from_store:
+            if not os.path.exists(args.reference):
+                sys.exit(
+                    "--mismatches >= 2 needs the reference FASTA for the "
+                    "verify pass (pass its real path even with --from-store)"
+                )
+            codes = read_reference(args.reference, args.refsize or None)
+        if args.mesh is not None:
+            from tpufm.parallel import DataParallelSearchLocate, make_mesh
+
+            pos, _counts, overflow = DataParallelSearchLocate(
+                index, loc, make_mesh(args.mesh or None),
+                max_hits=args.max_hits,
+            ).locate_approx(
+                queries, codes, args.mismatches, seed_hits=args.seed_hits
+            )
+        else:
+            from tpufm.engine.seed import SeedExtendEngine
+
+            pos, _counts, overflow = SeedExtendEngine(
+                index, loc, codes, mismatches=args.mismatches,
+                seed_hits=args.seed_hits, max_hits=args.max_hits,
+            ).locate_approx(queries)
+        if overflow.any():
+            print(
+                f"warning: {int(overflow.sum())} reads hit the "
+                f"seed-hits={args.seed_hits} cap; their hit lists are "
+                "lower bounds"
+            )
+    elif args.mismatches:
         # Hamming<=1 positions: variants ride the fused search+locate pass
         # (engine/xla.py make_mismatch_locate_fn), single-chip or mesh.
         if args.mesh is not None:
@@ -870,10 +907,15 @@ def main(argv=None):
                     help="also locate every read's reverse complement in "
                          "the same pass; minus-strand positions go to "
                          "<out>.rc")
-    lc.add_argument("--mismatches", type=int, default=0, choices=[0, 1],
-                    help="1 = positions of occurrences within Hamming "
-                         "distance 1 (on-device variant expansion; up to "
-                         "max-hits per read)")
+    lc.add_argument("--mismatches", type=int, default=0,
+                    help="positions of occurrences within this Hamming "
+                         "distance: 1 = on-device variant expansion; >=2 = "
+                         "pigeonhole seed-and-extend (needs the reference "
+                         "FASTA for verification, also with --from-store)")
+    lc.add_argument("--seed-hits", type=int, default=32,
+                    help="mismatches>=2: per-seed interval cap; reads whose "
+                         "seeds exceed it are flagged (hit list becomes a "
+                         "lower bound)")
     lc.add_argument("--contigs", action="store_true",
                     help="write chromosome:offset instead of absolute "
                          "positions (multi-FASTA record map from the "

@@ -184,6 +184,78 @@ class DataParallelSearchLocate:
         out = out[:B]
         return np.ascontiguousarray(out[:, :2]), np.ascontiguousarray(out[:, 2:])
 
+    def locate_approx(self, queries, text, mismatches: int,
+                      seed_hits: int = 32, wave: int | None = None):
+        """Seed-and-extend positions at Hamming distance <= mismatches
+        (engine/seed.py) over the mesh: the packed text joins the replicated
+        table set and the query batch shards — each chip seeds, walks, and
+        verifies its own reads. Returns (positions uint32 [B, max_hits],
+        counts uint32 [B], overflow bool [B])."""
+        import jax.numpy as jnp
+
+        from tpufm.engine.seed import (
+            SeedExtendEngine,
+            make_seed_extend_fn,
+            pack_text_words,
+        )
+        from tpufm.utils.waves import stream_waves
+
+        key = (mismatches, seed_hits)
+        if getattr(self, "_seed_key", None) != key:
+            text = np.asarray(text)
+            if text.dtype != np.uint32:
+                text = pack_text_words(text)
+            self._text_words = put_global(
+                text, NamedSharding(self.mesh, P())
+            )
+            self._seed = jax.jit(
+                make_seed_extend_fn(
+                    self.config.k, self.config.d, self._lut_m, self._loc_d,
+                    self._sample_rate, mismatches, seed_hits, self.max_hits,
+                ),
+                out_shardings=NamedSharding(self.mesh, P()),
+            )
+            self._seed_key = key
+
+        queries = np.asarray(queries, np.uint8)
+        B = queries.shape[0]
+        mh = self.max_hits
+        if B == 0:
+            return (
+                np.zeros((0, mh), np.uint32),
+                np.zeros(0, np.uint32),
+                np.zeros(0, bool),
+            )
+        n = self.mesh.devices.size
+        pad = -B % n
+        if pad:
+            queries = np.concatenate([queries, queries[:pad]])
+        wave = wave or SeedExtendEngine.WAVE * n
+        wave = max(n, wave - wave % n)
+        out = stream_waves(
+            queries,
+            wave,
+            lambda q: self._seed(
+                self.tables, self.loc_tables, self._text_words,
+                jnp.uint32(self.bwtsize), put_global(q, self.batch_sharding),
+            ),
+            lambda h: np.concatenate(
+                [
+                    np.asarray(jax.device_get(h[0])),
+                    np.asarray(jax.device_get(h[1]))[:, None],
+                    np.asarray(jax.device_get(h[2]))[:, None].astype(np.uint32),
+                ],
+                axis=1,
+            ),
+            depth=2,
+            pad_mode="cycle",
+        )[:B]
+        return (
+            np.ascontiguousarray(out[:, :mh]),
+            np.ascontiguousarray(out[:, mh]),
+            out[:, mh + 1].astype(bool),
+        )
+
     def locate_mismatch(self, queries, wave: int | None = None) -> np.ndarray:
         """Positions of Hamming<=1 hits over the mesh: uint8 [B, L] ->
         uint32 [B, max_hits] (0xFFFFFFFF padded) — the batch-sharded twin of
