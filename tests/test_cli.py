@@ -389,3 +389,17 @@ def test_cli_bench_mismatch():
     assert abs(lanes - rec["detail"]["reads_per_s"] * 73) <= 73  # rounding
     # every planted-error read recovers its origin
     assert rec["detail"]["recovered"] == 256
+
+
+def test_cli_bench_seed():
+    """tpufm bench --mismatches 2: verified seed-and-extend locate record."""
+    from tpufm.bench import run_bench_seed
+
+    rec = run_bench_seed(
+        refsize=40000, k=2, d=64, sample_rate=8, num_queries=256,
+        query_len=30, iterations=1, lut_m=4, mismatches=2, seed_hits=64,
+    )
+    assert rec["detail"]["bit_exact_vs_naive"]
+    assert rec["unit"] == "reads/s"
+    # every read carries two planted errors; the seed pass recovers them all
+    assert rec["detail"]["recovered"] == 256

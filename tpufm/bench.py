@@ -567,6 +567,110 @@ def run_bench_mismatch(
     }
 
 
+def run_bench_seed(
+    refsize: int = 10_000_000,
+    k: int = 3,
+    d: int = 128,
+    sample_rate: int = 32,
+    num_queries: int = 1 << 16,
+    query_len: int = 120,
+    iterations: int = 3,
+    seed: int = 0,
+    lut_m: int = 0,
+    mismatches: int = 2,
+    seed_hits: int = 32,
+    max_hits: int = 4,
+    error_rate: float = 1.0,
+) -> dict:
+    """Pigeonhole seed-and-extend record (SeedExtendEngine.locate_approx):
+    positions of every occurrence within Hamming distance m >= 2, one jit
+    per wave. error_rate: fraction of sampled reads given exactly m planted
+    substitutions — exact search misses all of them, the seed pass must
+    recover them. Verification: a uniform sample's counts + positions vs a
+    naive sliding-window Hamming scan (overflow-flagged reads excluded from
+    the exactness claim — their lists are lower bounds by contract)."""
+    _enable_compile_cache()
+
+    from tpufm.config import IndexConfig
+    from tpufm.engine.seed import SeedExtendEngine
+    from tpufm.index.builder import build_index
+    from tpufm.index.locate import build_locate
+    from tpufm.index.suffix_array import suffix_array
+    from tpufm.io.genreads import generate_reads
+
+    m = mismatches
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=refsize, dtype=np.uint8)
+    t0 = time.perf_counter()
+    sa = suffix_array(codes)
+    index = build_index(codes, IndexConfig(k=k, d=d), sa=sa)
+    loc = build_locate(codes, sample_rate=sample_rate, d=d, sa=sa)
+    build_s = time.perf_counter() - t0
+    queries = np.asarray(
+        generate_reads(codes, query_len, num_queries, seed=seed + 1)
+    )
+    n_err = int(num_queries * error_rate)
+    if n_err:
+        for _ in range(m):  # m distinct-position substitutions per read
+            pos = rng.integers(0, query_len, size=n_err)
+            off = rng.integers(1, 4, size=n_err).astype(np.uint8)
+            rows = np.arange(n_err)
+            queries[rows, pos] = (queries[rows, pos] + off) & 3
+
+    eng = SeedExtendEngine(
+        index, loc, codes, mismatches=m, seed_hits=seed_hits,
+        max_hits=max_hits, lut_m=lut_m,
+    )
+    out = eng.locate_approx(queries)  # warm / compile
+    times = []
+    for _ in range(iterations):
+        t0 = time.perf_counter()
+        out = eng.locate_approx(queries)
+        times.append(time.perf_counter() - t0)
+    mean_s = sum(times) / len(times)
+    positions, counts, overflow = out
+
+    n_verify = min(num_queries, 256)  # naive scan is O(n * L) per read
+    vidx = np.sort(
+        np.random.default_rng(seed + 2).choice(
+            num_queries, n_verify, replace=False
+        )
+    )
+    wins = np.lib.stride_tricks.sliding_window_view(codes, query_len)
+    exact = True
+    for i in vidx:
+        dist = (wins != queries[i][None]).sum(axis=1)
+        want = np.flatnonzero(dist <= m).astype(np.uint32)
+        got = positions[i][positions[i] != 0xFFFFFFFF]
+        if overflow[i]:
+            # lower-bound contract: every reported position must be real
+            exact &= bool(np.isin(got, want).all())
+        else:
+            exact &= int(counts[i]) == want.size
+            exact &= bool((got == want[: got.size]).all())
+
+    reads_s = num_queries / mean_s
+    return {
+        "metric": f"seed-extend locate reads/s (m={m}, k={k}, d={d}, "
+        f"lut={lut_m}, s={sample_rate}, seed_hits={seed_hits}, "
+        f"{num_queries} x {query_len} bp, {refsize} bases)",
+        "value": round(reads_s),
+        "unit": "reads/s",
+        "vs_baseline": None,  # the reference has no approximate matching
+        "detail": {
+            "reads_per_s": round(reads_s),
+            "seed_lanes_per_s": round(reads_s * (m + 1)),
+            "seconds_per_pass": mean_s,
+            "build_seconds": round(build_s, 1),
+            "bit_exact_vs_naive": exact,
+            "verified_reads": n_verify,
+            "planted_error_reads": n_err,
+            "overflow_reads": int(overflow.sum()),
+            "recovered": int((counts > 0).sum()),
+        },
+    }
+
+
 def run_bench_multichip(
     refsize: int = 10_000_000,
     k: int = 3,

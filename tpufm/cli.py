@@ -368,6 +368,25 @@ def cmd_count(args):
 
 
 def cmd_bench(args):
+    if args.mismatches >= 2:
+        from tpufm.bench import run_bench_seed
+
+        record = run_bench_seed(
+            refsize=args.refsize,
+            k=args.k,
+            d=args.d,
+            sample_rate=args.sample_rate,
+            num_queries=args.numqueries,
+            query_len=args.length,
+            iterations=args.iterations,
+            seed=args.seed,
+            lut_m=args.lut,
+            mismatches=args.mismatches,
+            seed_hits=args.seed_hits,
+            max_hits=args.max_hits,
+        )
+        print(json.dumps(record))
+        return
     if args.mismatches:
         from tpufm.bench import run_bench_mismatch
 
@@ -841,9 +860,12 @@ def main(argv=None):
     be.add_argument("--seed", type=int, default=0)
     be.add_argument("--engine", default="xla")
     be.add_argument("--lut", type=int, default=0)
-    be.add_argument("--mismatches", type=int, default=0, choices=[0, 1],
+    be.add_argument("--mismatches", type=int, default=0,
                     help="1 = benchmark Hamming<=1 counting (3L+1 on-device "
-                         "variants/read), verified vs a naive Hamming scan")
+                         "variants/read); >=2 = pigeonhole seed-and-extend "
+                         "locate; both verified vs a naive Hamming scan")
+    be.add_argument("--seed-hits", type=int, default=32,
+                    help="mismatches>=2: per-seed interval cap")
     be.add_argument("--multichip", action="store_true",
                     help="data-parallel over all local devices")
     be.add_argument("--sharded", action="store_true",
