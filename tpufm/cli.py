@@ -593,7 +593,45 @@ def cmd_locate(args):
     # in-place; the two-pass paths hand it to the search engine).
     tail = loc.lf1 if args.qrysize % index.config.k else None
 
-    if args.mismatches >= 2:
+    if args.edits and args.mismatches:
+        sys.exit("--edits (indel-aware) and --mismatches (substitutions "
+                 "only) are different distance models; pass one")
+    if args.edits:
+        # Edit-distance (indel-aware) sites: pigeonhole seeds + batched
+        # Myers bit-vector verify (engine/edit.py). Like --mismatches >= 2
+        # the verify pass needs the packed text itself.
+        import os
+
+        if args.from_store:
+            if not os.path.exists(args.reference):
+                sys.exit(
+                    "--edits needs the reference FASTA for the verify pass "
+                    "(pass its real path even with --from-store)"
+                )
+            codes = read_reference(args.reference, args.refsize or None)
+        if args.mesh is not None:
+            from tpufm.parallel import DataParallelSearchLocate, make_mesh
+
+            pos, _counts, overflow = DataParallelSearchLocate(
+                index, loc, make_mesh(args.mesh or None),
+                max_hits=args.max_hits,
+            ).locate_edits(
+                queries, codes, args.edits, seed_hits=args.seed_hits
+            )
+        else:
+            from tpufm.engine.edit import EditExtendEngine
+
+            pos, _counts, overflow = EditExtendEngine(
+                index, loc, codes, edits=args.edits,
+                seed_hits=args.seed_hits, max_hits=args.max_hits,
+            ).locate_edits(queries)
+        if overflow.any():
+            print(
+                f"warning: {int(overflow.sum())} reads hit the "
+                f"seed-hits={args.seed_hits} cap; their site lists are "
+                "lower bounds"
+            )
+    elif args.mismatches >= 2:
         # Pigeonhole seed-and-extend (engine/seed.py): m+1 disjoint seeds
         # ride the exact scan, candidates walk the sampled SA, and the
         # verify pass XOR+popcounts against the 2-bit packed text — so the
@@ -934,10 +972,15 @@ def main(argv=None):
                          "distance: 1 = on-device variant expansion; >=2 = "
                          "pigeonhole seed-and-extend (needs the reference "
                          "FASTA for verification, also with --from-store)")
+    lc.add_argument("--edits", type=int, default=0, metavar="E",
+                    help="indel-aware: report distinct alignment start "
+                         "sites within edit distance E (pigeonhole seeds + "
+                         "batched Myers bit-vector verify; needs the "
+                         "reference FASTA, also with --from-store)")
     lc.add_argument("--seed-hits", type=int, default=32,
-                    help="mismatches>=2: per-seed interval cap; reads whose "
-                         "seeds exceed it are flagged (hit list becomes a "
-                         "lower bound)")
+                    help="mismatches>=2 / edits: per-seed interval cap; "
+                         "reads whose seeds exceed it are flagged (hit "
+                         "list becomes a lower bound)")
     lc.add_argument("--contigs", action="store_true",
                     help="write chromosome:offset instead of absolute "
                          "positions (multi-FASTA record map from the "

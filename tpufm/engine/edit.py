@@ -1,0 +1,381 @@
+"""Edit-distance (indel-aware) approximate matching: pigeonhole seeds +
+a batched multi-word Myers bit-vector verifier.
+
+The Hamming path (engine/seed.py) verifies candidates with one XOR+popcount
+per window — exact, but substitutions only. Real reads carry indels, and
+the CPU/GPU answer (banded DP with early exit, or backtracking FM search)
+is branchy and data-dependent — the opposite of what the VPU wants. The
+TPU formulation keeps the three dense passes of the seed engine and swaps
+the verifier for Myers's 1999 bit-parallel algorithm, whose inner loop is
+~15 word-ops of AND/OR/XOR/ADD/SHIFT per text character — branch-free,
+identical across lanes, and batched over every candidate at once:
+
+  1. SEED — an occurrence with <= E edits contains at least one of E+1
+     disjoint read chunks EXACTLY (pigeonhole holds under indels: each edit
+     touches at most one chunk). Seeds ride the ordinary k-step scan.
+  2. LOCATE — seed hits walk the sampled SA; candidate anchor
+     a = seed position - seed offset is exact only up to the net indel
+     shift before the chunk, so the true occurrence start lies in
+     [a-E, a+E].
+  3. VERIFY — per candidate, a start-anchored free-end edit distance for
+     EVERY start in [a-E, a+E] in one pass: scanning the L+3E-char window
+     REVERSED with the REVERSED read, the semi-global Myers score after
+     step t is min_e edit(read, text[s:e]) for s = window_end - t (free
+     start in the reversed stream == free end in the original). The scan
+     keeps the running (best distance, leftmost start at that distance);
+     bit-vectors are W = ceil(L/32) uint32 words with explicit ripple
+     carries, so any read length works.
+
+Output contract: up to max_hits DISTINCT alignment start sites per read —
+each the leftmost minimal-distance start of its candidate window, verified
+<= E edits — plus the per-read site count and the seed_hits overflow flag
+(same lower-bound contract as engine/seed.py). Under edits an exact
+"number of occurrences" is ill-defined (overlapping alignments shift into
+each other), so the contract is the production-aligner one: a sound,
+deduplicated site list whose completeness is bounded only by the seed cap.
+
+(The reference suite has no approximate matching at all; this file extends
+tpufm's own engine/seed.py. Bit-twiddling follows G. Myers, JACM 46(3),
+1999, and H. Hyyro's multi-word formulation — public algorithms,
+re-derived here for batched JAX.)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufm.engine.seed import pack_text_words
+from tpufm.engine.xla import make_locate_fn, make_search_fn
+
+_U32 = jnp.uint32
+_SENTINEL = 0xFFFFFFFF
+
+
+def build_peq(queries, W: int):
+    """uint8 [..., L] reads -> Myers match masks uint32 [..., 4, W]:
+    bit i of word i//32 of plane c is set iff read[i] == c (LSB = read[0]).
+    Pad bits past L stay 0 (required: score is read at bit L-1)."""
+    L = queries.shape[-1]
+    pad = [(0, 0)] * (queries.ndim - 1) + [(0, W * 32 - L)]
+    q = jnp.pad(queries, pad, constant_values=255)
+    q = q.reshape(queries.shape[:-1] + (W, 32))
+    sh = jnp.arange(32, dtype=_U32)
+    planes = [
+        jnp.sum(
+            jnp.where(q == c, _U32(1) << sh, _U32(0)), axis=-1, dtype=_U32
+        )
+        for c in range(4)
+    ]
+    return jnp.stack(planes, axis=-2)  # [..., 4, W]
+
+
+def _addc(a, b):
+    """Multi-word add: lists of W uint32 arrays, LSW first, ripple carry."""
+    out, carry = [], None
+    for aw, bw in zip(a, b):
+        s = aw + bw
+        c1 = (s < aw).astype(_U32)
+        if carry is not None:
+            s2 = s + carry
+            c1 = c1 | (s2 < s).astype(_U32)
+            s = s2
+        out.append(s)
+        carry = c1
+    return out
+
+
+def _shl1(x):
+    """Multi-word shift-left-by-1 (carry across words, 0 shifted in)."""
+    out = [x[0] << _U32(1)]
+    for w in range(1, len(x)):
+        out.append((x[w] << _U32(1)) | (x[w - 1] >> _U32(31)))
+    return out
+
+
+def make_myers_verify_fn(L: int, edits: int):
+    """Build the jittable batched verifier.
+
+    (text_words uint32 [nw], n_text, peq uint32 [..., 1|C, 4, W] — built
+     from the REVERSED read (the scan consumes the window back-to-front,
+     so the pattern must be reversed too; build_peq(read[..., ::-1], W)) —
+     broadcast over the candidate axis, lo/hi uint32 [..., C]
+     allowed start range (lo doubles as the window start, clamped >= 0),
+     valid bool [..., C])
+      -> (dist int32 [..., C]  — min start-anchored edit distance over
+          [lo, hi], L+1 where none found,
+          start uint32 [..., C] — leftmost start achieving it).
+
+    One lax.scan of TL = L + 3*edits steps; every candidate processes its
+    own window characters extracted in-register from the packed text."""
+    E = edits
+    TL = L + 3 * E
+    W = -(-L // 32)
+    WG = TL // 16 + 2  # words covering any 16-alignment of the window
+    msw, msb = (L - 1) // 32, _U32((L - 1) % 32)
+
+    def fn(text_words, n_text, peq, lo, hi, valid):
+        ws = lo
+        nw = text_words.shape[0]
+        base = (ws // _U32(16)).astype(jnp.int32)
+        widx = jnp.minimum(
+            base[..., None] + jnp.arange(WG, dtype=jnp.int32), nw - 1
+        )
+        words = text_words[widx]  # [..., C, WG]
+        woff = ws % _U32(16)
+
+        shape = ws.shape
+        zeros = jnp.zeros(shape, _U32)
+
+        vp0 = []
+        for w in range(W):
+            bits = min(32, L - 32 * w)
+            vp0.append(
+                jnp.full(shape, (1 << bits) - 1 if bits < 32 else 0xFFFFFFFF,
+                         _U32)
+            )
+        init = (
+            vp0,
+            [zeros] * W,
+            jnp.full(shape, L, jnp.int32),          # score
+            jnp.full(shape, L + 1, jnp.int32),      # best dist
+            jnp.full(shape, _SENTINEL, _U32),       # best start
+        )
+
+        def step(carry, t):
+            vp, vn, score, best, bstart = carry
+            j = _U32(TL - 1) - t                     # window char this step
+            s = ws + j                               # candidate start
+            rel = woff + j
+            wsel = (rel // _U32(16)).astype(jnp.int32)
+            sh = _U32(2) * (_U32(15) - rel % _U32(16))
+            w32 = zeros
+            for w in range(WG):
+                w32 = jnp.where(wsel == w, words[..., w], w32)
+            c = (w32 >> sh) & _U32(3)
+            inb = s < n_text
+            eq = []
+            for w in range(W):
+                e = zeros
+                for cc in range(4):
+                    e = e | jnp.where((c == cc) & inb, peq[..., cc, w], zeros)
+                eq.append(e)
+            x = [eq[w] | vn[w] for w in range(W)]
+            xvp = [x[w] & vp[w] for w in range(W)]
+            add = _addc(vp, xvp)
+            d0 = [(add[w] ^ vp[w]) | x[w] for w in range(W)]
+            hn = [vp[w] & d0[w] for w in range(W)]
+            hp = [vn[w] | ~(vp[w] | d0[w]) for w in range(W)]
+            score = (
+                score
+                + ((hp[msw] >> msb) & _U32(1)).astype(jnp.int32)
+                - ((hn[msw] >> msb) & _U32(1)).astype(jnp.int32)
+            )
+            xs = _shl1(hp)
+            vn = [xs[w] & d0[w] for w in range(W)]
+            hns = _shl1(hn)
+            vp = [hns[w] | ~(xs[w] | d0[w]) for w in range(W)]
+            upd = valid & (s >= lo) & (s <= hi) & (score <= best)
+            best = jnp.where(upd, score, best)
+            bstart = jnp.where(upd, s, bstart)
+            return (vp, vn, score, best, bstart), None
+
+        (_, _, _, best, bstart), _ = jax.lax.scan(
+            step, init, jnp.arange(TL, dtype=_U32)
+        )
+        return best, bstart
+
+    return fn
+
+
+def make_edit_extend_fn(
+    k: int,
+    d: int,
+    lut_m: int,
+    loc_d: int,
+    sample_rate: int,
+    edits: int,
+    seed_hits: int,
+    max_hits: int,
+):
+    """Build the jittable seed/locate/Myers-verify pass:
+
+    (search_tables, locate_tables, text_words, bwtsize, queries uint8 [B, L])
+      -> (starts uint32 [B, max_hits] — ascending distinct verified
+          alignment start sites, 0xFFFFFFFF padded,
+          counts uint32 [B]          — distinct sites found,
+          overflow bool [B])         — a seed interval exceeded seed_hits;
+                                       the site list is a lower bound."""
+    E = edits
+    S = E + 1
+    locate = make_locate_fn(loc_d, sample_rate)
+    mh = max_hits
+
+    def fn(tables, loc_tables, text_words, bwtsize, queries):
+        B, L = queries.shape
+        Ls = (L // S) // k * k
+        if Ls < k:
+            raise ValueError(
+                f"read length {L} too short for {E} edits at k={k}: "
+                f"needs {S} disjoint seeds of >= {k} bases"
+            )
+        verify = make_myers_verify_fn(L, E)
+        slut = lut_m if (lut_m and Ls >= lut_m) else 0
+        search = make_search_fn(k, d, False, layout="fused", lut_m=slut)
+
+        offs = [i * Ls for i in range(S)]
+        seeds = jnp.stack([queries[:, o : o + Ls] for o in offs], axis=1)
+        iv = search(tables, bwtsize, seeds.reshape(B * S, Ls)).reshape(B, S, 2)
+
+        low = iv[..., 0]
+        width = iv[..., 1] - low
+        overflow = jnp.any(width > _U32(seed_hits), axis=1)
+        w = jnp.minimum(width, _U32(seed_hits))
+        cols = jnp.arange(seed_hits, dtype=_U32)[None, None, :]
+        seedok = cols < w[..., None]  # [B, S, seed_hits]
+        rows = jnp.where(seedok, low[..., None] + cols, _U32(0))
+        pos = locate(loc_tables, rows.reshape(-1)).reshape(B, S, seed_hits)
+
+        # anchor = seed position - seed offset; true start in [a-E, a+E]
+        n_text = (bwtsize - _U32(1)).astype(jnp.int32)
+        offv = jnp.asarray(offs, dtype=jnp.int32)[None, :, None]
+        a = pos.astype(jnp.int32) - offv
+        valid = seedok & (a >= -E) & (a - E <= n_text - 1)
+        lo = jnp.maximum(a - E, 0).astype(_U32)
+        hi = jnp.minimum(a + E, n_text - 1).astype(_U32)
+        C = S * seed_hits
+        lo = jnp.where(valid, lo, _U32(0)).reshape(B, C)
+        hi = jnp.where(valid, hi, _U32(0)).reshape(B, C)
+        valid = valid.reshape(B, C)
+
+        # reversed read: the verifier scans each window back-to-front
+        peq = build_peq(queries[:, ::-1], -(-L // 32))[:, None, :, :]
+        dist, start = verify(text_words, _U32(n_text), peq, lo, hi, valid)
+        accept = valid & (dist <= E)
+        cand = jnp.where(accept, start, _U32(_SENTINEL))
+
+        # distinct sites: sort + neighbor-dedup, compact first max_hits
+        cand = jnp.sort(cand, axis=1)
+        uniq = (cand != _U32(_SENTINEL)) & jnp.concatenate(
+            [jnp.ones((B, 1), dtype=bool), cand[:, 1:] != cand[:, :-1]],
+            axis=1,
+        )
+        counts = jnp.sum(uniq, axis=1, dtype=_U32)
+        slot = jnp.cumsum(uniq.astype(jnp.int32), axis=1) - 1
+        slot = jnp.where(uniq & (slot < mh), slot, mh)
+        out = jnp.full((B, mh + 1), _U32(_SENTINEL)).at[
+            jnp.arange(B, dtype=jnp.int32)[:, None], slot
+        ].set(jnp.where(uniq, cand, _U32(_SENTINEL)))
+        return out[:, :mh], counts, overflow
+
+    return fn
+
+
+def edit_extend_oracle(codes, queries, edits: int):
+    """Ground truth (test-scale): for each read, dist[s] = the
+    start-anchored free-end edit distance min_e edit(read, codes[s:e]) at
+    every text start s, via the reversed semi-global DP (column-vectorized
+    numpy). Returns a [B, n] int array."""
+    codes = np.asarray(codes, dtype=np.uint8)
+    queries = np.asarray(queries, dtype=np.uint8)
+    B, L = queries.shape
+    n = codes.shape[0]
+    R = queries[:, ::-1]
+    T = codes[::-1]
+    ar = np.arange(L + 1)
+    col = np.broadcast_to(ar, (B, L + 1)).copy()
+    dist = np.full((B, n), L, dtype=np.int64)
+    for j in range(1, n + 1):
+        sub = (R != T[j - 1]).astype(np.int64)
+        t = np.minimum(col[:, :-1] + sub, col[:, 1:] + 1)
+        c = np.concatenate([np.zeros((B, 1), np.int64), t], axis=1)
+        col = np.minimum.accumulate(c - ar, axis=1) + ar
+        dist[:, n - j] = col[:, L]
+    return dist
+
+
+class EditExtendEngine:
+    """Device-resident edit-distance (indel-aware) matching at distance
+    E >= 1. Same table set as SeedExtendEngine (search index + sampled-SA
+    locate tables + 2-bit packed text); the verifier is the batched
+    multi-word Myers scan."""
+
+    #: reads per wave — each read carries (E+1) search lanes and
+    #: (E+1)*seed_hits Myers scan lanes of W words each
+    WAVE = 1 << 13
+
+    def __init__(
+        self,
+        index,
+        loc,
+        text,
+        edits: int,
+        seed_hits: int = 32,
+        max_hits: int = 4,
+        lut_m: int = 0,
+        device=None,
+    ):
+        from tpufm.engine.xla import XLAEngine, build_locate_tables
+
+        if edits < 1:
+            raise ValueError("EditExtendEngine is for edits >= 1")
+        put = functools.partial(jax.device_put, device=device)
+        xla = XLAEngine(index, device=device, layout="fused", lut_m=lut_m)
+        self.config = xla.config
+        self.bwtsize = xla.bwtsize
+        self.tables = xla.tables
+        self.loc_tables, loc_d, sr = build_locate_tables(loc, put)
+        text = np.asarray(text)
+        if text.dtype != np.uint32:
+            text = pack_text_words(text)
+        self.text_words = put(text)
+        self.edits = edits
+        self.seed_hits = seed_hits
+        self.max_hits = max_hits
+        self._fn = jax.jit(
+            make_edit_extend_fn(
+                self.config.k, self.config.d, lut_m, loc_d, sr,
+                edits, seed_hits, max_hits,
+            )
+        )
+
+    def locate_edits(self, queries, wave: int | None = None):
+        """reads uint8 [B, L] -> (starts uint32 [B, max_hits] ascending
+        distinct verified alignment start sites, 0xFFFFFFFF padded;
+        counts uint32 [B]; overflow bool [B])."""
+        from tpufm.utils.waves import stream_waves
+
+        queries = np.asarray(queries, dtype=np.uint8)
+        mh = self.max_hits
+        if queries.shape[0] == 0:
+            return (
+                np.zeros((0, mh), np.uint32),
+                np.zeros(0, np.uint32),
+                np.zeros(0, bool),
+            )
+        out = stream_waves(
+            queries,
+            wave or self.WAVE,
+            lambda q: self._fn(
+                self.tables, self.loc_tables, self.text_words,
+                _U32(self.bwtsize), jnp.asarray(q),
+            ),
+            lambda h: np.concatenate(
+                [
+                    np.asarray(jax.device_get(h[0])),
+                    np.asarray(jax.device_get(h[1]))[:, None],
+                    np.asarray(jax.device_get(h[2]))[:, None].astype(np.uint32),
+                ],
+                axis=1,
+            ),
+            depth=2,
+            pad_mode="cycle",
+        )
+        return (
+            np.ascontiguousarray(out[:, :mh]),
+            np.ascontiguousarray(out[:, mh]),
+            out[:, mh + 1].astype(bool),
+        )

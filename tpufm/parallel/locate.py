@@ -256,6 +256,75 @@ class DataParallelSearchLocate:
             out[:, mh + 1].astype(bool),
         )
 
+    def locate_edits(self, queries, text, edits: int,
+                     seed_hits: int = 32, wave: int | None = None):
+        """Edit-distance (indel-aware) alignment sites over the mesh: the
+        batch-sharded twin of EditExtendEngine.locate_edits (engine/edit.py
+        — pigeonhole seeds + batched Myers verify), with the packed text
+        replicated alongside the tables. Returns (starts uint32
+        [B, max_hits], counts uint32 [B], overflow bool [B])."""
+        import jax.numpy as jnp
+
+        from tpufm.engine.edit import EditExtendEngine, make_edit_extend_fn
+        from tpufm.engine.seed import pack_text_words
+        from tpufm.utils.waves import stream_waves
+
+        key = ("edits", edits, seed_hits)
+        if getattr(self, "_edit_key", None) != key:
+            text = np.asarray(text)
+            if text.dtype != np.uint32:
+                text = pack_text_words(text)
+            self._text_words = put_global(
+                text, NamedSharding(self.mesh, P())
+            )
+            self._edit = jax.jit(
+                make_edit_extend_fn(
+                    self.config.k, self.config.d, self._lut_m, self._loc_d,
+                    self._sample_rate, edits, seed_hits, self.max_hits,
+                ),
+                out_shardings=NamedSharding(self.mesh, P()),
+            )
+            self._edit_key = key
+
+        queries = np.asarray(queries, np.uint8)
+        B = queries.shape[0]
+        mh = self.max_hits
+        if B == 0:
+            return (
+                np.zeros((0, mh), np.uint32),
+                np.zeros(0, np.uint32),
+                np.zeros(0, bool),
+            )
+        n = self.mesh.devices.size
+        pad = -B % n
+        if pad:
+            queries = np.concatenate([queries, queries[:pad]])
+        wave = wave or EditExtendEngine.WAVE * n
+        wave = max(n, wave - wave % n)
+        out = stream_waves(
+            queries,
+            wave,
+            lambda q: self._edit(
+                self.tables, self.loc_tables, self._text_words,
+                jnp.uint32(self.bwtsize), put_global(q, self.batch_sharding),
+            ),
+            lambda h: np.concatenate(
+                [
+                    np.asarray(jax.device_get(h[0])),
+                    np.asarray(jax.device_get(h[1]))[:, None],
+                    np.asarray(jax.device_get(h[2]))[:, None].astype(np.uint32),
+                ],
+                axis=1,
+            ),
+            depth=2,
+            pad_mode="cycle",
+        )[:B]
+        return (
+            np.ascontiguousarray(out[:, :mh]),
+            np.ascontiguousarray(out[:, mh]),
+            out[:, mh + 1].astype(bool),
+        )
+
     def locate_mismatch(self, queries, wave: int | None = None) -> np.ndarray:
         """Positions of Hamming<=1 hits over the mesh: uint8 [B, L] ->
         uint32 [B, max_hits] (0xFFFFFFFF padded) — the batch-sharded twin of
