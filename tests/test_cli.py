@@ -403,3 +403,16 @@ def test_cli_bench_seed():
     assert rec["unit"] == "reads/s"
     # every read carries two planted errors; the seed pass recovers them all
     assert rec["detail"]["recovered"] == 256
+
+
+def test_cli_bench_edit():
+    """tpufm bench --edits 1: DP-oracle-verified indel alignment record."""
+    from tpufm.bench import run_bench_edit
+
+    rec = run_bench_edit(
+        refsize=30000, k=2, d=64, sample_rate=8, num_queries=128,
+        query_len=30, iterations=1, edits=1, seed_hits=64,
+    )
+    assert rec["detail"]["sound_vs_dp_oracle"]
+    assert rec["detail"]["origin_recovered_sample"]
+    assert rec["unit"] == "reads/s"

@@ -156,9 +156,11 @@ def test_edit_extend_sound_and_sensitive(rng, E, L, k, lut):
         for s in got:
             assert want[i, int(s)] <= E
         assert counts[i] >= got.size
-        # sensitive: a planted read recovers a site within E of its origin
+        # sensitive: a planted read recovers a site near its origin (the
+        # leftmost-minimal site of the origin's +-E window can sit up to
+        # 2E left of the origin when an equal-cost alignment starts there)
         if origins[i] >= 0:
-            assert got.size and np.abs(got.astype(np.int64) - origins[i]).min() <= E
+            assert got.size and np.abs(got.astype(np.int64) - origins[i]).min() <= 2 * E
 
 
 def test_edit_extend_counts_match_oracle_sites(rng):
@@ -240,8 +242,8 @@ def test_edit_extend_data_parallel(rng):
 
 
 def test_cli_locate_edits(tmp_path, rng, monkeypatch):
-    """tpufm locate --edits 2: planted indel reads recover a site within E
-    of their origin; --mesh output matches single-chip byte-for-byte."""
+    """tpufm locate --edits 2: planted indel reads recover a site within
+    2E of their origin; --mesh output matches single-chip byte-for-byte."""
     from tpufm import cli
     from tpufm.io.fasta import write_reference
     from tpufm.utils.encoding import decode_bases
@@ -262,7 +264,7 @@ def test_cli_locate_edits(tmp_path, rng, monkeypatch):
     assert len(lines) == 12
     for line, s0 in zip(lines, origins):
         sites = np.array([int(x) for x in line.split()])
-        assert sites.size and np.abs(sites - s0).min() <= E
+        assert sites.size and np.abs(sites - s0).min() <= 2 * E
     cli.main([*common, "--mesh", "8", "--output", "em.pos"])
     assert open("em.pos").read() == open("e.pos").read()
     # both distance models at once is a user error

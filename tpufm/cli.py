@@ -368,6 +368,25 @@ def cmd_count(args):
 
 
 def cmd_bench(args):
+    if args.edits:
+        from tpufm.bench import run_bench_edit
+
+        record = run_bench_edit(
+            refsize=args.refsize,
+            k=args.k,
+            d=args.d,
+            sample_rate=args.sample_rate,
+            num_queries=args.numqueries,
+            query_len=args.length,
+            iterations=args.iterations,
+            seed=args.seed,
+            lut_m=args.lut,
+            edits=args.edits,
+            seed_hits=args.seed_hits,
+            max_hits=args.max_hits,
+        )
+        print(json.dumps(record))
+        return
     if args.mismatches >= 2:
         from tpufm.bench import run_bench_seed
 
@@ -902,8 +921,12 @@ def main(argv=None):
                     help="1 = benchmark Hamming<=1 counting (3L+1 on-device "
                          "variants/read); >=2 = pigeonhole seed-and-extend "
                          "locate; both verified vs a naive Hamming scan")
+    be.add_argument("--edits", type=int, default=0, metavar="E",
+                    help="benchmark indel-aware alignment at edit distance "
+                         "E (Myers-verified seed-and-extend), DP-oracle "
+                         "verified")
     be.add_argument("--seed-hits", type=int, default=32,
-                    help="mismatches>=2: per-seed interval cap")
+                    help="mismatches>=2 / edits: per-seed interval cap")
     be.add_argument("--multichip", action="store_true",
                     help="data-parallel over all local devices")
     be.add_argument("--sharded", action="store_true",
