@@ -1,0 +1,194 @@
+"""Paired-end placement (engine/paired.py) — tpufm extension.
+
+Ground truth is pair_oracle: exhaustive occurrence cross-join under the
+FR insert-size rule on both strands. Planted fragments (R1 + rc tail of
+the same fragment) must be recovered with the correct strand; random
+pairs must not produce false pairs."""
+
+import numpy as np
+import pytest
+
+from tpufm.config import IndexConfig
+from tpufm.engine.paired import PairedEndEngine, pair_oracle
+from tpufm.index.builder import build_index
+from tpufm.index.locate import build_locate
+from tpufm.index.suffix_array import suffix_array
+from tpufm.utils.encoding import reverse_complement
+
+SENT = np.uint32(0xFFFFFFFF)
+
+
+def _setup(rng, n=4000, k=2, d=64, s=8):
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    sa = suffix_array(codes, method="doubling")
+    index = build_index(codes, IndexConfig(k=k, d=d), sa=sa)
+    loc = build_locate(codes, sample_rate=s, d=d, sa=sa)
+    return codes, index, loc
+
+
+def _plant_pairs(rng, codes, L1, L2, imin, imax, B):
+    """Fragments on alternating strands: even i -> R1 plus (R1 = fragment
+    head, R2 = rc of fragment tail), odd i -> R1 minus (mirrored).
+    Returns (r1, r2, expected (left, right, strand))."""
+    n = len(codes)
+    r1 = np.empty((B, L1), np.uint8)
+    r2 = np.empty((B, L2), np.uint8)
+    want = []
+    for i in range(B):
+        f = int(rng.integers(max(imin, L1, L2), imax + 1))
+        s0 = int(rng.integers(0, n - f))
+        head = codes[s0 : s0 + L1]
+        tail = codes[s0 + f - L2 : s0 + f]
+        if i % 2 == 0:
+            r1[i], r2[i] = head, reverse_complement(tail[None])[0]
+            want.append((s0, s0 + f - L2, 0))
+        else:
+            # minus strand: R2 maps forward at the fragment head, rc(R1)
+            # at the tail — i.e. R1 is the rc of the tail, R2 the head
+            r1[i] = reverse_complement(codes[s0 + f - L1 : s0 + f][None])[0]
+            r2[i] = codes[s0 : s0 + L2]
+            want.append((s0, s0 + f - L1, 1))
+    return r1, r2, want
+
+
+@pytest.mark.parametrize("L1,L2", [(20, 20), (24, 16)])
+def test_paired_recovers_planted_fragments(rng, L1, L2):
+    codes, index, loc = _setup(rng)
+    imin, imax = 60, 200
+    eng = PairedEndEngine(index, loc, imin, imax, max_hits=8, max_pairs=4)
+    r1, r2, want = _plant_pairs(rng, codes, L1, L2, imin, imax, 24)
+    pairs, strand, counts = eng.pair(r1, r2)
+    for i, (wl, wr, ws) in enumerate(want):
+        assert counts[i] >= 1
+        found = [
+            (int(pairs[i, j, 0]), int(pairs[i, j, 1]), int(strand[i, j]))
+            for j in range(pairs.shape[1])
+            if pairs[i, j, 0] != SENT
+        ]
+        assert (wl, wr, ws) in found, (i, (wl, wr, ws), found)
+
+
+def test_paired_matches_oracle_exactly(rng):
+    codes, index, loc = _setup(rng, n=3000)
+    imin, imax = 40, 150
+    L = 16
+    eng = PairedEndEngine(index, loc, imin, imax, max_hits=8, max_pairs=8)
+    r1, r2, _ = _plant_pairs(rng, codes, L, L, imin, imax, 12)
+    # add random pairs (usually no proper placement)
+    r1 = np.concatenate([r1, rng.integers(0, 4, size=(6, L), dtype=np.uint8)])
+    r2 = np.concatenate([r2, rng.integers(0, 4, size=(6, L), dtype=np.uint8)])
+    pairs, strand, counts = eng.pair(r1, r2)
+    want = pair_oracle(codes, r1, r2, imin, imax)
+    for i in range(r1.shape[0]):
+        got = {
+            (int(pairs[i, j, 0]), int(pairs[i, j, 1]), int(strand[i, j]))
+            for j in range(pairs.shape[1])
+            if pairs[i, j, 0] != SENT
+        }
+        assert counts[i] == len(want[i])
+        if counts[i] <= 8:
+            assert got == set(want[i])
+        else:
+            assert got <= set(want[i])
+
+
+def test_paired_insert_window_filters(rng):
+    """A fragment outside the insert window must NOT pair."""
+    codes, index, loc = _setup(rng)
+    L = 20
+    s0 = 500
+    f = 300  # fragment longer than imax below
+    r1 = codes[None, s0 : s0 + L].copy()
+    r2 = reverse_complement(codes[s0 + f - L : s0 + f][None])
+    eng = PairedEndEngine(index, loc, 60, 200, max_hits=8, max_pairs=4)
+    pairs, strand, counts = eng.pair(r1, r2)
+    assert counts[0] == 0
+    assert (pairs[0] == SENT).all()
+    # widen the window: now it pairs
+    eng2 = PairedEndEngine(index, loc, 60, 400, max_hits=8, max_pairs=4)
+    _, _, counts2 = eng2.pair(r1, r2)
+    assert counts2[0] >= 1
+
+
+def test_paired_overlapping_mates_allowed_crossing_rejected(rng):
+    codes, index, loc = _setup(rng)
+    L = 20
+    s0 = 1000
+    # overlapping (fragment 30 < 2L=40) is fine
+    f = 30
+    r1 = codes[None, s0 : s0 + L].copy()
+    r2 = reverse_complement(codes[s0 + f - L : s0 + f][None])
+    eng = PairedEndEngine(index, loc, 0, 100, max_hits=8, max_pairs=4)
+    _, _, counts = eng.pair(r1, r2)
+    assert counts[0] >= 1
+    # crossing (R2's rc placement left of R1 start) must not pair even
+    # with imin=0: fragment would be < L2
+    r2x = reverse_complement(codes[s0 - 15 : s0 + 5][None])
+    _, _, countsx = eng.pair(r1, r2x)
+    want = pair_oracle(codes, r1, r2x, 0, 100)
+    assert countsx[0] == len(want[0])
+
+
+def test_paired_empty_and_mismatched_batches(rng):
+    codes, index, loc = _setup(rng)
+    eng = PairedEndEngine(index, loc, 60, 200)
+    pairs, strand, counts = eng.pair(
+        np.zeros((0, 20), np.uint8), np.zeros((0, 20), np.uint8)
+    )
+    assert pairs.shape == (0, 4, 2) and counts.shape == (0,)
+    with pytest.raises(ValueError, match="differ"):
+        eng.pair(np.zeros((2, 20), np.uint8), np.zeros((3, 20), np.uint8))
+    with pytest.raises(ValueError, match="insert range"):
+        PairedEndEngine(index, loc, 100, 50)
+
+
+def test_cli_locate_paired(tmp_path, rng, monkeypatch):
+    """tpufm locate --paired: planted fragments recovered with strand;
+    --mesh output matches single-chip byte-for-byte."""
+    from tpufm import cli
+    from tpufm.io.fasta import write_reference
+    from tpufm.utils.encoding import decode_bases
+
+    monkeypatch.chdir(tmp_path)
+    codes = rng.integers(0, 4, size=4000, dtype=np.uint8)
+    write_reference("g.fa", decode_bases(codes))
+    L, imin, imax = 20, 60, 200
+    r1, r2, want = _plant_pairs(rng, codes, L, L, imin, imax, 10)
+    for name, arr in (("r1.qry", r1), ("r2.qry", r2)):
+        with open(name, "wb") as fp:
+            for i in range(10):
+                fp.write(b"> p%d\n%s\n" % (i, decode_bases(arr[i])))
+    common = ["locate", "g.fa", "4000", "r1.qry", str(L), "10",
+              "--k", "2", "--d", "64", "--sample-rate", "8",
+              "--paired", "r2.qry", "--insert-min", str(imin),
+              "--insert-max", str(imax)]
+    cli.main([*common, "--output", "p.pairs"])
+    lines = open("p.pairs").read().splitlines()
+    assert len(lines) == 10
+    for line, (wl, wr, ws) in zip(lines, want):
+        assert f"{wl}:{wr}:{'+' if ws == 0 else '-'}" in line.split()
+    cli.main([*common, "--mesh", "8", "--output", "pm.pairs"])
+    assert open("pm.pairs").read() == open("p.pairs").read()
+    # incompatible-mode guard
+    with pytest.raises(SystemExit, match="paired"):
+        cli.main([*common, "--rc"])
+
+
+def test_paired_mesh_matches_single(rng):
+    import jax
+
+    from tpufm.parallel import make_mesh
+
+    codes, index, loc = _setup(rng, n=3000)
+    imin, imax = 40, 150
+    L = 16
+    r1, r2, _ = _plant_pairs(rng, codes, L, L, imin, imax, 13)
+    sc = PairedEndEngine(index, loc, imin, imax, max_hits=8, max_pairs=4)
+    dp = PairedEndEngine(
+        index, loc, imin, imax, max_hits=8, max_pairs=4,
+        mesh=make_mesh(len(jax.devices())),
+    )
+    got = dp.pair(r1, r2)
+    want = sc.pair(r1, r2)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)

@@ -605,6 +605,41 @@ def cmd_locate(args):
         print(f"stored {args.store}.search.tpufm + {args.store}.locate.tpufm")
     queries = load_queries(args.queries, args.qrysize, args.numqueries)
     nq = queries.shape[0]
+    if args.paired:
+        # Paired-end FR placement (engine/paired.py): both mates' both
+        # strands ride one fused search+locate batch; pairing is an
+        # on-device [H x H] insert-window join per read pair.
+        if args.rc or args.mismatches or args.edits:
+            sys.exit("--paired is exact both-strand placement; drop "
+                     "--rc/--mismatches/--edits")
+        from tpufm.engine.paired import PairedEndEngine
+
+        mesh = None
+        if args.mesh is not None:
+            from tpufm.parallel import make_mesh
+
+            mesh = make_mesh(args.mesh or None)
+        r2 = load_queries(args.paired, args.qrysize, args.numqueries)
+        pairs, strand, counts = PairedEndEngine(
+            index, loc, args.insert_min, args.insert_max,
+            max_hits=args.max_hits, max_pairs=args.max_pairs, mesh=mesh,
+        ).pair(queries, r2)
+        out = args.output or f"{args.queries}.pairs"
+        with open(out, "w") as fp:
+            for i in range(nq):
+                toks = [
+                    f"{int(pairs[i, j, 0])}:{int(pairs[i, j, 1])}:"
+                    f"{'+' if strand[i, j] == 0 else '-'}"
+                    for j in range(pairs.shape[1])
+                    if pairs[i, j, 0] != 0xFFFFFFFF
+                ]
+                fp.write(" ".join(toks) + "\n")
+        print(
+            f"{nq} read pairs, {int((counts > 0).sum())} properly paired "
+            f"(insert [{args.insert_min}, {args.insert_max}])"
+        )
+        print(f"wrote {out}")
+        return
     if args.rc:
         queries = _rc_expand(queries)
     # Any query length: the locate tables' k=1 LF index doubles as the tail
@@ -1004,6 +1039,16 @@ def main(argv=None):
                     help="mismatches>=2 / edits: per-seed interval cap; "
                          "reads whose seeds exceed it are flagged (hit "
                          "list becomes a lower bound)")
+    lc.add_argument("--paired", default=None, metavar="R2.qry",
+                    help="paired-end FR placement: queries is R1, this is "
+                         "R2 (same length/count); writes '<out>': one line "
+                         "per pair of left:right:strand tokens")
+    lc.add_argument("--insert-min", type=int, default=0,
+                    help="--paired: smallest proper fragment length")
+    lc.add_argument("--insert-max", type=int, default=1000,
+                    help="--paired: largest proper fragment length")
+    lc.add_argument("--max-pairs", type=int, default=4,
+                    help="--paired: proper pairs reported per read pair")
     lc.add_argument("--contigs", action="store_true",
                     help="write chromosome:offset instead of absolute "
                          "positions (multi-FASTA record map from the "
