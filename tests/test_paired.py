@@ -174,6 +174,76 @@ def test_cli_locate_paired(tmp_path, rng, monkeypatch):
         cli.main([*common, "--rc"])
 
 
+def test_genreads_paired_roundtrip(tmp_path, rng, monkeypatch):
+    """genreads --paired -> locate --paired recovers every planted truth
+    pair; --contigs formats both mates through the record map."""
+    from tpufm import cli
+    from tpufm.io.fasta import write_reference
+    from tpufm.io.genreads import generate_read_pairs
+    from tpufm.utils.encoding import decode_bases
+
+    monkeypatch.chdir(tmp_path)
+    codes = rng.integers(0, 4, size=5000, dtype=np.uint8)
+    # two records so --contigs is meaningful
+    with open("g.fa", "wb") as fp:
+        fp.write(b">chrA\n" + decode_bases(codes[:3000]) + b"\n")
+        fp.write(b">chrB\n" + decode_bases(codes[3000:]) + b"\n")
+    L, imin, imax, B = 20, 100, 300, 16
+    cli.main(["genreads", "g.fa", "5000", str(L), str(B), "--paired",
+              "--insert-min", str(imin), "--insert-max", str(imax),
+              "--seed", "5", "--output", "p"])
+    # the CLI's pairs must match the library generator's truth
+    _, _, (ls, rs, minus) = generate_read_pairs(
+        codes, L, B, imin, imax, seed=5, return_truth=True
+    )
+    cli.main(["locate", "g.fa", "5000", "p_1.qry", str(L), str(B),
+              "--k", "2", "--d", "64", "--sample-rate", "8",
+              "--paired", "p_2.qry", "--insert-min", str(imin),
+              "--insert-max", str(imax), "--output", "p.pairs"])
+    lines = open("p.pairs").read().splitlines()
+    assert len(lines) == B
+    for i, line in enumerate(lines):
+        sym = "-" if minus[i] else "+"
+        assert f"{ls[i]}:{rs[i]}:{sym}" in line.split()
+    # contig-labelled pairs
+    cli.main(["locate", "g.fa", "5000", "p_1.qry", str(L), str(B),
+              "--k", "2", "--d", "64", "--sample-rate", "8",
+              "--paired", "p_2.qry", "--insert-min", str(imin),
+              "--insert-max", str(imax), "--contigs",
+              "--output", "pc.pairs"])
+    clines = open("pc.pairs").read().splitlines()
+    for i, line in enumerate(clines):
+        want_l = (f"chrA:{ls[i]}" if ls[i] < 3000 else f"chrB:{ls[i]-3000}")
+        tok = next(t for t in line.split() if t.startswith(want_l + ":"))
+        assert tok.endswith(":" + ("-" if minus[i] else "+"))
+
+
+def test_generate_read_pairs_truth(rng):
+    from tpufm.io.genreads import generate_read_pairs
+    from tpufm.utils.encoding import reverse_complement
+
+    codes = rng.integers(0, 4, size=2000, dtype=np.uint8)
+    r1, r2, (ls, rs, minus) = generate_read_pairs(
+        codes, 18, 20, 50, 120, seed=3, return_truth=True
+    )
+    for i in range(20):
+        frag = rs[i] + 18 - ls[i]
+        assert 50 <= frag <= 120
+        head, tail = codes[ls[i] : ls[i] + 18], codes[rs[i] : rs[i] + 18]
+        if minus[i]:
+            np.testing.assert_array_equal(r2[i], head)
+            np.testing.assert_array_equal(
+                r1[i], reverse_complement(tail[None])[0]
+            )
+        else:
+            np.testing.assert_array_equal(r1[i], head)
+            np.testing.assert_array_equal(
+                r2[i], reverse_complement(tail[None])[0]
+            )
+    with pytest.raises(ValueError, match="insert range"):
+        generate_read_pairs(codes, 30, 4, 10, 20)
+
+
 def test_paired_mesh_matches_single(rng):
     import jax
 

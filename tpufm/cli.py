@@ -155,6 +155,24 @@ def cmd_transform(args):
 
 def cmd_genreads(args):
     codes = read_reference(args.reference, args.refsize)
+    if args.paired:
+        from tpufm.io.genreads import generate_read_pairs
+
+        r1, r2, (ls, rs, minus) = generate_read_pairs(
+            codes, args.length, args.num, args.insert_min, args.insert_max,
+            seed=args.seed, return_truth=True,
+        )
+        base = args.output or f"Q-{args.num}_B-{args.length}_R-{args.refsize}"
+        if base.endswith(".qry"):
+            base = base[:-4]
+        write_reads_fasta(base + "_1.qry", r1, np.where(minus, rs, ls))
+        write_reads_fasta(base + "_2.qry", r2, np.where(minus, ls, rs))
+        print(
+            f"wrote {base}_1.qry + {base}_2.qry ({args.num} FR pairs x "
+            f"{args.length} bp, insert [{args.insert_min}, "
+            f"{args.insert_max}])"
+        )
+        return
     reads, starts = generate_reads(
         codes, args.length, args.num, seed=args.seed, return_starts=True
     )
@@ -624,15 +642,37 @@ def cmd_locate(args):
             index, loc, args.insert_min, args.insert_max,
             max_hits=args.max_hits, max_pairs=args.max_pairs, mesh=mesh,
         ).pair(queries, r2)
+        cmap = None
+        if args.contigs:
+            import os
+
+            from tpufm.io.contigs import read_contigs
+
+            if not os.path.exists(args.reference):
+                sys.exit(
+                    "--contigs needs the reference FASTA to map record "
+                    "boundaries (pass its real path even with --from-store)"
+                )
+            cmap = read_contigs(args.reference, args.refsize or None)
         out = args.output or f"{args.queries}.pairs"
         with open(out, "w") as fp:
             for i in range(nq):
-                toks = [
-                    f"{int(pairs[i, j, 0])}:{int(pairs[i, j, 1])}:"
-                    f"{'+' if strand[i, j] == 0 else '-'}"
-                    for j in range(pairs.shape[1])
-                    if pairs[i, j, 0] != 0xFFFFFFFF
-                ]
+                if cmap is not None:
+                    lab = cmap.format(pairs[i].reshape(-1),
+                                      query_len=args.qrysize)
+                    toks = [
+                        f"{lab[2 * j]}:{lab[2 * j + 1]}:"
+                        f"{'+' if strand[i, j] == 0 else '-'}"
+                        for j in range(pairs.shape[1])
+                        if lab[2 * j] is not None
+                    ]
+                else:
+                    toks = [
+                        f"{int(pairs[i, j, 0])}:{int(pairs[i, j, 1])}:"
+                        f"{'+' if strand[i, j] == 0 else '-'}"
+                        for j in range(pairs.shape[1])
+                        if pairs[i, j, 0] != 0xFFFFFFFF
+                    ]
                 fp.write(" ".join(toks) + "\n")
         print(
             f"{nq} read pairs, {int((counts > 0).sum())} properly paired "
@@ -883,6 +923,13 @@ def main(argv=None):
     g.add_argument("num", type=int)
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--output", default=None)
+    g.add_argument("--paired", action="store_true",
+                    help="sample FR read pairs instead: writes <out>_1.qry "
+                         "+ <out>_2.qry (strands alternate per pair)")
+    g.add_argument("--insert-min", type=int, default=200,
+                    help="--paired: smallest fragment length")
+    g.add_argument("--insert-max", type=int, default=600,
+                    help="--paired: largest fragment length")
     g.set_defaults(fn=cmd_genreads)
 
     s = sub.add_parser("search", help="batch backward search")

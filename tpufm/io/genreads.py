@@ -27,6 +27,40 @@ def generate_reads(
     return (reads, starts) if return_starts else reads
 
 
+def generate_read_pairs(
+    codes: np.ndarray, length: int, num: int, insert_min: int,
+    insert_max: int, seed: int = 0, return_truth: bool = False,
+):
+    """Sample `num` FR read pairs: per pair, a fragment of uniform length
+    in [insert_min, insert_max] is placed uniformly, R1 is its head and R2
+    the reverse complement of its tail; pairs alternate the sequenced
+    strand (even index: R1 on plus, odd: R1 on minus — i.e. (R1, R2)
+    swapped through rc). Returns (r1, r2) uint8 [num, length] and, with
+    return_truth, (left_start int64 [num], right_start int64 [num],
+    strand uint8 [num]) matching engine/paired.py's output convention."""
+    from tpufm.utils.encoding import reverse_complement
+
+    n = codes.shape[0]
+    lo = max(insert_min, length)
+    if not (length <= lo <= insert_max <= n):
+        raise ValueError(
+            f"need read length {length} <= insert range [{insert_min}, "
+            f"{insert_max}] <= reference size {n}"
+        )
+    rng = np.random.default_rng(seed)
+    frag = rng.integers(lo, insert_max + 1, size=num, dtype=np.int64)
+    starts = rng.integers(0, n - frag + 1, dtype=np.int64)
+    idx = np.arange(length, dtype=np.int64)[None, :]
+    head = codes[starts[:, None] + idx]
+    tail_rc = reverse_complement(codes[(starts + frag - length)[:, None] + idx])
+    minus = (np.arange(num) % 2).astype(bool)
+    r1 = np.where(minus[:, None], tail_rc, head)
+    r2 = np.where(minus[:, None], head, tail_rc)
+    if not return_truth:
+        return r1, r2
+    return r1, r2, (starts, starts + frag - length, minus.astype(np.uint8))
+
+
 def write_reads_fasta(path, reads: np.ndarray, starts=None) -> None:
     """Write reads (uint8 codes [n, len]) as multi-FASTA, reference-style
     headers '>ridN start-end'."""
