@@ -57,7 +57,7 @@ def test_paired_recovers_planted_fragments(rng, L1, L2):
     imin, imax = 60, 200
     eng = PairedEndEngine(index, loc, imin, imax, max_hits=8, max_pairs=4)
     r1, r2, want = _plant_pairs(rng, codes, L1, L2, imin, imax, 24)
-    pairs, strand, counts = eng.pair(r1, r2)
+    pairs, strand, counts, _ = eng.pair(r1, r2)
     for i, (wl, wr, ws) in enumerate(want):
         assert counts[i] >= 1
         found = [
@@ -77,7 +77,7 @@ def test_paired_matches_oracle_exactly(rng):
     # add random pairs (usually no proper placement)
     r1 = np.concatenate([r1, rng.integers(0, 4, size=(6, L), dtype=np.uint8)])
     r2 = np.concatenate([r2, rng.integers(0, 4, size=(6, L), dtype=np.uint8)])
-    pairs, strand, counts = eng.pair(r1, r2)
+    pairs, strand, counts, _ = eng.pair(r1, r2)
     want = pair_oracle(codes, r1, r2, imin, imax)
     for i in range(r1.shape[0]):
         got = {
@@ -101,12 +101,12 @@ def test_paired_insert_window_filters(rng):
     r1 = codes[None, s0 : s0 + L].copy()
     r2 = reverse_complement(codes[s0 + f - L : s0 + f][None])
     eng = PairedEndEngine(index, loc, 60, 200, max_hits=8, max_pairs=4)
-    pairs, strand, counts = eng.pair(r1, r2)
+    pairs, strand, counts, _ = eng.pair(r1, r2)
     assert counts[0] == 0
     assert (pairs[0] == SENT).all()
     # widen the window: now it pairs
     eng2 = PairedEndEngine(index, loc, 60, 400, max_hits=8, max_pairs=4)
-    _, _, counts2 = eng2.pair(r1, r2)
+    _, _, counts2, _ = eng2.pair(r1, r2)
     assert counts2[0] >= 1
 
 
@@ -119,12 +119,12 @@ def test_paired_overlapping_mates_allowed_crossing_rejected(rng):
     r1 = codes[None, s0 : s0 + L].copy()
     r2 = reverse_complement(codes[s0 + f - L : s0 + f][None])
     eng = PairedEndEngine(index, loc, 0, 100, max_hits=8, max_pairs=4)
-    _, _, counts = eng.pair(r1, r2)
+    _, _, counts, _ = eng.pair(r1, r2)
     assert counts[0] >= 1
     # crossing (R2's rc placement left of R1 start) must not pair even
     # with imin=0: fragment would be < L2
     r2x = reverse_complement(codes[s0 - 15 : s0 + 5][None])
-    _, _, countsx = eng.pair(r1, r2x)
+    _, _, countsx, _ = eng.pair(r1, r2x)
     want = pair_oracle(codes, r1, r2x, 0, 100)
     assert countsx[0] == len(want[0])
 
@@ -132,7 +132,7 @@ def test_paired_overlapping_mates_allowed_crossing_rejected(rng):
 def test_paired_empty_and_mismatched_batches(rng):
     codes, index, loc = _setup(rng)
     eng = PairedEndEngine(index, loc, 60, 200)
-    pairs, strand, counts = eng.pair(
+    pairs, strand, counts, _ = eng.pair(
         np.zeros((0, 20), np.uint8), np.zeros((0, 20), np.uint8)
     )
     assert pairs.shape == (0, 4, 2) and counts.shape == (0,)
@@ -140,6 +140,25 @@ def test_paired_empty_and_mismatched_batches(rng):
         eng.pair(np.zeros((2, 20), np.uint8), np.zeros((3, 20), np.uint8))
     with pytest.raises(ValueError, match="insert range"):
         PairedEndEngine(index, loc, 100, 50)
+
+
+def test_paired_overflow_flagged_in_repeats(rng):
+    """A mate whose occurrence interval exceeds max_hits flags overflow
+    (the join saw only its first max_hits SA-order positions — pair lists
+    become lower bounds), while unique mates stay unflagged."""
+    unit = rng.integers(0, 4, size=25, dtype=np.uint8)
+    codes = np.concatenate([np.tile(unit, 20), rng.integers(0, 4, size=500, dtype=np.uint8)])
+    sa = suffix_array(codes, method="doubling")
+    index = build_index(codes, IndexConfig(k=2, d=64), sa=sa)
+    loc = build_locate(codes, sample_rate=8, d=64, sa=sa)
+    eng = PairedEndEngine(index, loc, 0, 1000, max_hits=4, max_pairs=4)
+    r1 = unit[None, :20].copy()            # ~20 occurrences > max_hits=4
+    r2 = reverse_complement(codes[520:540][None])  # unique tail mate
+    _, _, _, overflow = eng.pair(r1, r2)
+    assert overflow[0]
+    u1 = codes[None, 510:530].copy()
+    _, _, _, ovf2 = eng.pair(u1, r2)
+    assert not ovf2[0]
 
 
 def test_cli_locate_paired(tmp_path, rng, monkeypatch):

@@ -166,6 +166,48 @@ def test_seed_extend_data_parallel(rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_seed_extend_mesh_batch_smaller_than_mesh(rng):
+    """B < n_devices: the mesh pre-pad must cycle (a plain queries[:pad]
+    slice under-fills and crashes put_global)."""
+    import jax
+
+    from tpufm.parallel import DataParallelSearchLocate, make_mesh
+
+    codes, index, loc = _setup(rng, n=2000, k=2)
+    qs = _reads_with_planted(rng, codes, 30, 2, n_sampled=3, n_random=0)
+    sc = SeedExtendEngine(index, loc, codes, mismatches=2, seed_hits=64, max_hits=8)
+    dp = DataParallelSearchLocate(
+        index, loc, make_mesh(len(jax.devices())), max_hits=8
+    )
+    got = dp.locate_approx(qs, codes, mismatches=2, seed_hits=64)
+    want = sc.locate_approx(qs)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_mesh_text_cache_keyed_by_content(rng):
+    """Re-calling locate_approx with a DIFFERENT text (same distance/cap
+    key) must re-verify against the new text, not stale cached words."""
+    import jax
+
+    from tpufm.parallel import DataParallelSearchLocate, make_mesh
+
+    codes, index, loc = _setup(rng, n=2000, k=2)
+    dp = DataParallelSearchLocate(
+        index, loc, make_mesh(len(jax.devices())), max_hits=8
+    )
+    qs = _reads_with_planted(rng, codes, 30, 2, n_sampled=6, n_random=2)
+    first = dp.locate_approx(qs, codes, mismatches=2, seed_hits=64)
+    # verify against a corrupted text: planted reads now fail the check
+    wrong = (codes + 1) & 3
+    corrupted = dp.locate_approx(qs, wrong, mismatches=2, seed_hits=64)
+    assert corrupted[1].sum() < first[1].sum()
+    # and back: the original text's cache entry still answers correctly
+    again = dp.locate_approx(qs, codes, mismatches=2, seed_hits=64)
+    for a, b in zip(again, first):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_cli_locate_seed_extend(tmp_path, rng, monkeypatch):
     """tpufm locate --mismatches 2: planted 2-error reads recover their
     origin; --mesh output matches single-chip byte-for-byte."""

@@ -611,11 +611,12 @@ def run_bench_seed(
     )
     n_err = int(num_queries * error_rate)
     if n_err:
-        for _ in range(m):  # m distinct-position substitutions per read
-            pos = rng.integers(0, query_len, size=n_err)
-            off = rng.integers(1, 4, size=n_err).astype(np.uint8)
-            rows = np.arange(n_err)
-            queries[rows, pos] = (queries[rows, pos] + off) & 3
+        # exactly m substitutions per read: positions drawn WITHOUT
+        # replacement per read (independent draws could collide or revert)
+        pos = np.argsort(rng.random((n_err, query_len)), axis=1)[:, :m]
+        off = rng.integers(1, 4, size=(n_err, m)).astype(np.uint8)
+        rows = np.arange(n_err)[:, None]
+        queries[rows, pos] = (queries[rows, pos] + off) & 3
 
     eng = SeedExtendEngine(
         index, loc, codes, mismatches=m, seed_hits=seed_hits,

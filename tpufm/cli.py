@@ -386,6 +386,11 @@ def cmd_count(args):
 
 
 def cmd_bench(args):
+    if args.mismatches < 0 or args.edits < 0:
+        sys.exit("--mismatches/--edits must be >= 0")
+    if args.edits and args.mismatches:
+        sys.exit("--edits (indel-aware) and --mismatches (substitutions "
+                 "only) are different distance models; pass one")
     if args.edits:
         from tpufm.bench import run_bench_edit
 
@@ -638,10 +643,16 @@ def cmd_locate(args):
 
             mesh = make_mesh(args.mesh or None)
         r2 = load_queries(args.paired, args.qrysize, args.numqueries)
-        pairs, strand, counts = PairedEndEngine(
+        pairs, strand, counts, p_overflow = PairedEndEngine(
             index, loc, args.insert_min, args.insert_max,
             max_hits=args.max_hits, max_pairs=args.max_pairs, mesh=mesh,
         ).pair(queries, r2)
+        if p_overflow.any():
+            print(
+                f"warning: {int(p_overflow.sum())} read pairs have a mate "
+                f"in a repeat wider than max-hits={args.max_hits}; their "
+                "pair lists are lower bounds"
+            )
         cmap = None
         if args.contigs:
             import os
@@ -687,6 +698,8 @@ def cmd_locate(args):
     # in-place; the two-pass paths hand it to the search engine).
     tail = loc.lf1 if args.qrysize % index.config.k else None
 
+    if args.mismatches < 0 or args.edits < 0:
+        sys.exit("--mismatches/--edits must be >= 0")
     if args.edits and args.mismatches:
         sys.exit("--edits (indel-aware) and --mismatches (substitutions "
                  "only) are different distance models; pass one")

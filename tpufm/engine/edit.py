@@ -48,8 +48,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpufm.engine.seed import pack_text_words
-from tpufm.engine.xla import make_locate_fn, make_search_fn
+from tpufm.engine.seed import (
+    compact_hits,
+    pack_hits3,
+    pack_text_words,
+    seed_positions,
+    unpack_hits3,
+)
+from tpufm.engine.xla import make_locate_fn
 
 _U32 = jnp.uint32
 _SENTINEL = 0xFFFFFFFF
@@ -216,36 +222,27 @@ def make_edit_extend_fn(
 
     def fn(tables, loc_tables, text_words, bwtsize, queries):
         B, L = queries.shape
-        Ls = (L // S) // k * k
-        if Ls < k:
-            raise ValueError(
-                f"read length {L} too short for {E} edits at k={k}: "
-                f"needs {S} disjoint seeds of >= {k} bases"
-            )
+        pos, seedok, overflow, offs = seed_positions(
+            tables, loc_tables, bwtsize, queries,
+            k=k, d=d, lut_m=lut_m, S=S, seed_hits=seed_hits, locate=locate,
+            what=f"{E} edits",
+        )
         verify = make_myers_verify_fn(L, E)
-        slut = lut_m if (lut_m and Ls >= lut_m) else 0
-        search = make_search_fn(k, d, False, layout="fused", lut_m=slut)
 
-        offs = [i * Ls for i in range(S)]
-        seeds = jnp.stack([queries[:, o : o + Ls] for o in offs], axis=1)
-        iv = search(tables, bwtsize, seeds.reshape(B * S, Ls)).reshape(B, S, 2)
-
-        low = iv[..., 0]
-        width = iv[..., 1] - low
-        overflow = jnp.any(width > _U32(seed_hits), axis=1)
-        w = jnp.minimum(width, _U32(seed_hits))
-        cols = jnp.arange(seed_hits, dtype=_U32)[None, None, :]
-        seedok = cols < w[..., None]  # [B, S, seed_hits]
-        rows = jnp.where(seedok, low[..., None] + cols, _U32(0))
-        pos = locate(loc_tables, rows.reshape(-1)).reshape(B, S, seed_hits)
-
-        # anchor = seed position - seed offset; true start in [a-E, a+E]
-        n_text = (bwtsize - _U32(1)).astype(jnp.int32)
-        offv = jnp.asarray(offs, dtype=jnp.int32)[None, :, None]
-        a = pos.astype(jnp.int32) - offv
-        valid = seedok & (a >= -E) & (a - E <= n_text - 1)
-        lo = jnp.maximum(a - E, 0).astype(_U32)
-        hi = jnp.minimum(a + E, n_text - 1).astype(_U32)
+        # anchor a = seed position - seed offset; the true start lies in
+        # [a-E, a+E]. All in uint32 via b = a + E (>= 0 whenever valid):
+        # int32 would silently wrap past 2^31 bases and drop every
+        # candidate in the upper half of a 3 Gbase genome.
+        n_text = bwtsize - _U32(1)                 # text length n
+        offv = jnp.asarray(offs, dtype=_U32)[None, :, None]
+        b = pos + _U32(E) - offv                   # = a + E
+        valid = (
+            seedok
+            & (pos + _U32(E) >= offv)              # a >= -E (no wrap below)
+            & (b <= (n_text - _U32(1)) + _U32(2 * E))  # a - E <= n - 1
+        )
+        lo = jnp.maximum(b, _U32(2 * E)) - _U32(2 * E)   # max(a - E, 0)
+        hi = jnp.minimum(b, n_text - _U32(1))            # min(a + E, n - 1)
         C = S * seed_hits
         lo = jnp.where(valid, lo, _U32(0)).reshape(B, C)
         hi = jnp.where(valid, hi, _U32(0)).reshape(B, C)
@@ -253,7 +250,7 @@ def make_edit_extend_fn(
 
         # reversed read: the verifier scans each window back-to-front
         peq = build_peq(queries[:, ::-1], -(-L // 32))[:, None, :, :]
-        dist, start = verify(text_words, _U32(n_text), peq, lo, hi, valid)
+        dist, start = verify(text_words, n_text, peq, lo, hi, valid)
         accept = valid & (dist <= E)
         cand = jnp.where(accept, start, _U32(_SENTINEL))
 
@@ -263,13 +260,8 @@ def make_edit_extend_fn(
             [jnp.ones((B, 1), dtype=bool), cand[:, 1:] != cand[:, :-1]],
             axis=1,
         )
-        counts = jnp.sum(uniq, axis=1, dtype=_U32)
-        slot = jnp.cumsum(uniq.astype(jnp.int32), axis=1) - 1
-        slot = jnp.where(uniq & (slot < mh), slot, mh)
-        out = jnp.full((B, mh + 1), _U32(_SENTINEL)).at[
-            jnp.arange(B, dtype=jnp.int32)[:, None], slot
-        ].set(jnp.where(uniq, cand, _U32(_SENTINEL)))
-        return out[:, :mh], counts, overflow
+        out, counts = compact_hits(cand, uniq, mh)
+        return out, counts, overflow
 
     return fn
 
@@ -363,19 +355,8 @@ class EditExtendEngine:
                 self.tables, self.loc_tables, self.text_words,
                 _U32(self.bwtsize), jnp.asarray(q),
             ),
-            lambda h: np.concatenate(
-                [
-                    np.asarray(jax.device_get(h[0])),
-                    np.asarray(jax.device_get(h[1]))[:, None],
-                    np.asarray(jax.device_get(h[2]))[:, None].astype(np.uint32),
-                ],
-                axis=1,
-            ),
+            pack_hits3,
             depth=2,
             pad_mode="cycle",
         )
-        return (
-            np.ascontiguousarray(out[:, :mh]),
-            np.ascontiguousarray(out[:, mh]),
-            out[:, mh + 1].astype(bool),
-        )
+        return unpack_hits3(out, mh)

@@ -170,7 +170,11 @@ class PairedEndEngine:
     def pair(self, r1, r2, wave: int | None = None):
         """R1 uint8 [B, L1], R2 uint8 [B, L2] -> (pairs uint32
         [B, max_pairs, 2] (left, right) starts, strand uint8 [B, max_pairs]
-        (0 = R1 plus / 1 = R1 minus / 2 = pad), counts uint32 [B])."""
+        (0 = R1 plus / 1 = R1 minus / 2 = pad), counts uint32 [B],
+        overflow bool [B] — some mate's occurrence interval exceeded
+        max_hits, so the join saw only its first max_hits SA-order
+        positions and pairs/counts are lower bounds for that read pair
+        (the same repeat-cap contract as the seed/edit engines)."""
         from tpufm.utils.encoding import reverse_complement
 
         r1 = np.asarray(r1, np.uint8)
@@ -184,6 +188,7 @@ class PairedEndEngine:
                 np.zeros((0, self.max_pairs, 2), np.uint32),
                 np.zeros((0, self.max_pairs), np.uint8),
                 np.zeros(0, np.uint32),
+                np.zeros(0, bool),
             )
         key = (L1, L2)
         if key not in self._pair_cache:
@@ -196,7 +201,7 @@ class PairedEndEngine:
 
         if L1 == L2:
             # both mates, both strands: ONE 4B-read engine batch
-            _, pos = self._eng.search_locate(
+            iv, pos = self._eng.search_locate(
                 np.concatenate([
                     r1, reverse_complement(r2),
                     reverse_complement(r1), r2,
@@ -206,15 +211,21 @@ class PairedEndEngine:
             p1f, p2r, p1r, p2f = (
                 pos[:B], pos[B : 2 * B], pos[2 * B : 3 * B], pos[3 * B :]
             )
+            widths = (iv[:, 1] - iv[:, 0]).reshape(4, B)
         else:
-            _, p1 = self._eng.search_locate(
+            iv1, p1 = self._eng.search_locate(
                 np.concatenate([r1, reverse_complement(r1)]), wave=wave
             )
-            _, p2 = self._eng.search_locate(
+            iv2, p2 = self._eng.search_locate(
                 np.concatenate([reverse_complement(r2), r2]), wave=wave
             )
             p1f, p1r = p1[:B], p1[B:]
             p2r, p2f = p2[:B], p2[B:]
+            widths = np.stack([
+                iv1[:B, 1] - iv1[:B, 0], iv2[:B, 1] - iv2[:B, 0],
+                iv1[B:, 1] - iv1[B:, 0], iv2[B:, 1] - iv2[B:, 0],
+            ])
+        overflow = (widths > np.uint32(self.max_hits)).any(axis=0)
         pairs, strand, counts = pf(
             jnp.asarray(p1f), jnp.asarray(p2r),
             jnp.asarray(p1r), jnp.asarray(p2f),
@@ -223,4 +234,5 @@ class PairedEndEngine:
             np.asarray(jax.device_get(pairs)),
             np.asarray(jax.device_get(strand)),
             np.asarray(jax.device_get(counts)),
+            overflow,
         )

@@ -117,6 +117,82 @@ def hamming_to_text(text_words, pos, qwords, L: int):
     )
 
 
+def seed_positions(
+    tables, loc_tables, bwtsize, queries, *,
+    k: int, d: int, lut_m: int, S: int, seed_hits: int, locate, what: str,
+):
+    """Shared SEED + LOCATE front end (trace-time helper for the Hamming
+    and edit engines): slice S disjoint fixed-offset seeds per read, run
+    them through the ordinary k-step scan, expand each interval to its
+    first seed_hits BWT rows, and walk those through the sampled SA.
+
+    Returns (pos uint32 [B, S, seed_hits] seed text positions,
+    seedok bool [B, S, seed_hits] lanes inside their interval,
+    overflow bool [B] some interval exceeded seed_hits,
+    offs list[int] seed offsets)."""
+    B, L = queries.shape
+    Ls = (L // S) // k * k
+    if Ls < k:
+        raise ValueError(
+            f"read length {L} too short for {what} at k={k}: "
+            f"needs {S} disjoint seeds of >= {k} bases"
+        )
+    # the seed scan reuses the prefix LUT when the seed is long enough
+    # (Ls and lut_m are both k-multiples, so divisibility is automatic)
+    slut = lut_m if (lut_m and Ls >= lut_m) else 0
+    search = make_search_fn(k, d, False, layout="fused", lut_m=slut)
+
+    offs = [i * Ls for i in range(S)]
+    seeds = jnp.stack([queries[:, o : o + Ls] for o in offs], axis=1)
+    iv = search(tables, bwtsize, seeds.reshape(B * S, Ls)).reshape(B, S, 2)
+
+    lo = iv[..., 0]
+    width = iv[..., 1] - lo
+    overflow = jnp.any(width > _U32(seed_hits), axis=1)
+    w = jnp.minimum(width, _U32(seed_hits))
+    cols = jnp.arange(seed_hits, dtype=_U32)[None, None, :]
+    seedok = cols < w[..., None]  # [B, S, seed_hits]
+    rows = jnp.where(seedok, lo[..., None] + cols, _U32(0))
+    pos = locate(loc_tables, rows.reshape(-1)).reshape(B, S, seed_hits)
+    return pos, seedok, overflow, offs
+
+
+def compact_hits(cand, accept, max_hits: int):
+    """Scatter the accepted candidates' first max_hits values (already in
+    per-read ascending order) into a sentinel-padded [B, max_hits] array;
+    also returns the full per-read accept counts."""
+    B = cand.shape[0]
+    counts = jnp.sum(accept, axis=1, dtype=_U32)
+    slot = jnp.cumsum(accept.astype(jnp.int32), axis=1) - 1
+    slot = jnp.where(accept & (slot < max_hits), slot, max_hits)
+    out = jnp.full((B, max_hits + 1), _U32(_SENTINEL)).at[
+        jnp.arange(B, dtype=jnp.int32)[:, None], slot
+    ].set(jnp.where(accept, cand, _U32(_SENTINEL)))
+    return out[:, :max_hits], counts
+
+
+def pack_hits3(h):
+    """Device (pos [B, mh], counts [B], overflow [B]) -> one host uint32
+    [B, mh + 2] block (stream_waves collector for the seed/edit engines)."""
+    return np.concatenate(
+        [
+            np.asarray(jax.device_get(h[0])),
+            np.asarray(jax.device_get(h[1]))[:, None],
+            np.asarray(jax.device_get(h[2]))[:, None].astype(np.uint32),
+        ],
+        axis=1,
+    )
+
+
+def unpack_hits3(out, max_hits: int):
+    """Inverse of pack_hits3 on the concatenated host rows."""
+    return (
+        np.ascontiguousarray(out[:, :max_hits]),
+        np.ascontiguousarray(out[:, max_hits]),
+        out[:, max_hits + 1].astype(bool),
+    )
+
+
 def make_seed_extend_fn(
     k: int,
     d: int,
@@ -145,34 +221,16 @@ def make_seed_extend_fn(
 
     def fn(tables, loc_tables, text_words, bwtsize, queries):
         B, L = queries.shape
-        Ls = (L // S) // k * k
-        if Ls < k:
-            raise ValueError(
-                f"read length {L} too short for {m} mismatches at k={k}: "
-                f"needs {S} disjoint seeds of >= {k} bases"
-            )
-        # the seed scan reuses the prefix LUT when the seed is long enough
-        # (Ls and lut_m are both k-multiples, so divisibility is automatic)
-        slut = lut_m if (lut_m and Ls >= lut_m) else 0
-        search = make_search_fn(k, d, False, layout="fused", lut_m=slut)
-
-        offs = [i * Ls for i in range(S)]
-        seeds = jnp.stack([queries[:, o : o + Ls] for o in offs], axis=1)
-        iv = search(tables, bwtsize, seeds.reshape(B * S, Ls)).reshape(B, S, 2)
-
-        lo = iv[..., 0]
-        width = iv[..., 1] - lo
-        overflow = jnp.any(width > _U32(seed_hits), axis=1)
-        w = jnp.minimum(width, _U32(seed_hits))
-        cols = jnp.arange(seed_hits, dtype=_U32)[None, None, :]
-        valid = cols < w[..., None]  # [B, S, seed_hits]
-        rows = jnp.where(valid, lo[..., None] + cols, _U32(0))
-        pos = locate(loc_tables, rows.reshape(-1)).reshape(B, S, seed_hits)
+        pos, seedok, overflow, offs = seed_positions(
+            tables, loc_tables, bwtsize, queries,
+            k=k, d=d, lut_m=lut_m, S=S, seed_hits=seed_hits, locate=locate,
+            what=f"{m} mismatches",
+        )
 
         # candidate start = seed text position - seed offset, if in range
         offv = jnp.asarray(offs, dtype=_U32)[None, :, None]
         n_text = bwtsize - _U32(1)
-        ok = valid & (pos >= offv) & (pos + (_U32(L) - offv) <= n_text)
+        ok = seedok & (pos >= offv) & (pos + (_U32(L) - offv) <= n_text)
         cand = jnp.where(ok, pos - offv, _U32(_SENTINEL))
 
         # sort + neighbor-dedup (sentinels collect at the high end)
@@ -191,15 +249,8 @@ def make_seed_extend_fn(
         p = jnp.where(uniq, cand, _U32(0))
         dist = hamming_to_text(text_words, p, qwords[:, None, :], L)
         accept = uniq & (dist <= m)
-        counts = jnp.sum(accept, axis=1, dtype=_U32)
-
-        # compact the first max_hits accepted starts (already ascending)
-        slot = jnp.cumsum(accept.astype(jnp.int32), axis=1) - 1
-        slot = jnp.where(accept & (slot < mh), slot, mh)
-        out = jnp.full((B, mh + 1), _U32(_SENTINEL)).at[
-            jnp.arange(B, dtype=jnp.int32)[:, None], slot
-        ].set(jnp.where(accept, cand, _U32(_SENTINEL)))
-        return out[:, :mh], counts, overflow
+        out, counts = compact_hits(cand, accept, mh)
+        return out, counts, overflow
 
     return fn
 
@@ -285,22 +336,11 @@ class SeedExtendEngine:
                 self.tables, self.loc_tables, self.text_words,
                 _U32(self.bwtsize), jnp.asarray(q),
             ),
-            lambda h: np.concatenate(
-                [
-                    np.asarray(jax.device_get(h[0])),
-                    np.asarray(jax.device_get(h[1]))[:, None],
-                    np.asarray(jax.device_get(h[2]))[:, None].astype(np.uint32),
-                ],
-                axis=1,
-            ),
+            pack_hits3,
             depth=2,
             pad_mode="cycle",
         )
-        return (
-            np.ascontiguousarray(out[:, :mh]),
-            np.ascontiguousarray(out[:, mh]),
-            out[:, mh + 1].astype(bool),
-        )
+        return unpack_hits3(out, mh)
 
     def locate_approx(self, queries, wave: int | None = None):
         """reads uint8 [B, L] -> (positions uint32 [B, max_hits] ascending,

@@ -25,6 +25,8 @@ from pathlib import Path
 
 import numpy as np
 
+from tpufm.utils.waves import pad_cycle
+
 
 def _fingerprint(engine, queries: np.ndarray) -> int:
     """CRC32 of the query bytes and the engine's index identity."""
@@ -105,7 +107,7 @@ def search_resumable(
                 # reads (matches real traffic statistics); trim the answers.
                 real = chunk.shape[0]
                 pad = -real % n_dev
-                chunk = np.concatenate([chunk, chunk[:pad]])
+                chunk = pad_cycle(chunk, pad)
                 t0 = time.perf_counter()
                 res = np.asarray(engine.search(chunk), dtype=np.uint32)[:real]
                 search_s += time.perf_counter() - t0

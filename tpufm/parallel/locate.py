@@ -56,7 +56,7 @@ class DataParallelLocate:
         """BWT rows uint32 [N] -> SA values uint32 [N]. N is padded to a
         mesh multiple (row 0 is always valid) and trimmed; batches beyond
         `wave` stream in fixed-shape waves, pipelined 2 deep."""
-        from tpufm.utils.waves import stream_waves
+        from tpufm.utils.waves import pad_cycle, stream_waves
 
         n = self.mesh.devices.size
         rows = np.asarray(rows, dtype=np.uint32)
@@ -146,7 +146,7 @@ class DataParallelSearchLocate:
         """reads uint8 [B, L] -> (intervals uint32 [B, 2], positions uint32
         [B, max_hits]). Tail batches pad by cycling their own reads."""
         import jax.numpy as jnp
-        from tpufm.utils.waves import stream_waves
+        from tpufm.utils.waves import pad_cycle, stream_waves
 
         queries = np.asarray(queries, np.uint8)
         B = queries.shape[0]
@@ -162,7 +162,7 @@ class DataParallelSearchLocate:
         # single sub-wave batch would reach put_global undivided).
         pad = -B % n
         if pad:
-            queries = np.concatenate([queries, queries[:pad]])
+            queries = pad_cycle(queries, pad)
 
         def dispatch(q):
             qd = put_global(q, self.batch_sharding)
@@ -184,38 +184,45 @@ class DataParallelSearchLocate:
         out = out[:B]
         return np.ascontiguousarray(out[:, :2]), np.ascontiguousarray(out[:, 2:])
 
-    def locate_approx(self, queries, text, mismatches: int,
-                      seed_hits: int = 32, wave: int | None = None):
-        """Seed-and-extend positions at Hamming distance <= mismatches
-        (engine/seed.py) over the mesh: the packed text joins the replicated
-        table set and the query batch shards — each chip seeds, walks, and
-        verifies its own reads. Returns (positions uint32 [B, max_hits],
-        counts uint32 [B], overflow bool [B])."""
+    def _approx_run(self, queries, text, key, wave_default, factory,
+                    wave: int | None):
+        """Shared driver for locate_approx / locate_edits: cache the jitted
+        pass together with ITS OWN replicated packed text under `key` plus
+        a content fingerprint of `text` (a sampled CRC32 — the full text is
+        up to ~1 GB packed, so the fingerprint reads a 64K-element stride
+        sample plus shape/dtype; a different text re-puts and re-jits
+        instead of silently verifying against stale words), then shard the
+        batch and stream fixed-shape waves."""
+        import zlib
+
         import jax.numpy as jnp
 
         from tpufm.engine.seed import (
-            SeedExtendEngine,
-            make_seed_extend_fn,
+            pack_hits3,
             pack_text_words,
+            unpack_hits3,
         )
-        from tpufm.utils.waves import stream_waves
+        from tpufm.utils.waves import pad_cycle, stream_waves
 
-        key = (mismatches, seed_hits)
-        if getattr(self, "_seed_key", None) != key:
-            text = np.asarray(text)
-            if text.dtype != np.uint32:
-                text = pack_text_words(text)
-            self._text_words = put_global(
-                text, NamedSharding(self.mesh, P())
+        text = np.asarray(text)
+        flat = text.reshape(-1)
+        sample = np.ascontiguousarray(flat[:: max(1, flat.size // 65536)])
+        key = key + (
+            text.shape, text.dtype.str, zlib.crc32(memoryview(sample)),
+        )
+        cache = getattr(self, "_approx_cache", None)
+        if cache is None:
+            cache = self._approx_cache = {}
+        entry = cache.get(key)
+        if entry is None:
+            if len(cache) >= 4:
+                cache.clear()
+            words = text if text.dtype == np.uint32 else pack_text_words(text)
+            entry = cache[key] = (
+                jax.jit(factory(), out_shardings=NamedSharding(self.mesh, P())),
+                put_global(words, NamedSharding(self.mesh, P())),
             )
-            self._seed = jax.jit(
-                make_seed_extend_fn(
-                    self.config.k, self.config.d, self._lut_m, self._loc_d,
-                    self._sample_rate, mismatches, seed_hits, self.max_hits,
-                ),
-                out_shardings=NamedSharding(self.mesh, P()),
-            )
-            self._seed_key = key
+        fn, text_words = entry
 
         queries = np.asarray(queries, np.uint8)
         B = queries.shape[0]
@@ -227,33 +234,39 @@ class DataParallelSearchLocate:
                 np.zeros(0, bool),
             )
         n = self.mesh.devices.size
-        pad = -B % n
-        if pad:
-            queries = np.concatenate([queries, queries[:pad]])
-        wave = wave or SeedExtendEngine.WAVE * n
+        queries = pad_cycle(queries, -B % n)
+        wave = wave or wave_default * n
         wave = max(n, wave - wave % n)
         out = stream_waves(
             queries,
             wave,
-            lambda q: self._seed(
-                self.tables, self.loc_tables, self._text_words,
+            lambda q: fn(
+                self.tables, self.loc_tables, text_words,
                 jnp.uint32(self.bwtsize), put_global(q, self.batch_sharding),
             ),
-            lambda h: np.concatenate(
-                [
-                    np.asarray(jax.device_get(h[0])),
-                    np.asarray(jax.device_get(h[1]))[:, None],
-                    np.asarray(jax.device_get(h[2]))[:, None].astype(np.uint32),
-                ],
-                axis=1,
-            ),
+            pack_hits3,
             depth=2,
             pad_mode="cycle",
         )[:B]
-        return (
-            np.ascontiguousarray(out[:, :mh]),
-            np.ascontiguousarray(out[:, mh]),
-            out[:, mh + 1].astype(bool),
+        return unpack_hits3(out, mh)
+
+    def locate_approx(self, queries, text, mismatches: int,
+                      seed_hits: int = 32, wave: int | None = None):
+        """Seed-and-extend positions at Hamming distance <= mismatches
+        (engine/seed.py) over the mesh: the packed text joins the replicated
+        table set and the query batch shards — each chip seeds, walks, and
+        verifies its own reads. Returns (positions uint32 [B, max_hits],
+        counts uint32 [B], overflow bool [B])."""
+        from tpufm.engine.seed import SeedExtendEngine, make_seed_extend_fn
+
+        return self._approx_run(
+            queries, text, ("hamming", mismatches, seed_hits),
+            SeedExtendEngine.WAVE,
+            lambda: make_seed_extend_fn(
+                self.config.k, self.config.d, self._lut_m, self._loc_d,
+                self._sample_rate, mismatches, seed_hits, self.max_hits,
+            ),
+            wave,
         )
 
     def locate_edits(self, queries, text, edits: int,
@@ -263,66 +276,16 @@ class DataParallelSearchLocate:
         — pigeonhole seeds + batched Myers verify), with the packed text
         replicated alongside the tables. Returns (starts uint32
         [B, max_hits], counts uint32 [B], overflow bool [B])."""
-        import jax.numpy as jnp
-
         from tpufm.engine.edit import EditExtendEngine, make_edit_extend_fn
-        from tpufm.engine.seed import pack_text_words
-        from tpufm.utils.waves import stream_waves
 
-        key = ("edits", edits, seed_hits)
-        if getattr(self, "_edit_key", None) != key:
-            text = np.asarray(text)
-            if text.dtype != np.uint32:
-                text = pack_text_words(text)
-            self._text_words = put_global(
-                text, NamedSharding(self.mesh, P())
-            )
-            self._edit = jax.jit(
-                make_edit_extend_fn(
-                    self.config.k, self.config.d, self._lut_m, self._loc_d,
-                    self._sample_rate, edits, seed_hits, self.max_hits,
-                ),
-                out_shardings=NamedSharding(self.mesh, P()),
-            )
-            self._edit_key = key
-
-        queries = np.asarray(queries, np.uint8)
-        B = queries.shape[0]
-        mh = self.max_hits
-        if B == 0:
-            return (
-                np.zeros((0, mh), np.uint32),
-                np.zeros(0, np.uint32),
-                np.zeros(0, bool),
-            )
-        n = self.mesh.devices.size
-        pad = -B % n
-        if pad:
-            queries = np.concatenate([queries, queries[:pad]])
-        wave = wave or EditExtendEngine.WAVE * n
-        wave = max(n, wave - wave % n)
-        out = stream_waves(
-            queries,
+        return self._approx_run(
+            queries, text, ("edits", edits, seed_hits),
+            EditExtendEngine.WAVE,
+            lambda: make_edit_extend_fn(
+                self.config.k, self.config.d, self._lut_m, self._loc_d,
+                self._sample_rate, edits, seed_hits, self.max_hits,
+            ),
             wave,
-            lambda q: self._edit(
-                self.tables, self.loc_tables, self._text_words,
-                jnp.uint32(self.bwtsize), put_global(q, self.batch_sharding),
-            ),
-            lambda h: np.concatenate(
-                [
-                    np.asarray(jax.device_get(h[0])),
-                    np.asarray(jax.device_get(h[1]))[:, None],
-                    np.asarray(jax.device_get(h[2]))[:, None].astype(np.uint32),
-                ],
-                axis=1,
-            ),
-            depth=2,
-            pad_mode="cycle",
-        )[:B]
-        return (
-            np.ascontiguousarray(out[:, :mh]),
-            np.ascontiguousarray(out[:, mh]),
-            out[:, mh + 1].astype(bool),
         )
 
     def locate_mismatch(self, queries, wave: int | None = None) -> np.ndarray:
@@ -331,7 +294,7 @@ class DataParallelSearchLocate:
         SearchLocateEngine.locate_mismatch (same single-jit variant fan-out
         + in-register compaction, each chip handling its query shard)."""
         import jax.numpy as jnp
-        from tpufm.utils.waves import stream_waves
+        from tpufm.utils.waves import pad_cycle, stream_waves
 
         queries = np.asarray(queries, np.uint8)
         B = queries.shape[0]
@@ -351,7 +314,7 @@ class DataParallelSearchLocate:
         n = self.mesh.devices.size
         pad = -B % n
         if pad:
-            queries = np.concatenate([queries, queries[:pad]])
+            queries = pad_cycle(queries, pad)
         wave = max(1, (1 << 20) // (3 * L + 1)) * n
         return stream_waves(
             queries,

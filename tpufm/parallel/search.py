@@ -162,11 +162,13 @@ class DataParallelEngine:
     def search(self, queries) -> np.ndarray:
         """uint8 [B, L] -> uint32 [B, 2]. A batch not divisible by the mesh
         size is padded by cycling its own reads and the answers trimmed."""
+        from tpufm.utils.waves import pad_cycle
+
         queries = np.asarray(queries, np.uint8)
         B = queries.shape[0]
         pad = -B % self.mesh.devices.size
         if pad:
-            queries = np.concatenate([queries, queries[:pad]])
+            queries = pad_cycle(queries, pad)
         out = self._search(self.tables, _U32(self.bwtsize), self.shard_queries(queries))
         return np.asarray(jax.device_get(out))[:B]
 
@@ -188,7 +190,7 @@ class DataParallelEngine:
         if self.alt_counters:
             raise ValueError("count(mismatches=1) requires the fused layout")
         from tpufm.engine.xla import make_count_mismatch_fn
-        from tpufm.utils.waves import stream_waves
+        from tpufm.utils.waves import pad_cycle, stream_waves
 
         n = self.mesh.devices.size
         B, L = queries.shape
@@ -203,7 +205,7 @@ class DataParallelEngine:
         # single sub-wave batch would reach shard_queries undivided
         pad = -B % n
         if pad:
-            queries = np.concatenate([queries, queries[:pad]])
+            queries = pad_cycle(queries, pad)
         wave = max(1, (1 << 20) // (3 * L + 1)) * n
         return stream_waves(
             queries,
@@ -718,7 +720,7 @@ class ShardedIndexEngine:
         padded fixed-shape waves (pipelined 2 deep) so device memory stays
         constant. last_overflow_rounds ORs the a2a fallback flags over
         every wave of the call."""
-        from tpufm.utils.waves import stream_waves
+        from tpufm.utils.waves import pad_cycle, stream_waves
 
         n = self.mesh.devices.size
         queries = np.asarray(queries, dtype=np.uint8)

@@ -12,6 +12,16 @@ from __future__ import annotations
 import numpy as np
 
 
+def pad_cycle(arr: np.ndarray, pad: int) -> np.ndarray:
+    """Append `pad` rows by cycling arr's own rows — unlike `arr[:pad]`
+    this stays correct when pad exceeds len(arr) (tiny batch on a large
+    mesh). np.resize cycles the flattened buffer, which is row-cycling
+    here because trailing dims are preserved."""
+    if pad <= 0:
+        return arr
+    return np.concatenate([arr, np.resize(arr, (pad,) + arr.shape[1:])])
+
+
 def stream_waves(
     items: np.ndarray,
     wave: int,
