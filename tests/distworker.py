@@ -84,4 +84,19 @@ np.save(
     np.asarray(idx_sh.occ, np.uint32),
 )
 
+# Seed-and-extend across processes: the packed text replicated over the
+# GLOBAL mesh, query batch sharded across both workers (batch 21 is
+# neither a mesh multiple nor larger than the mesh cleanly).
+from tpufm.parallel import DataParallelSearchLocate  # noqa: E402
+
+mut = np.stack([codes[s : s + 24].copy() for s in rng.integers(0, 4000, 21)])
+for i in range(21):
+    for p in rng.choice(24, size=2, replace=False):
+        mut[i, p] = (mut[i, p] + rng.integers(1, 4)) & 3
+dpsl = DataParallelSearchLocate(index, loc, mesh, max_hits=8)
+spos, scnt, sovf = dpsl.locate_approx(mut, codes, mismatches=2, seed_hits=64)
+np.save(os.path.join(outdir, f"seed_pos_{pid}.npy"), spos)
+np.save(os.path.join(outdir, f"seed_cnt_{pid}.npy"), scnt)
+np.save(os.path.join(outdir, f"seed_mut_{pid}.npy"), mut)
+
 print(f"worker {pid}: ok", flush=True)

@@ -87,6 +87,18 @@ def test_two_process_data_parallel(tmp_path):
         np.testing.assert_array_equal(
             np.load(tmp_path / f"result_shbuild_{pid}.npy"), expect
         )
+        # seed-and-extend across processes (batch sharded over both
+        # workers, packed text replicated): exact vs the naive oracle
+        from tpufm.engine.seed import seed_extend_oracle
+
+        mut = np.load(tmp_path / f"seed_mut_{pid}.npy")
+        spos = np.load(tmp_path / f"seed_pos_{pid}.npy")
+        scnt = np.load(tmp_path / f"seed_cnt_{pid}.npy")
+        want_cnt, want_pos = seed_extend_oracle(codes, mut, 2)
+        np.testing.assert_array_equal(scnt, want_cnt)
+        for row, wrow in zip(spos, want_pos):
+            keep = row != np.uint32(0xFFFFFFFF)
+            np.testing.assert_array_equal(row[keep], wrow[: keep.sum()])
 
 
 @pytest.mark.skipif(
