@@ -222,6 +222,19 @@ def test_edit_extend_empty_batch(rng):
     assert pos.shape == (0, 4) and counts.shape == (0,) and overflow.shape == (0,)
 
 
+def test_edit_chars_pre_matches_inline(rng):
+    """chars='pre' (precomputed window chars as scan xs) is bit-identical
+    to the default in-register extraction."""
+    codes, index, loc = _setup(rng, n=2000, k=2)
+    qs, _ = _indel_reads(rng, codes, 33, 2, n_sampled=20, n_random=6)
+    a = EditExtendEngine(index, loc, codes, edits=2, seed_hits=64)
+    b = EditExtendEngine(index, loc, codes, edits=2, seed_hits=64, chars="pre")
+    for x, y in zip(a.locate_edits(qs), b.locate_edits(qs)):
+        np.testing.assert_array_equal(x, y)
+    with pytest.raises(ValueError, match="chars"):
+        EditExtendEngine(index, loc, codes, edits=2, chars="bogus")
+
+
 def test_edit_extend_data_parallel(rng):
     """DataParallelSearchLocate.locate_edits over the virtual mesh ==
     single-chip EditExtendEngine, including a non-mesh-multiple batch."""

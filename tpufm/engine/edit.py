@@ -102,7 +102,7 @@ def _shl1(x):
     return out
 
 
-def make_myers_verify_fn(L: int, edits: int):
+def make_myers_verify_fn(L: int, edits: int, chars: str = "inline"):
     """Build the jittable batched verifier.
 
     (text_words uint32 [nw], n_text, peq uint32 [..., 1|C, 4, W] — built
@@ -115,13 +115,21 @@ def make_myers_verify_fn(L: int, edits: int):
           [lo, hi], L+1 where none found,
           start uint32 [..., C] — leftmost start achieving it).
 
-    One lax.scan of TL = L + 3*edits steps; every candidate processes its
-    own window characters extracted in-register from the packed text."""
+    One lax.scan of TL = L + 3*edits steps. chars picks where the window
+    characters are unpacked from the gathered words:
+      "inline" (default) — in-register inside each step (WG one-hot
+        selects per step, zero extra memory);
+      "pre" — one vectorized unpack before the scan into a uint8
+        [TL, ...] xs array the scan slices (shorter step critical path,
+        TL bytes/candidate of extra HBM traffic). Bit-identical; the
+        better choice is a TPU measurement (probe69)."""
     E = edits
     TL = L + 3 * E
     W = -(-L // 32)
     WG = TL // 16 + 2  # words covering any 16-alignment of the window
     msw, msb = (L - 1) // 32, _U32((L - 1) % 32)
+    if chars not in ("inline", "pre"):
+        raise ValueError(f"chars must be 'inline' or 'pre', got {chars!r}")
 
     def fn(text_words, n_text, peq, lo, hi, valid):
         ws = lo
@@ -135,6 +143,22 @@ def make_myers_verify_fn(L: int, edits: int):
 
         shape = ws.shape
         zeros = jnp.zeros(shape, _U32)
+
+        cpre = None
+        if chars == "pre":
+            jj = jnp.arange(TL, dtype=_U32)          # offset within window
+            rel = woff[..., None] + jj               # [..., TL]
+            wsel = (rel // _U32(16)).astype(jnp.int32)
+            sh = _U32(2) * (_U32(15) - rel % _U32(16))
+            w32 = jnp.zeros(shape + (TL,), _U32)
+            for w in range(WG):
+                w32 = jnp.where(wsel == w, words[..., w, None], w32)
+            c = (w32 >> sh) & _U32(3)
+            inb = (ws[..., None] + jj) < n_text
+            c = jnp.where(inb, c, _U32(4)).astype(jnp.uint8)
+            # scan consumes steps t = 0.. with j = TL-1-t: reverse so
+            # xs[t] is the char for that step
+            cpre = jnp.moveaxis(c[..., ::-1], -1, 0)  # [TL, ...]
 
         vp0 = []
         for w in range(W):
@@ -151,18 +175,25 @@ def make_myers_verify_fn(L: int, edits: int):
             jnp.full(shape, _SENTINEL, _U32),       # best start
         )
 
-        def step(carry, t):
+        def step(carry, xt):
             vp, vn, score, best, bstart = carry
-            j = _U32(TL - 1) - t                     # window char this step
+            if chars == "pre":
+                t, cu8 = xt
+                c = cu8.astype(_U32)                 # 4 = out of bounds
+                inb = True
+            else:
+                t = xt
+                j0 = _U32(TL - 1) - t                # window char this step
+                rel = woff + j0
+                wsel = (rel // _U32(16)).astype(jnp.int32)
+                sh = _U32(2) * (_U32(15) - rel % _U32(16))
+                w32 = zeros
+                for w in range(WG):
+                    w32 = jnp.where(wsel == w, words[..., w], w32)
+                c = (w32 >> sh) & _U32(3)
+                inb = (ws + j0) < n_text
+            j = _U32(TL - 1) - t
             s = ws + j                               # candidate start
-            rel = woff + j
-            wsel = (rel // _U32(16)).astype(jnp.int32)
-            sh = _U32(2) * (_U32(15) - rel % _U32(16))
-            w32 = zeros
-            for w in range(WG):
-                w32 = jnp.where(wsel == w, words[..., w], w32)
-            c = (w32 >> sh) & _U32(3)
-            inb = s < n_text
             eq = []
             for w in range(W):
                 e = zeros
@@ -189,9 +220,9 @@ def make_myers_verify_fn(L: int, edits: int):
             bstart = jnp.where(upd, s, bstart)
             return (vp, vn, score, best, bstart), None
 
-        (_, _, _, best, bstart), _ = jax.lax.scan(
-            step, init, jnp.arange(TL, dtype=_U32)
-        )
+        ts = jnp.arange(TL, dtype=_U32)
+        xs = (ts, cpre) if chars == "pre" else ts
+        (_, _, _, best, bstart), _ = jax.lax.scan(step, init, xs)
         return best, bstart
 
     return fn
@@ -206,6 +237,7 @@ def make_edit_extend_fn(
     edits: int,
     seed_hits: int,
     max_hits: int,
+    chars: str = "inline",
 ):
     """Build the jittable seed/locate/Myers-verify pass:
 
@@ -217,6 +249,8 @@ def make_edit_extend_fn(
                                        the site list is a lower bound."""
     E = edits
     S = E + 1
+    if chars not in ("inline", "pre"):
+        raise ValueError(f"chars must be 'inline' or 'pre', got {chars!r}")
     locate = make_locate_fn(loc_d, sample_rate)
     mh = max_hits
 
@@ -227,7 +261,7 @@ def make_edit_extend_fn(
             k=k, d=d, lut_m=lut_m, S=S, seed_hits=seed_hits, locate=locate,
             what=f"{E} edits",
         )
-        verify = make_myers_verify_fn(L, E)
+        verify = make_myers_verify_fn(L, E, chars)
 
         # anchor a = seed position - seed offset; the true start lies in
         # [a-E, a+E]. All in uint32 via b = a + E (>= 0 whenever valid):
@@ -309,6 +343,7 @@ class EditExtendEngine:
         max_hits: int = 4,
         lut_m: int = 0,
         device=None,
+        chars: str = "inline",
     ):
         from tpufm.engine.xla import XLAEngine, build_locate_tables
 
@@ -330,7 +365,7 @@ class EditExtendEngine:
         self._fn = jax.jit(
             make_edit_extend_fn(
                 self.config.k, self.config.d, lut_m, loc_d, sr,
-                edits, seed_hits, max_hits,
+                edits, seed_hits, max_hits, chars,
             )
         )
 
