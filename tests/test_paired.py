@@ -51,9 +51,10 @@ def _plant_pairs(rng, codes, L1, L2, imin, imax, B):
     return r1, r2, want
 
 
-@pytest.mark.parametrize("L1,L2", [(20, 20), (24, 16)])
-def test_paired_recovers_planted_fragments(rng, L1, L2):
-    codes, index, loc = _setup(rng)
+@pytest.mark.parametrize("L1,L2,k", [(20, 20, 2), (24, 16, 2), (20, 20, 3)])
+def test_paired_recovers_planted_fragments(rng, L1, L2, k):
+    # k=3 with L=20: both mates need the any-length tail rounds (L % k != 0)
+    codes, index, loc = _setup(rng, k=k)
     imin, imax = 60, 200
     eng = PairedEndEngine(index, loc, imin, imax, max_hits=8, max_pairs=4)
     r1, r2, want = _plant_pairs(rng, codes, L1, L2, imin, imax, 24)
