@@ -405,6 +405,19 @@ def test_cli_bench_seed():
     assert rec["detail"]["recovered"] == 256
 
 
+def test_cli_bench_paired():
+    """tpufm bench --paired: truth-verified pairing record."""
+    from tpufm.bench import run_bench_paired
+
+    rec = run_bench_paired(
+        refsize=30000, k=2, d=64, sample_rate=8, num_pairs=64,
+        query_len=20, insert_min=60, insert_max=200, iterations=1,
+    )
+    assert rec["unit"] == "pairs/s"
+    assert rec["detail"]["truth_pairs_recovered"] == 64
+    assert rec["detail"]["bit_exact_vs_oracle"]
+
+
 def test_cli_bench_edit():
     """tpufm bench --edits 1: DP-oracle-verified indel alignment record."""
     from tpufm.bench import run_bench_edit

@@ -781,6 +781,106 @@ def run_bench_edit(
     }
 
 
+def run_bench_paired(
+    refsize: int = 10_000_000,
+    k: int = 3,
+    d: int = 128,
+    sample_rate: int = 32,
+    num_pairs: int = 1 << 17,
+    query_len: int = 120,
+    insert_min: int = 250,
+    insert_max: int = 450,
+    iterations: int = 3,
+    seed: int = 0,
+    lut_m: int = 0,
+    max_hits: int = 4,
+    max_pairs: int = 4,
+) -> dict:
+    """Paired-end FR placement record (PairedEndEngine.pair): generated
+    pairs with known truth (generate_read_pairs) timed through the
+    4B-read fused batch + on-device insert join. Verified: every truth
+    (left, right, strand) triple recovered, and a uniform sample checked
+    against the exhaustive cross-join oracle."""
+    _enable_compile_cache()
+
+    from tpufm.config import IndexConfig
+    from tpufm.engine.paired import PairedEndEngine, pair_oracle
+    from tpufm.index.builder import build_index
+    from tpufm.index.locate import build_locate
+    from tpufm.index.suffix_array import suffix_array
+    from tpufm.io.genreads import generate_read_pairs
+
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=refsize, dtype=np.uint8)
+    t0 = time.perf_counter()
+    sa = suffix_array(codes)
+    index = build_index(codes, IndexConfig(k=k, d=d), sa=sa)
+    loc = build_locate(codes, sample_rate=sample_rate, d=d, sa=sa)
+    build_s = time.perf_counter() - t0
+
+    r1, r2, (ls, rs, minus) = generate_read_pairs(
+        codes, query_len, num_pairs, insert_min, insert_max,
+        seed=seed + 1, return_truth=True,
+    )
+    eng = PairedEndEngine(
+        index, loc, insert_min, insert_max, max_hits=max_hits,
+        max_pairs=max_pairs, lut_m=lut_m,
+    )
+    out = eng.pair(r1, r2)  # warm / compile
+    times = []
+    for _ in range(iterations):
+        t0 = time.perf_counter()
+        out = eng.pair(r1, r2)
+        times.append(time.perf_counter() - t0)
+    mean_s = sum(times) / len(times)
+    pairs, strand, counts, overflow = out
+
+    truth_found = 0
+    for i in range(num_pairs):
+        sym = 1 if minus[i] else 0
+        truth_found += any(
+            pairs[i, j, 0] == ls[i] and pairs[i, j, 1] == rs[i]
+            and strand[i, j] == sym
+            for j in range(max_pairs)
+        )
+    n_verify = min(num_pairs, 64)  # oracle scans the text per mate
+    vidx = np.sort(
+        np.random.default_rng(seed + 2).choice(num_pairs, n_verify, replace=False)
+    )
+    want = pair_oracle(codes, r1[vidx], r2[vidx], insert_min, insert_max)
+    exact = True
+    for row, i in enumerate(vidx):
+        got = {
+            (int(pairs[i, j, 0]), int(pairs[i, j, 1]), int(strand[i, j]))
+            for j in range(max_pairs)
+            if pairs[i, j, 0] != 0xFFFFFFFF
+        }
+        exact &= int(counts[i]) == len(want[row])
+        if counts[i] <= max_pairs:
+            exact &= got == set(want[row])
+
+    pairs_s = num_pairs / mean_s
+    return {
+        "metric": f"paired-end placement pairs/s (k={k}, d={d}, "
+        f"lut={lut_m}, insert [{insert_min}, {insert_max}], "
+        f"{num_pairs} x 2 x {query_len} bp, {refsize} bases)",
+        "value": round(pairs_s),
+        "unit": "pairs/s",
+        "vs_baseline": None,  # the reference has neither locate nor pairing
+        "detail": {
+            "pairs_per_s": round(pairs_s),
+            "mate_reads_per_s": round(pairs_s * 4),  # 4 strands x mates
+            "seconds_per_pass": mean_s,
+            "build_seconds": round(build_s, 1),
+            "truth_pairs_recovered": truth_found,
+            "bit_exact_vs_oracle": exact,
+            "verified_pairs": n_verify,
+            "properly_paired": int((counts > 0).sum()),
+            "overflow_pairs": int(overflow.sum()),
+        },
+    }
+
+
 def run_bench_multichip(
     refsize: int = 10_000_000,
     k: int = 3,

@@ -391,6 +391,25 @@ def cmd_bench(args):
     if args.edits and args.mismatches:
         sys.exit("--edits (indel-aware) and --mismatches (substitutions "
                  "only) are different distance models; pass one")
+    if getattr(args, "paired_bench", False):
+        from tpufm.bench import run_bench_paired
+
+        record = run_bench_paired(
+            refsize=args.refsize,
+            k=args.k,
+            d=args.d,
+            sample_rate=args.sample_rate,
+            num_pairs=args.numqueries,
+            query_len=args.length,
+            insert_min=args.insert_min,
+            insert_max=args.insert_max,
+            iterations=args.iterations,
+            seed=args.seed,
+            lut_m=args.lut,
+            max_hits=args.max_hits,
+        )
+        print(json.dumps(record))
+        return
     if args.edits:
         from tpufm.bench import run_bench_edit
 
@@ -1022,6 +1041,11 @@ def main(argv=None):
                          "verified")
     be.add_argument("--seed-hits", type=int, default=32,
                     help="mismatches>=2 / edits: per-seed interval cap")
+    be.add_argument("--paired", dest="paired_bench", action="store_true",
+                    help="benchmark paired-end FR placement "
+                         "(pairs/s, truth-verified; --numqueries = pairs)")
+    be.add_argument("--insert-min", type=int, default=250)
+    be.add_argument("--insert-max", type=int, default=450)
     be.add_argument("--multichip", action="store_true",
                     help="data-parallel over all local devices")
     be.add_argument("--sharded", action="store_true",
