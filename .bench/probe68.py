@@ -62,16 +62,20 @@ def main():
         for i in range(B):
             for p in rng.choice(L, size=m, replace=False):
                 reads[i, p] = (reads[i, p] + rng.integers(1, 4)) & 3
-        eng = SeedExtendEngine(
-            index, loc, codes, mismatches=m, seed_hits=32, max_hits=4,
-            lut_m=12,
-        )
-        pos, cnt, ovf = eng.locate_approx(reads)  # warm
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            pos, cnt, ovf = eng.locate_approx(reads)
-            ts.append(time.perf_counter() - t0)
+        # A/B: compacted sampled-SA walk (default) vs full-width control
+        for budget, tag in ((None, "compact"), (10**9, "full")):
+            eng = SeedExtendEngine(
+                index, loc, codes, mismatches=m, seed_hits=32, max_hits=4,
+                lut_m=12, walk_budget=budget,
+            )
+            pos, cnt, ovf = eng.locate_approx(reads)  # warm
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                pos, cnt, ovf = eng.locate_approx(reads)
+                ts.append(time.perf_counter() - t0)
+            log({"exp": "probe68_seed_walk", "m": m, "walk": tag,
+                 "reads": B, "reads_per_s": round(B / min(ts))})
         dt = min(ts)
         if wins is None:
             wins = np.lib.stride_tricks.sliding_window_view(codes, L)
@@ -87,9 +91,8 @@ def main():
             else:
                 exact &= int(cnt[i]) == want.size
                 exact &= bool((got == want[: got.size]).all())
-        log({"exp": "probe68_seed", "m": m, "reads": B, "L": L,
-             "reads_per_s": round(B / dt),
-             "seed_lanes_per_s": round(B * (m + 1) / dt),
+        log({"exp": "probe68_seed_verify", "m": m, "reads": B, "L": L,
+             "full_walk_reads_per_s": round(B / dt),
              "recovered": int((cnt > 0).sum()),
              "overflow_reads": int(ovf.sum()),
              "bit_exact_sample": exact})

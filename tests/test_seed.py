@@ -166,6 +166,43 @@ def test_seed_extend_data_parallel(rng):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("budget", [1, 512, None, 10**9])
+def test_seed_walk_budget_paths_identical(rng, budget):
+    """The compacted sampled-SA walk and its full-width lax.cond fallback
+    are bit-identical: budget=1 forces the fallback (valid lanes > 1),
+    budget=512 the compact path (valid lanes fit, 512 < N lanes), None
+    the auto default, 1e9 the no-compaction path."""
+    codes, index, loc = _setup(rng, n=2500, k=2)
+    qs = _reads_with_planted(rng, codes, 30, 2, n_sampled=20, n_random=8)
+    ref = SeedExtendEngine(
+        index, loc, codes, mismatches=2, seed_hits=64, max_hits=8,
+        walk_budget=10**9,
+    ).locate_approx(qs)
+    got = SeedExtendEngine(
+        index, loc, codes, mismatches=2, seed_hits=64, max_hits=8,
+        walk_budget=budget,
+    ).locate_approx(qs)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_edit_walk_budget_paths_identical(rng):
+    from tpufm.engine.edit import EditExtendEngine
+
+    codes, index, loc = _setup(rng, n=2500, k=2)
+    qs = _reads_with_planted(rng, codes, 30, 2, n_sampled=12, n_random=4)
+    outs = [
+        EditExtendEngine(
+            index, loc, codes, edits=2, seed_hits=64, max_hits=8,
+            walk_budget=b,
+        ).locate_edits(qs)
+        for b in (1, 512, 10**9)
+    ]
+    for got in outs[1:]:
+        for a, b in zip(got, outs[0]):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_seed_extend_mesh_batch_smaller_than_mesh(rng):
     """B < n_devices: the mesh pre-pad must cycle (a plain queries[:pad]
     slice under-fills and crashes put_global)."""

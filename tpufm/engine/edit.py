@@ -238,6 +238,7 @@ def make_edit_extend_fn(
     seed_hits: int,
     max_hits: int,
     chars: str = "inline",
+    walk_budget: int | None = None,
 ):
     """Build the jittable seed/locate/Myers-verify pass:
 
@@ -259,7 +260,7 @@ def make_edit_extend_fn(
         pos, seedok, overflow, offs = seed_positions(
             tables, loc_tables, bwtsize, queries,
             k=k, d=d, lut_m=lut_m, S=S, seed_hits=seed_hits, locate=locate,
-            what=f"{E} edits",
+            what=f"{E} edits", walk_budget=walk_budget,
         )
         verify = make_myers_verify_fn(L, E, chars)
 
@@ -344,6 +345,7 @@ class EditExtendEngine:
         lut_m: int = 0,
         device=None,
         chars: str = "inline",
+        walk_budget: int | None = None,
     ):
         from tpufm.engine.xla import XLAEngine, build_locate_tables
 
@@ -365,7 +367,7 @@ class EditExtendEngine:
         self._fn = jax.jit(
             make_edit_extend_fn(
                 self.config.k, self.config.d, lut_m, loc_d, sr,
-                edits, seed_hits, max_hits, chars,
+                edits, seed_hits, max_hits, chars, walk_budget,
             )
         )
 

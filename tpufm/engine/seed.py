@@ -120,11 +120,23 @@ def hamming_to_text(text_words, pos, qwords, L: int):
 def seed_positions(
     tables, loc_tables, bwtsize, queries, *,
     k: int, d: int, lut_m: int, S: int, seed_hits: int, locate, what: str,
+    walk_budget: int | None = None,
 ):
     """Shared SEED + LOCATE front end (trace-time helper for the Hamming
     and edit engines): slice S disjoint fixed-offset seeds per read, run
     them through the ordinary k-step scan, expand each interval to its
     first seed_hits BWT rows, and walk those through the sampled SA.
+
+    The walk is the cost center: every lane pays ~sample_rate/2 LF(1)
+    gathers whether or not it is inside its seed's interval, and on real
+    read sets most of the [B, S, seed_hits] lanes are padding (unique
+    seeds have width ~1). So the valid lanes are COMPACTED into a
+    `walk_budget`-lane array first (cumsum slot + scatter), walked, and
+    scattered back — and when a wave's valid lanes exceed the budget, a
+    lax.cond falls back to the bit-exact full-width walk (the same
+    fast-path/fallback shape as the a2a sharded routing). Results are
+    identical on either branch; only throughput differs. walk_budget
+    defaults to 1/8 of the full lane count (min 4096).
 
     Returns (pos uint32 [B, S, seed_hits] seed text positions,
     seedok bool [B, S, seed_hits] lanes inside their interval,
@@ -153,7 +165,34 @@ def seed_positions(
     cols = jnp.arange(seed_hits, dtype=_U32)[None, None, :]
     seedok = cols < w[..., None]  # [B, S, seed_hits]
     rows = jnp.where(seedok, lo[..., None] + cols, _U32(0))
-    pos = locate(loc_tables, rows.reshape(-1)).reshape(B, S, seed_hits)
+
+    N = B * S * seed_hits
+    R = walk_budget if walk_budget is not None else max(4096, N // 8)
+    flat_rows = rows.reshape(-1)
+    if R >= N:
+        pos_flat = locate(loc_tables, flat_rows)
+    else:
+        vflat = seedok.reshape(-1)
+        slot = jnp.cumsum(vflat.astype(jnp.int32)) - 1  # [N]
+        total = jnp.sum(vflat, dtype=jnp.int32)
+
+        def compact_walk(_):
+            tgt = jnp.where(vflat, jnp.minimum(slot, R), R)
+            comp = jnp.zeros(R + 1, _U32).at[tgt].set(
+                jnp.where(vflat, flat_rows, _U32(0))
+            )
+            cpos = jnp.concatenate(
+                [locate(loc_tables, comp[:R]), jnp.zeros(1, _U32)]
+            )
+            return jnp.where(
+                vflat, cpos[jnp.minimum(slot, R)], _U32(0)
+            )
+
+        def full_walk(_):
+            return locate(loc_tables, flat_rows)
+
+        pos_flat = jax.lax.cond(total <= R, compact_walk, full_walk, None)
+    pos = pos_flat.reshape(B, S, seed_hits)
     return pos, seedok, overflow, offs
 
 
@@ -202,6 +241,7 @@ def make_seed_extend_fn(
     mismatches: int,
     seed_hits: int,
     max_hits: int,
+    walk_budget: int | None = None,
 ):
     """Build the jittable seed-and-extend pass:
 
@@ -224,7 +264,7 @@ def make_seed_extend_fn(
         pos, seedok, overflow, offs = seed_positions(
             tables, loc_tables, bwtsize, queries,
             k=k, d=d, lut_m=lut_m, S=S, seed_hits=seed_hits, locate=locate,
-            what=f"{m} mismatches",
+            what=f"{m} mismatches", walk_budget=walk_budget,
         )
 
         # candidate start = seed text position - seed offset, if in range
@@ -293,6 +333,7 @@ class SeedExtendEngine:
         max_hits: int = 4,
         lut_m: int = 0,
         device=None,
+        walk_budget: int | None = None,
     ):
         from tpufm.engine.xla import XLAEngine, build_locate_tables
 
@@ -314,7 +355,7 @@ class SeedExtendEngine:
         self._fn = jax.jit(
             make_seed_extend_fn(
                 self.config.k, self.config.d, lut_m, loc_d, sr,
-                mismatches, seed_hits, max_hits,
+                mismatches, seed_hits, max_hits, walk_budget,
             )
         )
 
