@@ -166,33 +166,9 @@ def seed_positions(
     seedok = cols < w[..., None]  # [B, S, seed_hits]
     rows = jnp.where(seedok, lo[..., None] + cols, _U32(0))
 
-    N = B * S * seed_hits
-    R = walk_budget if walk_budget is not None else max(4096, N // 8)
-    flat_rows = rows.reshape(-1)
-    if R >= N:
-        pos_flat = locate(loc_tables, flat_rows)
-    else:
-        vflat = seedok.reshape(-1)
-        slot = jnp.cumsum(vflat.astype(jnp.int32)) - 1  # [N]
-        total = jnp.sum(vflat, dtype=jnp.int32)
+    from tpufm.engine.xla import locate_compacted
 
-        def compact_walk(_):
-            tgt = jnp.where(vflat, jnp.minimum(slot, R), R)
-            comp = jnp.zeros(R + 1, _U32).at[tgt].set(
-                jnp.where(vflat, flat_rows, _U32(0))
-            )
-            cpos = jnp.concatenate(
-                [locate(loc_tables, comp[:R]), jnp.zeros(1, _U32)]
-            )
-            return jnp.where(
-                vflat, cpos[jnp.minimum(slot, R)], _U32(0)
-            )
-
-        def full_walk(_):
-            return locate(loc_tables, flat_rows)
-
-        pos_flat = jax.lax.cond(total <= R, compact_walk, full_walk, None)
-    pos = pos_flat.reshape(B, S, seed_hits)
+    pos = locate_compacted(locate, loc_tables, rows, seedok, walk_budget)
     return pos, seedok, overflow, offs
 
 

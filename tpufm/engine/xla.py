@@ -950,12 +950,63 @@ class LocateEngine:
 
     def locate_hits(self, intervals, max_hits: int) -> np.ndarray:
         """uint32 [B, 2] search intervals -> uint32 [B, max_hits] text
-        positions, padded with 0xFFFFFFFF past each interval's count."""
+        positions, padded with 0xFFFFFFFF past each interval's count.
+        Only the lanes inside their interval walk (host-side compaction —
+        typical reads fill 1-2 of max_hits lanes)."""
         from tpufm.index.locate import expand_intervals
 
         rows, valid = expand_intervals(intervals, max_hits)
-        pos = self.locate_rows(rows.reshape(-1)).reshape(rows.shape)
+        pos = np.zeros(rows.shape, np.uint32)
+        nv = int(valid.sum())
+        if nv:
+            # pad the compacted rows to a 16K quantum so the dispatch
+            # shapes stay a small fixed set (row 0 walks are discarded)
+            vrows = rows[valid]
+            padn = -nv % (1 << 14)
+            if padn:
+                vrows = np.concatenate([vrows, np.zeros(padn, np.uint32)])
+            pos[valid] = self.locate_rows(vrows)[:nv]
         return np.where(valid, pos, np.uint32(0xFFFFFFFF))
+
+
+def locate_compacted(locate, loc_tables, rows, valid, walk_budget=None):
+    """Sampled-SA walk over only the `valid` lanes of `rows` (any shape).
+
+    Every walk lane costs ~sample_rate/2 LF(1) gathers whether or not it
+    is real, and position consumers routinely carry mostly-padding lane
+    grids (interval width < max_hits, seed caps). The valid lanes are
+    compacted into a walk_budget-lane array (cumsum slot + scatter),
+    walked, and scattered back; a lax.cond falls back to the bit-exact
+    full-width walk when the wave's valid lanes exceed the budget (the
+    a2a fast-path/fallback shape — results identical on either branch).
+    walk_budget defaults to 1/8 of the lane count (min 4096); pass a
+    value >= the lane count to disable compaction. Returns positions in
+    rows' shape, 0 where invalid (callers mask)."""
+    shape = rows.shape
+    flat_rows = rows.reshape(-1)
+    vflat = valid.reshape(-1)
+    N = flat_rows.shape[0]
+    R = walk_budget if walk_budget is not None else max(4096, N // 8)
+    if R >= N:
+        return locate(loc_tables, flat_rows).reshape(shape)
+    slot = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+    total = jnp.sum(vflat, dtype=jnp.int32)
+
+    def compact_walk(_):
+        tgt = jnp.where(vflat, jnp.minimum(slot, R), R)
+        comp = jnp.zeros(R + 1, _U32).at[tgt].set(
+            jnp.where(vflat, flat_rows, _U32(0))
+        )
+        cpos = jnp.concatenate(
+            [locate(loc_tables, comp[:R]), jnp.zeros(1, _U32)]
+        )
+        return jnp.where(vflat, cpos[jnp.minimum(slot, R)], _U32(0))
+
+    def full_walk(_):
+        return locate(loc_tables, flat_rows)
+
+    pos = jax.lax.cond(total <= R, compact_walk, full_walk, None)
+    return pos.reshape(shape)
 
 
 def make_search_locate_fn(
@@ -990,7 +1041,7 @@ def make_search_locate_fn(
         cols = jnp.arange(mh, dtype=_U32)[None, :]
         valid = cols < width[:, None]
         rows = jnp.where(valid, lo[:, None] + cols, _U32(0))
-        pos = locate(loc_tables, rows.reshape(-1)).reshape(rows.shape)
+        pos = locate_compacted(locate, loc_tables, rows, valid)
         return iv, jnp.where(valid, pos, _U32(0xFFFFFFFF))
 
     return fused
@@ -1041,8 +1092,8 @@ def make_mismatch_locate_fn(
             jnp.arange(W, dtype=jnp.int32)[:, None], slot
         ].set(rows)
         nkept = jnp.minimum(jnp.sum(validf, axis=1), mh)
-        pos = locate(loc_tables, crows[:, :mh].reshape(-1)).reshape(W, mh)
         keep = jnp.arange(mh, dtype=jnp.int32)[None, :] < nkept[:, None]
+        pos = locate_compacted(locate, loc_tables, crows[:, :mh], keep)
         return jnp.where(keep, pos, _U32(0xFFFFFFFF))
 
     return fn

@@ -79,11 +79,22 @@ class DataParallelLocate:
 
     def locate_hits(self, intervals, max_hits: int) -> np.ndarray:
         """uint32 [B, 2] search intervals -> uint32 [B, max_hits] text
-        positions, padded with 0xFFFFFFFF past each interval's count."""
+        positions, padded with 0xFFFFFFFF past each interval's count.
+        Only the lanes inside their interval walk (host-side compaction —
+        typical reads fill 1-2 of max_hits lanes)."""
         from tpufm.index.locate import expand_intervals
 
         rows, valid = expand_intervals(intervals, max_hits)
-        pos = self.locate_rows(rows.reshape(-1)).reshape(rows.shape)
+        pos = np.zeros(rows.shape, np.uint32)
+        nv = int(valid.sum())
+        if nv:
+            # pad the compacted rows to a 16K quantum so the dispatch
+            # shapes stay a small fixed set (row 0 walks are discarded)
+            vrows = rows[valid]
+            padn = -nv % (1 << 14)
+            if padn:
+                vrows = np.concatenate([vrows, np.zeros(padn, np.uint32)])
+            pos[valid] = self.locate_rows(vrows)[:nv]
         return np.where(valid, pos, np.uint32(0xFFFFFFFF))
 
 
