@@ -855,9 +855,13 @@ def run_bench_paired(
             for j in range(max_pairs)
             if pairs[i, j, 0] != 0xFFFFFFFF
         }
-        exact &= int(counts[i]) == len(want[row])
-        if counts[i] <= max_pairs:
-            exact &= got == set(want[row])
+        if overflow[i]:
+            # lower-bound contract: every reported pair must be real
+            exact &= got <= set(want[row])
+        else:
+            exact &= int(counts[i]) == len(want[row])
+            if counts[i] <= max_pairs:
+                exact &= got == set(want[row])
 
     pairs_s = num_pairs / mean_s
     return {
@@ -869,7 +873,8 @@ def run_bench_paired(
         "vs_baseline": None,  # the reference has neither locate nor pairing
         "detail": {
             "pairs_per_s": round(pairs_s),
-            "mate_reads_per_s": round(pairs_s * 4),  # 4 strands x mates
+            "mate_reads_per_s": round(pairs_s * 2),
+            "strand_lanes_per_s": round(pairs_s * 4),  # engine batch lanes
             "seconds_per_pass": mean_s,
             "build_seconds": round(build_s, 1),
             "truth_pairs_recovered": truth_found,

@@ -392,6 +392,10 @@ def cmd_bench(args):
         sys.exit("--edits (indel-aware) and --mismatches (substitutions "
                  "only) are different distance models; pass one")
     if getattr(args, "paired_bench", False):
+        if (args.edits or args.mismatches or args.locate or args.sharded
+                or args.multichip):
+            sys.exit("--paired is its own bench mode; drop "
+                     "--edits/--mismatches/--locate/--sharded/--multichip")
         from tpufm.bench import run_bench_paired
 
         record = run_bench_paired(

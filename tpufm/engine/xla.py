@@ -953,20 +953,9 @@ class LocateEngine:
         positions, padded with 0xFFFFFFFF past each interval's count.
         Only the lanes inside their interval walk (host-side compaction —
         typical reads fill 1-2 of max_hits lanes)."""
-        from tpufm.index.locate import expand_intervals
+        from tpufm.index.locate import locate_hits_compacted
 
-        rows, valid = expand_intervals(intervals, max_hits)
-        pos = np.zeros(rows.shape, np.uint32)
-        nv = int(valid.sum())
-        if nv:
-            # pad the compacted rows to a 16K quantum so the dispatch
-            # shapes stay a small fixed set (row 0 walks are discarded)
-            vrows = rows[valid]
-            padn = -nv % (1 << 14)
-            if padn:
-                vrows = np.concatenate([vrows, np.zeros(padn, np.uint32)])
-            pos[valid] = self.locate_rows(vrows)[:nv]
-        return np.where(valid, pos, np.uint32(0xFFFFFFFF))
+        return locate_hits_compacted(self.locate_rows, intervals, max_hits)
 
 
 def locate_compacted(locate, loc_tables, rows, valid, walk_budget=None):
@@ -979,15 +968,20 @@ def locate_compacted(locate, loc_tables, rows, valid, walk_budget=None):
     walked, and scattered back; a lax.cond falls back to the bit-exact
     full-width walk when the wave's valid lanes exceed the budget (the
     a2a fast-path/fallback shape — results identical on either branch).
-    walk_budget defaults to 1/8 of the lane count (min 4096); pass a
-    value >= the lane count to disable compaction. Returns positions in
-    rows' shape, 0 where invalid (callers mask)."""
+    walk_budget defaults to 1/8 of the lane count (min 4096); 0 (or any
+    value >= the lane count) disables compaction. GSPMD-SHARDED programs
+    must pass 0: the cumsum/scatter runs over the GLOBAL flattened lane
+    axis, so under a batch-sharded jit XLA would have to insert
+    collectives and replicate the compacted walk, breaking the
+    shard-local walk design — the mesh engines therefore keep the
+    full-width per-shard walk and compact on the host instead. Returns
+    positions in rows' shape, 0 where invalid (callers mask)."""
     shape = rows.shape
     flat_rows = rows.reshape(-1)
     vflat = valid.reshape(-1)
     N = flat_rows.shape[0]
     R = walk_budget if walk_budget is not None else max(4096, N // 8)
-    if R >= N:
+    if R <= 0 or R >= N:
         return locate(loc_tables, flat_rows).reshape(shape)
     slot = jnp.cumsum(vflat.astype(jnp.int32)) - 1
     total = jnp.sum(vflat, dtype=jnp.int32)
@@ -1010,7 +1004,8 @@ def locate_compacted(locate, loc_tables, rows, valid, walk_budget=None):
 
 
 def make_search_locate_fn(
-    k: int, d: int, lut_m: int, loc_d: int, sample_rate: int, max_hits: int
+    k: int, d: int, lut_m: int, loc_d: int, sample_rate: int, max_hits: int,
+    walk_budget: int | None = None,
 ):
     """Jittable fused search+locate: (search_tables, locate_tables, bwtsize,
     queries [B, L]) -> (intervals [B, 2], positions [B, max_hits], padded
@@ -1041,14 +1036,15 @@ def make_search_locate_fn(
         cols = jnp.arange(mh, dtype=_U32)[None, :]
         valid = cols < width[:, None]
         rows = jnp.where(valid, lo[:, None] + cols, _U32(0))
-        pos = locate_compacted(locate, loc_tables, rows, valid)
+        pos = locate_compacted(locate, loc_tables, rows, valid, walk_budget)
         return iv, jnp.where(valid, pos, _U32(0xFFFFFFFF))
 
     return fused
 
 
 def make_mismatch_locate_fn(
-    k: int, d: int, lut_m: int, loc_d: int, sample_rate: int, max_hits: int
+    k: int, d: int, lut_m: int, loc_d: int, sample_rate: int, max_hits: int,
+    walk_budget: int | None = None,
 ):
     """Jittable Hamming<=1 locate: (search_tables, locate_tables, bwtsize,
     queries [W, L]) -> positions uint32 [W, max_hits] (0xFFFFFFFF padded).
@@ -1093,7 +1089,7 @@ def make_mismatch_locate_fn(
         ].set(rows)
         nkept = jnp.minimum(jnp.sum(validf, axis=1), mh)
         keep = jnp.arange(mh, dtype=jnp.int32)[None, :] < nkept[:, None]
-        pos = locate_compacted(locate, loc_tables, crows[:, :mh], keep)
+        pos = locate_compacted(locate, loc_tables, crows[:, :mh], keep, walk_budget)
         return jnp.where(keep, pos, _U32(0xFFFFFFFF))
 
     return fn

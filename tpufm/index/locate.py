@@ -157,6 +157,24 @@ def expand_intervals(intervals: np.ndarray, max_hits: int):
     return rows, valid
 
 
+def locate_hits_compacted(locate_rows, intervals, max_hits: int) -> np.ndarray:
+    """Host-side compacted interval resolution shared by the single-chip
+    and mesh engines: expand intervals, walk ONLY the lanes inside their
+    interval through `locate_rows` (uint32 [N] -> uint32 [N]), padded to a
+    16K quantum so dispatch shapes stay a small fixed set, and scatter the
+    positions back 0xFFFFFFFF-padded."""
+    rows, valid = expand_intervals(intervals, max_hits)
+    pos = np.zeros(rows.shape, np.uint32)
+    nv = int(valid.sum())
+    if nv:
+        vrows = rows[valid]
+        padn = -nv % (1 << 14)
+        if padn:
+            vrows = np.concatenate([vrows, np.zeros(padn, np.uint32)])
+        pos[valid] = locate_rows(vrows)[:nv]
+    return np.where(valid, pos, np.uint32(0xFFFFFFFF))
+
+
 def locate_hits(
     loc: LocateIndex, intervals: np.ndarray, max_hits: int
 ) -> np.ndarray:

@@ -82,20 +82,9 @@ class DataParallelLocate:
         positions, padded with 0xFFFFFFFF past each interval's count.
         Only the lanes inside their interval walk (host-side compaction —
         typical reads fill 1-2 of max_hits lanes)."""
-        from tpufm.index.locate import expand_intervals
+        from tpufm.index.locate import locate_hits_compacted
 
-        rows, valid = expand_intervals(intervals, max_hits)
-        pos = np.zeros(rows.shape, np.uint32)
-        nv = int(valid.sum())
-        if nv:
-            # pad the compacted rows to a 16K quantum so the dispatch
-            # shapes stay a small fixed set (row 0 walks are discarded)
-            vrows = rows[valid]
-            padn = -nv % (1 << 14)
-            if padn:
-                vrows = np.concatenate([vrows, np.zeros(padn, np.uint32)])
-            pos[valid] = self.locate_rows(vrows)[:nv]
-        return np.where(valid, pos, np.uint32(0xFFFFFFFF))
+        return locate_hits_compacted(self.locate_rows, intervals, max_hits)
 
 
 class DataParallelSearchLocate:
@@ -145,10 +134,13 @@ class DataParallelSearchLocate:
         self.loc_tables, loc_d, sample_rate = build_locate_tables(loc, put)
         self._loc_d, self._sample_rate = loc_d, sample_rate
         self.batch_sharding = NamedSharding(mesh, P(self.axis, None))
+        # walk_budget=0: in-jit walk compaction is shard-hostile under
+        # GSPMD (global cumsum/scatter); the mesh keeps the shard-local
+        # full-width walk (engine/xla.py locate_compacted docstring).
         self._fused = jax.jit(
             make_search_locate_fn(
                 index.config.k, index.config.d, lut_m, loc_d, sample_rate,
-                max_hits,
+                max_hits, walk_budget=0,
             ),
             out_shardings=(repl, repl),
         )
@@ -276,6 +268,7 @@ class DataParallelSearchLocate:
             lambda: make_seed_extend_fn(
                 self.config.k, self.config.d, self._lut_m, self._loc_d,
                 self._sample_rate, mismatches, seed_hits, self.max_hits,
+                walk_budget=0,  # shard-hostile in-jit compaction off
             ),
             wave,
         )
@@ -295,6 +288,7 @@ class DataParallelSearchLocate:
             lambda: make_edit_extend_fn(
                 self.config.k, self.config.d, self._lut_m, self._loc_d,
                 self._sample_rate, edits, seed_hits, self.max_hits,
+                walk_budget=0,  # shard-hostile in-jit compaction off
             ),
             wave,
         )
@@ -318,7 +312,7 @@ class DataParallelSearchLocate:
             self._mm = jax.jit(
                 make_mismatch_locate_fn(
                     self.config.k, self.config.d, self._lut_m, self._loc_d,
-                    self._sample_rate, self.max_hits,
+                    self._sample_rate, self.max_hits, walk_budget=0,
                 ),
                 out_shardings=NamedSharding(self.mesh, P()),
             )
