@@ -22,7 +22,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpufm.engine.xla import build_locate_tables, make_locate_fn
-from tpufm.parallel.search import put_global
+from tpufm.parallel.search import _shard_map, put_global
+
+
+def _smap(fn, **kw):
+    """shard_map with varying-axis checking off: the engine fns mix
+    replicated inputs (tables, bwtsize) into per-shard carries, which the
+    VMA checker rejects even though the computation is shard-local (same
+    pattern as index/builder_sharded.py)."""
+    try:
+        return _shard_map()(fn, check_vma=False, **kw)
+    except TypeError:  # older JAX: the flag was named check_rep
+        return _shard_map()(fn, check_rep=False, **kw)
 
 
 class DataParallelLocate:
@@ -134,13 +145,21 @@ class DataParallelSearchLocate:
         self.loc_tables, loc_d, sample_rate = build_locate_tables(loc, put)
         self._loc_d, self._sample_rate = loc_d, sample_rate
         self.batch_sharding = NamedSharding(mesh, P(self.axis, None))
-        # walk_budget=0: in-jit walk compaction is shard-hostile under
-        # GSPMD (global cumsum/scatter); the mesh keeps the shard-local
-        # full-width walk (engine/xla.py locate_compacted docstring).
+        # shard_map makes the program per-shard (MANUAL partitioning), so
+        # the walk compaction inside (engine/xla.py locate_compacted) is
+        # shard-LOCAL — each chip compacts and walks only its own reads'
+        # valid lanes; under plain GSPMD the global cumsum/scatter would
+        # instead force collectives and a replicated walk.
+        ax = self.axis
         self._fused = jax.jit(
-            make_search_locate_fn(
-                index.config.k, index.config.d, lut_m, loc_d, sample_rate,
-                max_hits, walk_budget=0,
+            _smap(
+                make_search_locate_fn(
+                    index.config.k, index.config.d, lut_m, loc_d,
+                    sample_rate, max_hits,
+                ),
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(ax, None)),
+                out_specs=(P(ax, None), P(ax, None)),
             ),
             out_shardings=(repl, repl),
         )
@@ -221,8 +240,19 @@ class DataParallelSearchLocate:
             if len(cache) >= 4:
                 cache.clear()
             words = text if text.dtype == np.uint32 else pack_text_words(text)
+            # shard_map: per-shard program, so the seed engines' walk
+            # compaction stays shard-local (see _fused)
+            ax = self.axis
             entry = cache[key] = (
-                jax.jit(factory(), out_shardings=NamedSharding(self.mesh, P())),
+                jax.jit(
+                    _smap(
+                        factory(),
+                        mesh=self.mesh,
+                        in_specs=(P(), P(), P(), P(), P(ax, None)),
+                        out_specs=(P(ax, None), P(ax), P(ax)),
+                    ),
+                    out_shardings=NamedSharding(self.mesh, P()),
+                ),
                 put_global(words, NamedSharding(self.mesh, P())),
             )
         fn, text_words = entry
@@ -268,7 +298,6 @@ class DataParallelSearchLocate:
             lambda: make_seed_extend_fn(
                 self.config.k, self.config.d, self._lut_m, self._loc_d,
                 self._sample_rate, mismatches, seed_hits, self.max_hits,
-                walk_budget=0,  # shard-hostile in-jit compaction off
             ),
             wave,
         )
@@ -288,7 +317,6 @@ class DataParallelSearchLocate:
             lambda: make_edit_extend_fn(
                 self.config.k, self.config.d, self._lut_m, self._loc_d,
                 self._sample_rate, edits, seed_hits, self.max_hits,
-                walk_budget=0,  # shard-hostile in-jit compaction off
             ),
             wave,
         )
@@ -310,9 +338,14 @@ class DataParallelSearchLocate:
             from tpufm.engine.xla import make_mismatch_locate_fn
 
             self._mm = jax.jit(
-                make_mismatch_locate_fn(
-                    self.config.k, self.config.d, self._lut_m, self._loc_d,
-                    self._sample_rate, self.max_hits, walk_budget=0,
+                _smap(
+                    make_mismatch_locate_fn(
+                        self.config.k, self.config.d, self._lut_m,
+                        self._loc_d, self._sample_rate, self.max_hits,
+                    ),
+                    mesh=self.mesh,
+                    in_specs=(P(), P(), P(), P(self.axis, None)),
+                    out_specs=P(self.axis, None),
                 ),
                 out_shardings=NamedSharding(self.mesh, P()),
             )
