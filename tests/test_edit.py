@@ -222,6 +222,24 @@ def test_edit_extend_empty_batch(rng):
     assert pos.shape == (0, 4) and counts.shape == (0,) and overflow.shape == (0,)
 
 
+def test_edit_verify_budget_paths_identical(rng):
+    """Compacted Myers verify (valid candidates only) and its full-grid
+    lax.cond fallback are bit-identical: budget=1 forces the fallback,
+    budget=512 the compact path, 0 disables compaction entirely."""
+    codes, index, loc = _setup(rng, n=2500, k=2)
+    qs, _ = _indel_reads(rng, codes, 33, 2, n_sampled=16, n_random=6)
+    outs = [
+        EditExtendEngine(
+            index, loc, codes, edits=2, seed_hits=64, max_hits=8,
+            verify_budget=b,
+        ).locate_edits(qs)
+        for b in (0, 1, 512, None)
+    ]
+    for got in outs[1:]:
+        for a, b in zip(got, outs[0]):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_edit_chars_pre_matches_inline(rng):
     """chars='pre' (precomputed window chars as scan xs) is bit-identical
     to the default in-register extraction."""

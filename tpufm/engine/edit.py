@@ -239,6 +239,7 @@ def make_edit_extend_fn(
     max_hits: int,
     chars: str = "inline",
     walk_budget: int | None = None,
+    verify_budget: int | None = None,
 ):
     """Build the jittable seed/locate/Myers-verify pass:
 
@@ -247,7 +248,18 @@ def make_edit_extend_fn(
           alignment start sites, 0xFFFFFFFF padded,
           counts uint32 [B]          — distinct sites found,
           overflow bool [B])         — a seed interval exceeded seed_hits;
-                                       the site list is a lower bound."""
+                                       the site list is a lower bound.
+
+    Like the sampled-SA walk, the Myers scan is lane-count bound: the
+    full [B, (E+1)*seed_hits] candidate grid pays (L+3E) x ~30W word-ops
+    per lane whether or not the lane is a real candidate, and on
+    unique-seed reads ~97% are padding. Valid candidates are therefore
+    compacted into a `verify_budget`-lane array (with their per-read peq
+    rows gathered alongside), verified, and scattered back; a lax.cond
+    falls back to the bit-exact full-grid scan when a wave's candidates
+    exceed the budget. Defaults to 1/8 of the grid (min 4096); 0
+    disables. Running under shard_map (the mesh engines) keeps it
+    shard-local."""
     E = edits
     S = E + 1
     if chars not in ("inline", "pre"):
@@ -284,8 +296,50 @@ def make_edit_extend_fn(
         valid = valid.reshape(B, C)
 
         # reversed read: the verifier scans each window back-to-front
-        peq = build_peq(queries[:, ::-1], -(-L // 32))[:, None, :, :]
-        dist, start = verify(text_words, n_text, peq, lo, hi, valid)
+        W = -(-L // 32)
+        peq_rd = build_peq(queries[:, ::-1], W)  # [B, 4, W]
+
+        N = B * C
+        R = verify_budget if verify_budget is not None else max(4096, N // 8)
+        if R <= 0 or R >= N:
+            dist, start = verify(
+                text_words, n_text, peq_rd[:, None, :, :], lo, hi, valid
+            )
+        else:
+            vflat = valid.reshape(-1)
+            lof, hif = lo.reshape(-1), hi.reshape(-1)
+            slot = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+            total = jnp.sum(vflat, dtype=jnp.int32)
+
+            def compact_verify(_):
+                tgt = jnp.where(vflat, jnp.minimum(slot, R), R)
+                clo = jnp.zeros(R + 1, _U32).at[tgt].set(lof)
+                chi = jnp.zeros(R + 1, _U32).at[tgt].set(hif)
+                ridx = jax.lax.broadcasted_iota(
+                    jnp.int32, (B, C), 0
+                ).reshape(-1)
+                crd = jnp.zeros(R + 1, jnp.int32).at[tgt].set(ridx)
+                cpeq = peq_rd[crd[:R]]  # [R, 4, W]
+                d, s = verify(
+                    text_words, n_text, cpeq, clo[:R], chi[:R],
+                    jnp.ones(R, bool),
+                )
+                d1 = jnp.concatenate([d, jnp.full(1, L + 1, jnp.int32)])
+                s1 = jnp.concatenate([s, jnp.full(1, _U32(_SENTINEL))])
+                back = jnp.minimum(slot, R)
+                return (
+                    jnp.where(vflat, d1[back], L + 1).reshape(B, C),
+                    jnp.where(vflat, s1[back], _U32(_SENTINEL)).reshape(B, C),
+                )
+
+            def full_verify(_):
+                return verify(
+                    text_words, n_text, peq_rd[:, None, :, :], lo, hi, valid
+                )
+
+            dist, start = jax.lax.cond(
+                total <= R, compact_verify, full_verify, None
+            )
         accept = valid & (dist <= E)
         cand = jnp.where(accept, start, _U32(_SENTINEL))
 
@@ -346,6 +400,7 @@ class EditExtendEngine:
         device=None,
         chars: str = "inline",
         walk_budget: int | None = None,
+        verify_budget: int | None = None,
     ):
         from tpufm.engine.xla import XLAEngine, build_locate_tables
 
@@ -368,6 +423,7 @@ class EditExtendEngine:
             make_edit_extend_fn(
                 self.config.k, self.config.d, lut_m, loc_d, sr,
                 edits, seed_hits, max_hits, chars, walk_budget,
+                verify_budget,
             )
         )
 
