@@ -186,6 +186,24 @@ def test_seed_walk_budget_paths_identical(rng, budget):
         np.testing.assert_array_equal(a, b)
 
 
+def test_seed_verify_budget_paths_identical(rng):
+    """Compacted Hamming verify and its full-grid fallback are
+    bit-identical across budgets (0 = off, 1 = forced fallback, 512 =
+    compact path, None = auto)."""
+    codes, index, loc = _setup(rng, n=2500, k=2)
+    qs = _reads_with_planted(rng, codes, 30, 2, n_sampled=16, n_random=6)
+    outs = [
+        SeedExtendEngine(
+            index, loc, codes, mismatches=2, seed_hits=64, max_hits=8,
+            verify_budget=b,
+        ).locate_approx(qs)
+        for b in (0, 1, 512, None)
+    ]
+    for got in outs[1:]:
+        for a, b in zip(got, outs[0]):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_edit_walk_budget_paths_identical(rng):
     from tpufm.engine.edit import EditExtendEngine
 

@@ -218,6 +218,7 @@ def make_seed_extend_fn(
     seed_hits: int,
     max_hits: int,
     walk_budget: int | None = None,
+    verify_budget: int | None = None,
 ):
     """Build the jittable seed-and-extend pass:
 
@@ -260,10 +261,42 @@ def make_seed_extend_fn(
             axis=1,
         )
 
-        # verify every unique candidate against the packed text
+        # verify every unique candidate against the packed text; like the
+        # walk, the [B, C] grid is mostly padding (each lane costs a
+        # (W+1)-word window gather), so unique candidates are compacted
+        # first, with the usual bit-exact cond fallback over the budget
         qwords = pack_query_words(queries)  # [B, W]
-        p = jnp.where(uniq, cand, _U32(0))
-        dist = hamming_to_text(text_words, p, qwords[:, None, :], L)
+        N = B * C
+        R = verify_budget if verify_budget is not None else max(4096, N // 8)
+        if R <= 0 or R >= N:
+            p = jnp.where(uniq, cand, _U32(0))
+            dist = hamming_to_text(text_words, p, qwords[:, None, :], L)
+        else:
+            uflat = uniq.reshape(-1)
+            pflat = jnp.where(uflat, cand.reshape(-1), _U32(0))
+            slot = jnp.cumsum(uflat.astype(jnp.int32)) - 1
+            total = jnp.sum(uflat, dtype=jnp.int32)
+
+            def compact_verify(_):
+                tgt = jnp.where(uflat, jnp.minimum(slot, R), R)
+                cp = jnp.zeros(R + 1, _U32).at[tgt].set(pflat)
+                ridx = jax.lax.broadcasted_iota(
+                    jnp.int32, (B, C), 0
+                ).reshape(-1)
+                crd = jnp.zeros(R + 1, jnp.int32).at[tgt].set(ridx)
+                d = hamming_to_text(
+                    text_words, cp[:R], qwords[crd[:R]], L
+                )
+                d1 = jnp.concatenate([d, jnp.full(1, L + 1, jnp.int32)])
+                return jnp.where(
+                    uflat, d1[jnp.minimum(slot, R)], L + 1
+                ).reshape(B, C)
+
+            def full_verify(_):
+                p = jnp.where(uniq, cand, _U32(0))
+                return hamming_to_text(text_words, p, qwords[:, None, :], L)
+
+            dist = jax.lax.cond(total <= R, compact_verify, full_verify, None)
         accept = uniq & (dist <= m)
         out, counts = compact_hits(cand, accept, mh)
         return out, counts, overflow
@@ -310,6 +343,7 @@ class SeedExtendEngine:
         lut_m: int = 0,
         device=None,
         walk_budget: int | None = None,
+        verify_budget: int | None = None,
     ):
         from tpufm.engine.xla import XLAEngine, build_locate_tables
 
@@ -331,7 +365,7 @@ class SeedExtendEngine:
         self._fn = jax.jit(
             make_seed_extend_fn(
                 self.config.k, self.config.d, lut_m, loc_d, sr,
-                mismatches, seed_hits, max_hits, walk_budget,
+                mismatches, seed_hits, max_hits, walk_budget, verify_budget,
             )
         )
 
