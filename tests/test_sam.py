@@ -1,0 +1,203 @@
+"""SAM v1.6 output (`locate --sam`) — tpufm extension.
+
+No samtools in the image, so every record is validated by a strict
+in-test parser: header @SQ lengths, mandatory field count and types,
+FLAG semantics (strand, secondary, pair bits), 1-based POS against the
+planted truth, SEQ orientation (FLAG 0x10 records carry the reverse
+complement of the sequenced read), NM, and paired RNEXT/PNEXT/TLEN
+cross-references."""
+
+import numpy as np
+import pytest
+
+from tpufm import cli
+from tpufm.utils.encoding import decode_bases, encode_bases, reverse_complement
+
+
+def _parse(path):
+    header, records = [], []
+    for line in open(path).read().splitlines():
+        if line.startswith("@"):
+            header.append(line)
+            continue
+        f = line.split("\t")
+        assert len(f) >= 11, line
+        records.append({
+            "qname": f[0], "flag": int(f[1]), "rname": f[2],
+            "pos": int(f[3]), "mapq": int(f[4]), "cigar": f[5],
+            "rnext": f[6], "pnext": int(f[7]), "tlen": int(f[8]),
+            "seq": f[9], "qual": f[10], "tags": f[11:],
+        })
+    return header, records
+
+
+def _write_two_contig_ref(codes, path):
+    with open(path, "wb") as fp:
+        fp.write(b">cA\n" + decode_bases(codes[:2600]) + b"\n")
+        fp.write(b">cB\n" + decode_bases(codes[2600:]) + b"\n")
+
+
+def test_sam_single_end(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    n, L = 5000, 24
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    _write_two_contig_ref(codes, "g.fa")
+    # reads: plus-strand planted, minus-strand planted, random (unmapped),
+    # and a boundary-spanning planted read (dropped from SAM -> unmapped)
+    sp = int(rng.integers(0, 2600 - L))
+    sm = int(rng.integers(2600, n - L))
+    reads = np.stack([
+        codes[sp : sp + L],
+        reverse_complement(codes[sm : sm + L][None])[0],
+        rng.integers(0, 4, size=L, dtype=np.uint8),
+        codes[2590 : 2590 + L],  # spans cA|cB
+    ])
+    with open("q.qry", "wb") as fp:
+        for i in range(4):
+            fp.write(b"> x%d\n%s\n" % (i, decode_bases(reads[i])))
+    cli.main(["locate", "g.fa", str(n), "q.qry", str(L), "4",
+              "--k", "2", "--d", "64", "--sample-rate", "8",
+              "--sam", "--output", "o.sam"])
+    header, recs = _parse("o.sam")
+    assert "@HD\tVN:1.6\tSO:unknown" in header
+    assert "@SQ\tSN:cA\tLN:2600" in header
+    assert f"@SQ\tSN:cB\tLN:{n - 2600}" in header
+    by = {}
+    for r in recs:
+        by.setdefault(r["qname"], []).append(r)
+
+    r0 = by["r0"][0]  # plus strand
+    assert r0["flag"] == 0 and r0["rname"] == "cA" and r0["pos"] == sp + 1
+    assert r0["cigar"] == f"{L}M" and "NM:i:0" in r0["tags"]
+    np.testing.assert_array_equal(
+        encode_bases(r0["seq"].encode()), codes[sp : sp + L]
+    )
+    r1 = by["r1"][0]  # minus strand: SEQ is forward-reference orientation
+    assert r1["flag"] == 16 and r1["rname"] == "cB"
+    assert r1["pos"] == sm - 2600 + 1
+    np.testing.assert_array_equal(
+        encode_bases(r1["seq"].encode()), codes[sm : sm + L]
+    )
+    # the original sequenced read is the rc of SEQ
+    np.testing.assert_array_equal(
+        reverse_complement(encode_bases(r1["seq"].encode())[None])[0],
+        reads[1],
+    )
+    assert by["r2"][0]["flag"] == 4 and by["r2"][0]["rname"] == "*"
+    # the spanning hit is dropped -> unmapped record
+    assert by["r3"][0]["flag"] == 4
+
+
+def test_sam_secondary_records(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    L = 20
+    unit = rng.integers(0, 4, size=500, dtype=np.uint8)
+    codes = np.concatenate([unit, unit])  # every read occurs twice
+    with open("g.fa", "wb") as fp:
+        fp.write(b">c\n" + decode_bases(codes) + b"\n")
+    s0 = 37
+    with open("q.qry", "wb") as fp:
+        fp.write(b"> a\n%s\n" % decode_bases(codes[s0 : s0 + L]))
+    cli.main(["locate", "g.fa", "1000", "q.qry", str(L), "1",
+              "--k", "2", "--d", "64", "--sample-rate", "8",
+              "--max-hits", "4", "--sam", "--output", "o.sam"])
+    _, recs = _parse("o.sam")
+    assert len(recs) == 2
+    assert recs[0]["flag"] & 0x100 == 0
+    assert recs[1]["flag"] & 0x100
+    assert {r["pos"] for r in recs} == {s0 + 1, s0 + 500 + 1}
+
+
+def test_sam_paired(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    n, L, imin, imax, B = 6000, 24, 150, 400, 12
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    with open("g.fa", "wb") as fp:
+        fp.write(b">chr1\n" + decode_bases(codes) + b"\n")
+    cli.main(["genreads", "g.fa", str(n), str(L), str(B), "--paired",
+              "--insert-min", str(imin), "--insert-max", str(imax),
+              "--seed", "4", "--output", "pp"])
+    cli.main(["locate", "g.fa", str(n), "pp_1.qry", str(L), str(B),
+              "--k", "3", "--d", "64", "--sample-rate", "8",
+              "--paired", "pp_2.qry", "--insert-min", str(imin),
+              "--insert-max", str(imax), "--sam", "--output", "o.sam"])
+    from tpufm.io.genreads import generate_read_pairs
+
+    _, _, (ls, rs, minus) = generate_read_pairs(
+        codes, L, B, imin, imax, seed=4, return_truth=True
+    )
+    _, recs = _parse("o.sam")
+    by = {}
+    for r in recs:
+        by.setdefault(r["qname"], []).append(r)
+    for i in range(B):
+        rr = [r for r in by[f"p{i}"] if not r["flag"] & 0x100]
+        assert len(rr) == 2
+        first = next(r for r in rr if r["flag"] & 0x40)
+        second = next(r for r in rr if r["flag"] & 0x80)
+        frag = int(rs[i]) + L - int(ls[i])
+        for r in rr:
+            assert r["flag"] & 0x1 and r["flag"] & 0x2
+            assert r["rname"] == "chr1" and r["rnext"] == "="
+            assert abs(r["tlen"]) == frag
+        assert first["tlen"] == -second["tlen"]
+        # mate coordinates cross-reference
+        assert first["pnext"] == second["pos"]
+        assert second["pnext"] == first["pos"]
+        if minus[i]:
+            # R1 reversed (rightmost), R2 forward (leftmost)
+            assert first["flag"] & 0x10 and second["flag"] & 0x20
+            assert first["pos"] == rs[i] + 1 and second["pos"] == ls[i] + 1
+            assert first["tlen"] == -frag
+        else:
+            assert first["flag"] & 0x20 and second["flag"] & 0x10
+            assert first["pos"] == ls[i] + 1 and second["pos"] == rs[i] + 1
+            assert first["tlen"] == frag
+        # SEQ is always forward-reference orientation
+        np.testing.assert_array_equal(
+            encode_bases(first["seq"].encode()),
+            codes[first["pos"] - 1 : first["pos"] - 1 + L],
+        )
+        np.testing.assert_array_equal(
+            encode_bases(second["seq"].encode()),
+            codes[second["pos"] - 1 : second["pos"] - 1 + L],
+        )
+
+
+def test_sam_unpaired_pair_and_guards(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    n, L = 3000, 20
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    with open("g.fa", "wb") as fp:
+        fp.write(b">c\n" + decode_bases(codes) + b"\n")
+    rnd = rng.integers(0, 4, size=(1, L), dtype=np.uint8)
+    for name in ("a.qry", "b.qry"):
+        with open(name, "wb") as fp:
+            fp.write(b"> z\n%s\n" % decode_bases(rnd[0]))
+    cli.main(["locate", "g.fa", str(n), "a.qry", str(L), "1",
+              "--k", "2", "--d", "64", "--sample-rate", "8",
+              "--paired", "b.qry", "--sam", "--output", "o.sam"])
+    _, recs = _parse("o.sam")
+    assert [r["flag"] for r in recs] == [77, 141]
+    with pytest.raises(SystemExit, match="exact matching"):
+        cli.main(["locate", "g.fa", str(n), "a.qry", str(L), "1",
+                  "--k", "2", "--d", "64", "--sample-rate", "8",
+                  "--sam", "--mismatches", "2"])
+    with pytest.raises(SystemExit, match="both strands"):
+        cli.main(["locate", "g.fa", str(n), "a.qry", str(L), "1",
+                  "--k", "2", "--d", "64", "--sample-rate", "8",
+                  "--sam", "--rc"])
+
+
+def test_sam_mesh_matches_single(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    n, L = 4000, 24
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    _write_two_contig_ref(codes, "g.fa")
+    cli.main(["genreads", "g.fa", str(n), str(L), "16", "--seed", "2"])
+    qry = f"Q-16_B-{L}_R-{n}.qry"
+    common = ["locate", "g.fa", str(n), qry, str(L), "16",
+              "--k", "2", "--d", "64", "--sample-rate", "8", "--sam"]
+    cli.main([*common, "--output", "a.sam"])
+    cli.main([*common, "--mesh", "8", "--output", "m.sam"])
+    assert open("m.sam").read() == open("a.sam").read()

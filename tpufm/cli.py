@@ -651,6 +651,56 @@ def cmd_locate(args):
         print(f"stored {args.store}.search.tpufm + {args.store}.locate.tpufm")
     queries = load_queries(args.queries, args.qrysize, args.numqueries)
     nq = queries.shape[0]
+
+    def _contig_map():
+        import os
+
+        from tpufm.io.contigs import read_contigs
+
+        if not os.path.exists(args.reference):
+            sys.exit(
+                "--sam/--contigs need the reference FASTA to map record "
+                "boundaries (pass its real path even with --from-store)"
+            )
+        return read_contigs(args.reference, args.refsize or None)
+
+    if args.sam and (args.mismatches or args.edits):
+        sys.exit("--sam currently covers exact matching (single-end and "
+                 "--paired); approximate CIGARs are future work "
+                 "(docs/ROADMAP.md)")
+    if args.sam and args.rc:
+        sys.exit("--sam reports both strands by definition; drop --rc")
+    if args.sam and not args.paired:
+        # Single-end SAM: both strands ride one fused search+locate batch;
+        # FLAG 16 marks minus-strand records (io/sam.py).
+        from tpufm.io.sam import sam_header, sam_single_records
+        from tpufm.utils.encoding import reverse_complement
+
+        cmap = _contig_map()
+        q2 = np.concatenate([queries, reverse_complement(queries)])
+        if args.mesh is not None:
+            from tpufm.parallel import DataParallelSearchLocate, make_mesh
+
+            _, pos = DataParallelSearchLocate(
+                index, loc, make_mesh(args.mesh or None),
+                max_hits=args.max_hits,
+            ).search_locate(q2)
+        else:
+            from tpufm.engine.xla import SearchLocateEngine
+
+            _, pos = SearchLocateEngine(
+                index, loc, max_hits=args.max_hits
+            ).search_locate(q2)
+        names = [f"r{i}" for i in range(nq)]
+        out = args.output or f"{args.queries}.sam"
+        with open(out, "w") as fp:
+            fp.write(sam_header(cmap, extra_pg="tpufm locate --sam"))
+            fp.write(
+                sam_single_records(names, queries, pos[:nq], pos[nq:], cmap)
+            )
+        print(f"{nq} reads, both strands")
+        print(f"wrote {out}")
+        return
     if args.paired:
         # Paired-end FR placement (engine/paired.py): both mates' both
         # strands ride one fused search+locate batch; pairing is an
@@ -670,6 +720,23 @@ def cmd_locate(args):
             index, loc, args.insert_min, args.insert_max,
             max_hits=args.max_hits, max_pairs=args.max_pairs, mesh=mesh,
         ).pair(queries, r2)
+        if args.sam:
+            from tpufm.io.sam import sam_header, sam_paired_records
+
+            cmap = _contig_map()
+            names = [f"p{i}" for i in range(nq)]
+            out = args.output or f"{args.queries}.sam"
+            with open(out, "w") as fp:
+                fp.write(sam_header(cmap, extra_pg="tpufm locate --paired --sam"))
+                fp.write(sam_paired_records(
+                    names, queries, r2, pairs, strand, counts, cmap
+                ))
+            print(
+                f"{nq} read pairs, {int((counts > 0).sum())} properly "
+                f"paired (insert [{args.insert_min}, {args.insert_max}])"
+            )
+            print(f"wrote {out}")
+            return
         if p_overflow.any():
             print(
                 f"warning: {int(p_overflow.sum())} read pairs have a mate "
@@ -1137,6 +1204,11 @@ def main(argv=None):
                     help="--paired: largest proper fragment length")
     lc.add_argument("--max-pairs", type=int, default=4,
                     help="--paired: proper pairs reported per read pair")
+    lc.add_argument("--sam", action="store_true",
+                    help="write SAM v1.6 instead of position lines (exact "
+                         "matching only; single-end reports both strands, "
+                         "--paired emits proper-pair records; needs the "
+                         "reference FASTA for the record map)")
     lc.add_argument("--contigs", action="store_true",
                     help="write chromosome:offset instead of absolute "
                          "positions (multi-FASTA record map from the "
