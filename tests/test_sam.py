@@ -66,13 +66,13 @@ def test_sam_single_end(tmp_path, rng, monkeypatch):
     for r in recs:
         by.setdefault(r["qname"], []).append(r)
 
-    r0 = by["r0"][0]  # plus strand
+    r0 = by["x0"][0]  # plus strand
     assert r0["flag"] == 0 and r0["rname"] == "cA" and r0["pos"] == sp + 1
     assert r0["cigar"] == f"{L}M" and "NM:i:0" in r0["tags"]
     np.testing.assert_array_equal(
         encode_bases(r0["seq"].encode()), codes[sp : sp + L]
     )
-    r1 = by["r1"][0]  # minus strand: SEQ is forward-reference orientation
+    r1 = by["x1"][0]  # minus strand: SEQ is forward-reference orientation
     assert r1["flag"] == 16 and r1["rname"] == "cB"
     assert r1["pos"] == sm - 2600 + 1
     np.testing.assert_array_equal(
@@ -83,9 +83,9 @@ def test_sam_single_end(tmp_path, rng, monkeypatch):
         reverse_complement(encode_bases(r1["seq"].encode())[None])[0],
         reads[1],
     )
-    assert by["r2"][0]["flag"] == 4 and by["r2"][0]["rname"] == "*"
+    assert by["x2"][0]["flag"] == 4 and by["x2"][0]["rname"] == "*"
     # the spanning hit is dropped -> unmapped record
-    assert by["r3"][0]["flag"] == 4
+    assert by["x3"][0]["flag"] == 4
 
 
 def test_sam_secondary_records(tmp_path, rng, monkeypatch):
@@ -131,7 +131,7 @@ def test_sam_paired(tmp_path, rng, monkeypatch):
     for r in recs:
         by.setdefault(r["qname"], []).append(r)
     for i in range(B):
-        rr = [r for r in by[f"p{i}"] if not r["flag"] & 0x100]
+        rr = [r for r in by[f"rid{i}"] if not r["flag"] & 0x100]
         assert len(rr) == 2
         first = next(r for r in rr if r["flag"] & 0x40)
         second = next(r for r in rr if r["flag"] & 0x80)

@@ -691,7 +691,9 @@ def cmd_locate(args):
             _, pos = SearchLocateEngine(
                 index, loc, max_hits=args.max_hits
             ).search_locate(q2)
-        names = [f"r{i}" for i in range(nq)]
+        from tpufm.io.fasta import load_query_names
+
+        names = load_query_names(args.queries, nq)
         out = args.output or f"{args.queries}.sam"
         with open(out, "w") as fp:
             fp.write(sam_header(cmap, extra_pg="tpufm locate --sam"))
@@ -723,8 +725,10 @@ def cmd_locate(args):
         if args.sam:
             from tpufm.io.sam import sam_header, sam_paired_records
 
+            from tpufm.io.fasta import load_query_names
+
             cmap = _contig_map()
-            names = [f"p{i}" for i in range(nq)]
+            names = load_query_names(args.queries, nq)
             out = args.output or f"{args.queries}.sam"
             with open(out, "w") as fp:
                 fp.write(sam_header(cmap, extra_pg="tpufm locate --paired --sam"))

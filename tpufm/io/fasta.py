@@ -112,3 +112,39 @@ def load_queries(path, query_len: int, num_queries: int | None = None) -> np.nda
         raise ValueError(f"{path}: only {len(reads)} reads, need {num_queries}")
     blob = b"".join(reads)
     return encode_bases(blob).reshape(len(reads), query_len)
+
+
+def load_query_names(path, num_queries: int | None = None) -> list[str]:
+    """Read names (first whitespace token of each '>'/'@' header) from a
+    .qry/FASTA/FASTQ query file, same detection rules as load_queries —
+    for SAM QNAMEs. Falls back to r{i} for nameless headers."""
+    names = []
+    with open_maybe_gzip(path) as fp:
+        fastq = fp.read(1) == b"@"
+        fp.seek(0)
+        if fastq:
+            while True:
+                header = fp.readline()
+                if not header:
+                    break
+                tok = header[1:].split()
+                names.append(
+                    tok[0].decode() if tok else f"r{len(names)}"
+                )
+                fp.readline()
+                fp.readline()
+                fp.readline()
+                if num_queries is not None and len(names) == num_queries:
+                    break
+        else:
+            for line in fp:
+                if line.startswith(b">"):
+                    tok = line[1:].split()
+                    names.append(
+                        tok[0].decode() if tok else f"r{len(names)}"
+                    )
+                    if num_queries is not None and len(names) == num_queries:
+                        break
+    if num_queries is not None and len(names) < num_queries:
+        names += [f"r{i}" for i in range(len(names), num_queries)]
+    return names
