@@ -179,10 +179,14 @@ def test_sam_unpaired_pair_and_guards(tmp_path, rng, monkeypatch):
               "--paired", "b.qry", "--sam", "--output", "o.sam"])
     _, recs = _parse("o.sam")
     assert [r["flag"] for r in recs] == [77, 141]
-    with pytest.raises(SystemExit, match="exact matching"):
+    with pytest.raises(SystemExit, match="edit-distance CIGARs"):
         cli.main(["locate", "g.fa", str(n), "a.qry", str(L), "1",
                   "--k", "2", "--d", "64", "--sample-rate", "8",
-                  "--sam", "--mismatches", "2"])
+                  "--sam", "--edits", "1"])
+    with pytest.raises(SystemExit, match="exact-only"):
+        cli.main(["locate", "g.fa", str(n), "a.qry", str(L), "1",
+                  "--k", "2", "--d", "64", "--sample-rate", "8",
+                  "--paired", "b.qry", "--sam", "--mismatches", "1"])
     with pytest.raises(SystemExit, match="both strands"):
         cli.main(["locate", "g.fa", str(n), "a.qry", str(L), "1",
                   "--k", "2", "--d", "64", "--sample-rate", "8",
@@ -201,3 +205,47 @@ def test_sam_mesh_matches_single(tmp_path, rng, monkeypatch):
     cli.main([*common, "--output", "a.sam"])
     cli.main([*common, "--mesh", "8", "--output", "m.sam"])
     assert open("m.sam").read() == open("a.sam").read()
+
+
+def test_sam_hamming_nm(tmp_path, rng, monkeypatch):
+    """--sam --mismatches M: Hamming sites are pure <L>M CIGARs with the
+    per-site NM:i distance; planted errors recover their origin on both
+    strands with the right NM."""
+    monkeypatch.chdir(tmp_path)
+    n, L = 4000, 30
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    with open("g.fa", "wb") as fp:
+        fp.write(b">c\n" + decode_bases(codes) + b"\n")
+    sp = int(rng.integers(0, n // 2))
+    sm = int(rng.integers(n // 2, n - L))
+    plus = codes[sp : sp + L].copy()
+    plus[7] = (plus[7] + 1) & 3  # one error
+    minus = codes[sm : sm + L].copy()
+    for p in (3, 19):            # two errors
+        minus[p] = (minus[p] + 2) & 3
+    reads = np.stack([plus, reverse_complement(minus[None])[0]])
+    with open("q.qry", "wb") as fp:
+        for i in range(2):
+            fp.write(b"> e%d\n%s\n" % (i, decode_bases(reads[i])))
+    for m in (1, 2):
+        cli.main(["locate", "g.fa", str(n), "q.qry", str(L), "2",
+                  "--k", "2", "--d", "64", "--sample-rate", "8",
+                  "--mismatches", str(m), "--sam",
+                  "--output", f"m{m}.sam"])
+    _, r1 = _parse("m1.sam")
+    by1 = {r["qname"]: r for r in r1 if not r["flag"] & 0x100}
+    assert by1["e0"]["pos"] == sp + 1 and by1["e0"]["flag"] == 0
+    assert "NM:i:1" in by1["e0"]["tags"]
+    assert by1["e1"]["flag"] == 4  # two errors: not found at m=1
+    _, r2 = _parse("m2.sam")
+    by2 = {r["qname"]: r for r in r2 if not r["flag"] & 0x100}
+    assert by2["e0"]["pos"] == sp + 1 and "NM:i:1" in by2["e0"]["tags"]
+    assert by2["e1"]["pos"] == sm + 1 and by2["e1"]["flag"] == 16
+    assert "NM:i:2" in by2["e1"]["tags"]
+    assert by2["e1"]["cigar"] == f"{L}M"
+    # SEQ of the minus record equals the reference window (fwd orientation)
+    np.testing.assert_array_equal(
+        encode_bases(by2["e1"]["seq"].encode())[[3, 19]] !=
+        codes[sm : sm + L][[3, 19]],
+        [True, True],
+    )

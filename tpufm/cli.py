@@ -664,27 +664,56 @@ def cmd_locate(args):
             )
         return read_contigs(args.reference, args.refsize or None)
 
-    if args.sam and (args.mismatches or args.edits):
-        sys.exit("--sam currently covers exact matching (single-end and "
-                 "--paired); approximate CIGARs are future work "
-                 "(docs/ROADMAP.md)")
+    if args.sam and args.edits:
+        sys.exit("--sam covers exact and Hamming matching (pure <L>M "
+                 "CIGARs); edit-distance CIGARs need alignment paths and "
+                 "are future work (docs/ROADMAP.md)")
+    if args.sam and args.paired and args.mismatches:
+        sys.exit("--sam --paired is exact-only; drop --mismatches")
     if args.sam and args.rc:
         sys.exit("--sam reports both strands by definition; drop --rc")
     if args.sam and not args.paired:
-        # Single-end SAM: both strands ride one fused search+locate batch;
-        # FLAG 16 marks minus-strand records (io/sam.py).
+        # Single-end SAM: both strands ride one device batch; FLAG 16
+        # marks minus-strand records (io/sam.py). Hamming sites (pure
+        # <L>M CIGARs) carry their per-site NM:i.
         from tpufm.io.sam import sam_header, sam_single_records
         from tpufm.utils.encoding import reverse_complement
 
         cmap = _contig_map()
+        if args.from_store:
+            codes = read_reference(args.reference, args.refsize or None)
         q2 = np.concatenate([queries, reverse_complement(queries)])
+        dp = None
         if args.mesh is not None:
             from tpufm.parallel import DataParallelSearchLocate, make_mesh
 
-            _, pos = DataParallelSearchLocate(
+            dp = DataParallelSearchLocate(
                 index, loc, make_mesh(args.mesh or None),
                 max_hits=args.max_hits,
-            ).search_locate(q2)
+            )
+        if args.mismatches >= 2:
+            if dp is not None:
+                pos, _, _ = dp.locate_approx(
+                    q2, codes, args.mismatches, seed_hits=args.seed_hits
+                )
+            else:
+                from tpufm.engine.seed import SeedExtendEngine
+
+                pos, _, _ = SeedExtendEngine(
+                    index, loc, codes, mismatches=args.mismatches,
+                    seed_hits=args.seed_hits, max_hits=args.max_hits,
+                ).locate_approx(q2)
+        elif args.mismatches:
+            if dp is not None:
+                pos = dp.locate_mismatch(q2)
+            else:
+                from tpufm.engine.xla import SearchLocateEngine
+
+                pos = SearchLocateEngine(
+                    index, loc, max_hits=args.max_hits
+                ).locate_mismatch(q2)
+        elif dp is not None:
+            _, pos = dp.search_locate(q2)
         else:
             from tpufm.engine.xla import SearchLocateEngine
 
@@ -697,9 +726,10 @@ def cmd_locate(args):
         out = args.output or f"{args.queries}.sam"
         with open(out, "w") as fp:
             fp.write(sam_header(cmap, extra_pg="tpufm locate --sam"))
-            fp.write(
-                sam_single_records(names, queries, pos[:nq], pos[nq:], cmap)
-            )
+            fp.write(sam_single_records(
+                names, queries, pos[:nq], pos[nq:], cmap,
+                codes=codes if args.mismatches else None,
+            ))
         print(f"{nq} reads, both strands")
         print(f"wrote {out}")
         return
@@ -1210,7 +1240,8 @@ def main(argv=None):
                     help="--paired: proper pairs reported per read pair")
     lc.add_argument("--sam", action="store_true",
                     help="write SAM v1.6 instead of position lines (exact "
-                         "matching only; single-end reports both strands, "
+                         "or --mismatches M matching — pure <L>M CIGARs "
+                         "with NM:i; single-end reports both strands, "
                          "--paired emits proper-pair records; needs the "
                          "reference FASTA for the record map)")
     lc.add_argument("--contigs", action="store_true",

@@ -57,30 +57,40 @@ def _resolve(cmap, pos: int, span_len: int):
     return cmap.names[idx[0]], int(off[0]) + 1
 
 
-def sam_single_records(names, reads, pos_fwd, pos_rc, cmap) -> str:
+def sam_single_records(names, reads, pos_fwd, pos_rc, cmap, codes=None) -> str:
     """One SAM block per read: primary + secondary records over both
-    strands' exact hits, or one unmapped record.
+    strands' hits, or one unmapped record.
 
     names: list[str] QNAMEs. reads: uint8 [B, L] as sequenced.
     pos_fwd/pos_rc: uint32 [B, max_hits] sentinel-padded absolute
-    positions of the read / its reverse complement."""
+    positions of the read / its reverse complement. codes: the 2-bit
+    reference — when given, NM:i is the per-site Hamming distance
+    (Hamming alignments are pure <L>M CIGARs, so this covers
+    --mismatches output exactly); when None the sites are exact and
+    NM:i:0."""
     out = []
     L = reads.shape[1]
     for i, name in enumerate(names):
-        seq_f = decode_bases(reads[i]).decode()
-        seq_r = decode_bases(reverse_complement(reads[i][None])[0]).decode()
-        sites = [(int(p), 0, seq_f) for p in pos_fwd[i] if p != _SENT]
-        sites += [(int(p), 16, seq_r) for p in pos_rc[i] if p != _SENT]
+        fwd = reads[i]
+        rc = reverse_complement(reads[i][None])[0]
+        seq_f = decode_bases(fwd).decode()
+        seq_r = decode_bases(rc).decode()
+        # the sequence as it matches the FORWARD reference per strand
+        sites = [(int(p), 0, seq_f, fwd) for p in pos_fwd[i] if p != _SENT]
+        sites += [(int(p), 16, seq_r, rc) for p in pos_rc[i] if p != _SENT]
         emitted = 0
-        for p, flag, seq in sites:
+        for p, flag, seq, match in sites:
             r = _resolve(cmap, p, L)
             if r is None:
                 continue
             rname, pos1 = r
+            nm = 0 if codes is None else int(
+                (codes[p : p + L] != match).sum()
+            )
             f = flag | (0x100 if emitted else 0)
             out.append(
                 f"{name}\t{f}\t{rname}\t{pos1}\t255\t{L}M\t*\t0\t0\t"
-                f"{seq}\t*\tNM:i:0"
+                f"{seq}\t*\tNM:i:{nm}"
             )
             emitted += 1
         if not emitted:
