@@ -41,7 +41,7 @@ import dataclasses
 
 import numpy as np
 
-from tpufm.config import IndexConfig, Layout
+from tpufm.config import IndexConfig
 from tpufm.index.suffix_array import suffix_array
 from tpufm.utils.encoding import encode_bases
 
