@@ -235,3 +235,24 @@ def test_search_locate_fused_edges(rng, max_hits, s):
     pos = LocateEngine(loc).locate_hits(iv, max_hits=max_hits)
     np.testing.assert_array_equal(iv_f, iv)
     np.testing.assert_array_equal(pos_f, pos)
+
+
+def test_cli_locate_lut_matches_no_lut(tmp_path, rng, monkeypatch):
+    """locate --lut M: every mode's output is identical with and without
+    the prefix LUT (round elimination is an optimization, not semantics)."""
+    from tpufm import cli
+    from tpufm.io.fasta import write_reference
+    from tpufm.utils.encoding import decode_bases
+
+    monkeypatch.chdir(tmp_path)
+    codes = rng.integers(0, 4, size=3000, dtype=np.uint8)
+    write_reference("g.fa", decode_bases(codes))
+    cli.main(["genreads", "g.fa", "3000", "24", "12", "--seed", "6"])
+    qry = "Q-12_B-24_R-3000.qry"
+    for extra in ([], ["--fused"], ["--mismatches", "1"],
+                  ["--mismatches", "2"], ["--edits", "1"], ["--sam"]):
+        base = ["locate", "g.fa", "3000", qry, "24", "12",
+                "--k", "2", "--d", "64", "--sample-rate", "8", *extra]
+        cli.main([*base, "--output", "a.out"])
+        cli.main([*base, "--lut", "4", "--output", "b.out"])
+        assert open("a.out").read() == open("b.out").read(), extra

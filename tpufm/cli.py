@@ -689,7 +689,7 @@ def cmd_locate(args):
 
             dp = DataParallelSearchLocate(
                 index, loc, make_mesh(args.mesh or None),
-                max_hits=args.max_hits,
+                max_hits=args.max_hits, lut_m=args.lut,
             )
         if args.mismatches >= 2:
             if dp is not None:
@@ -702,6 +702,7 @@ def cmd_locate(args):
                 pos, _, _ = SeedExtendEngine(
                     index, loc, codes, mismatches=args.mismatches,
                     seed_hits=args.seed_hits, max_hits=args.max_hits,
+                    lut_m=args.lut,
                 ).locate_approx(q2)
         elif args.mismatches:
             if dp is not None:
@@ -710,7 +711,7 @@ def cmd_locate(args):
                 from tpufm.engine.xla import SearchLocateEngine
 
                 pos = SearchLocateEngine(
-                    index, loc, max_hits=args.max_hits
+                    index, loc, max_hits=args.max_hits, lut_m=args.lut
                 ).locate_mismatch(q2)
         elif dp is not None:
             _, pos = dp.search_locate(q2)
@@ -718,7 +719,7 @@ def cmd_locate(args):
             from tpufm.engine.xla import SearchLocateEngine
 
             _, pos = SearchLocateEngine(
-                index, loc, max_hits=args.max_hits
+                index, loc, max_hits=args.max_hits, lut_m=args.lut
             ).search_locate(q2)
         from tpufm.io.fasta import load_query_names
 
@@ -751,6 +752,7 @@ def cmd_locate(args):
         pairs, strand, counts, p_overflow = PairedEndEngine(
             index, loc, args.insert_min, args.insert_max,
             max_hits=args.max_hits, max_pairs=args.max_pairs, mesh=mesh,
+            lut_m=args.lut,
         ).pair(queries, r2)
         if args.sam:
             from tpufm.io.sam import sam_header, sam_paired_records
@@ -845,7 +847,7 @@ def cmd_locate(args):
 
             pos, _counts, overflow = DataParallelSearchLocate(
                 index, loc, make_mesh(args.mesh or None),
-                max_hits=args.max_hits,
+                max_hits=args.max_hits, lut_m=args.lut,
             ).locate_edits(
                 queries, codes, args.edits, seed_hits=args.seed_hits
             )
@@ -855,6 +857,7 @@ def cmd_locate(args):
             pos, _counts, overflow = EditExtendEngine(
                 index, loc, codes, edits=args.edits,
                 seed_hits=args.seed_hits, max_hits=args.max_hits,
+                lut_m=args.lut,
             ).locate_edits(queries)
         if overflow.any():
             print(
@@ -882,7 +885,7 @@ def cmd_locate(args):
 
             pos, _counts, overflow = DataParallelSearchLocate(
                 index, loc, make_mesh(args.mesh or None),
-                max_hits=args.max_hits,
+                max_hits=args.max_hits, lut_m=args.lut,
             ).locate_approx(
                 queries, codes, args.mismatches, seed_hits=args.seed_hits
             )
@@ -892,6 +895,7 @@ def cmd_locate(args):
             pos, _counts, overflow = SeedExtendEngine(
                 index, loc, codes, mismatches=args.mismatches,
                 seed_hits=args.seed_hits, max_hits=args.max_hits,
+                lut_m=args.lut,
             ).locate_approx(queries)
         if overflow.any():
             print(
@@ -907,13 +911,13 @@ def cmd_locate(args):
 
             pos = DataParallelSearchLocate(
                 index, loc, make_mesh(args.mesh or None),
-                max_hits=args.max_hits,
+                max_hits=args.max_hits, lut_m=args.lut,
             ).locate_mismatch(queries)
         else:
             from tpufm.engine.xla import SearchLocateEngine
 
             pos = SearchLocateEngine(
-                index, loc, max_hits=args.max_hits
+                index, loc, max_hits=args.max_hits, lut_m=args.lut
             ).locate_mismatch(queries)
     elif args.mesh is not None:
         # Multi-chip: batch-sharded search + row-sharded locate walk over
@@ -929,11 +933,11 @@ def cmd_locate(args):
             from tpufm.parallel import DataParallelSearchLocate
 
             intervals, pos = DataParallelSearchLocate(
-                index, loc, mesh, max_hits=args.max_hits
+                index, loc, mesh, max_hits=args.max_hits, lut_m=args.lut
             ).search_locate(queries)
         else:
             intervals = DataParallelEngine(
-                index, mesh, tail_index=tail
+                index, mesh, tail_index=tail, lut_m=args.lut
             ).search(queries)
             pos = DataParallelLocate(loc, mesh).locate_hits(
                 intervals, max_hits=args.max_hits
@@ -944,10 +948,10 @@ def cmd_locate(args):
         from tpufm.engine.xla import SearchLocateEngine
 
         intervals, pos = SearchLocateEngine(
-            index, loc, max_hits=args.max_hits
+            index, loc, max_hits=args.max_hits, lut_m=args.lut
         ).search_locate(queries)
     else:
-        intervals = XLAEngine(index, tail_index=tail).search(queries)
+        intervals = XLAEngine(index, tail_index=tail, lut_m=args.lut).search(queries)
         pos = LocateEngine(loc).locate_hits(intervals, max_hits=args.max_hits)
 
     cmap = None
@@ -1238,6 +1242,10 @@ def main(argv=None):
                     help="--paired: largest proper fragment length")
     lc.add_argument("--max-pairs", type=int, default=4,
                     help="--paired: proper pairs reported per read pair")
+    lc.add_argument("--lut", type=int, default=0,
+                    help="prefix LUT m-mer size for the search scan "
+                         "(same as search --lut; seeds reuse it when "
+                         "long enough)")
     lc.add_argument("--sam", action="store_true",
                     help="write SAM v1.6 instead of position lines (exact "
                          "or --mismatches M matching — pure <L>M CIGARs "
