@@ -249,3 +249,65 @@ def test_sam_hamming_nm(tmp_path, rng, monkeypatch):
         codes[sm : sm + L][[3, 19]],
         [True, True],
     )
+
+
+def test_load_query_names_aligns_with_reads(tmp_path, rng):
+    """names[i] must label reads[i] even for multi-line FASTA records and
+    FASTQ records with empty sequences (load_queries' iteration rules)."""
+    from tpufm.io.fasta import load_queries, load_query_names
+
+    p = tmp_path / "multi.qry"
+    p.write_bytes(b">setA\nACGT\nTTTT\n>setB\nGGGG\n")
+    reads = load_queries(str(p), 4)
+    names = load_query_names(str(p))
+    assert reads.shape[0] == 3
+    assert names == ["setA", "setA", "setB"]
+
+    q = tmp_path / "x.fastq"
+    q.write_bytes(b"@one\nACGT\n+\nIIII\n@empty\n\n+\n\n@two\nTTTT\n+\nIIII\n")
+    reads = load_queries(str(q), 4)
+    names = load_query_names(str(q))
+    assert reads.shape[0] == 2
+    assert names == ["one", "two"]
+
+
+def test_sam_best_site_is_primary(tmp_path, rng, monkeypatch):
+    """--sam --mismatches: the primary record is the lowest-NM site even
+    when a worse forward-strand site enumerates first."""
+    monkeypatch.chdir(tmp_path)
+    n, L = 3000, 24
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    with open("g.fa", "wb") as fp:
+        fp.write(b">c\n" + decode_bases(codes) + b"\n")
+    # read = exact rc of a window (NM 0 on minus strand); plant a 1-error
+    # plus-strand copy EARLIER in the text so it enumerates first
+    sm = 2000
+    read = reverse_complement(codes[sm : sm + L][None])[0]
+    codes2 = codes.copy()
+    codes2[100 : 100 + L] = read
+    codes2[110] = (codes2[110] + 1) & 3  # 1 error in the plus-strand copy
+    with open("g.fa", "wb") as fp:
+        fp.write(b">c\n" + decode_bases(codes2) + b"\n")
+    with open("q.qry", "wb") as fp:
+        fp.write(b"> b\n%s\n" % decode_bases(read))
+    cli.main(["locate", "g.fa", str(n), "q.qry", str(L), "1",
+              "--k", "2", "--d", "64", "--sample-rate", "8",
+              "--mismatches", "1", "--sam", "--output", "o.sam"])
+    _, recs = _parse("o.sam")
+    primary = [r for r in recs if not r["flag"] & 0x100]
+    assert len(primary) == 1
+    # the exact minus-strand site must be primary despite enumeration order
+    assert primary[0]["flag"] & 0x10 and "NM:i:0" in primary[0]["tags"]
+
+
+def test_sam_negative_mismatches_rejected(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    codes = rng.integers(0, 4, size=1000, dtype=np.uint8)
+    with open("g.fa", "wb") as fp:
+        fp.write(b">c\n" + decode_bases(codes) + b"\n")
+    with open("q.qry", "wb") as fp:
+        fp.write(b"> z\n%s\n" % decode_bases(codes[:20]))
+    with pytest.raises(SystemExit, match=">= 0"):
+        cli.main(["locate", "g.fa", "1000", "q.qry", "20", "1",
+                  "--k", "2", "--d", "64", "--sample-rate", "8",
+                  "--sam", "--mismatches", "-1"])

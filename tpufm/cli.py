@@ -664,6 +664,11 @@ def cmd_locate(args):
             )
         return read_contigs(args.reference, args.refsize or None)
 
+    if args.mismatches < 0 or args.edits < 0:
+        sys.exit("--mismatches/--edits must be >= 0")
+    if args.edits and args.mismatches:
+        sys.exit("--edits (indel-aware) and --mismatches (substitutions "
+                 "only) are different distance models; pass one")
     if args.sam and args.edits:
         sys.exit("--sam covers exact and Hamming matching (pure <L>M "
                  "CIGARs); edit-distance CIGARs need alignment paths and "
@@ -691,15 +696,16 @@ def cmd_locate(args):
                 index, loc, make_mesh(args.mesh or None),
                 max_hits=args.max_hits, lut_m=args.lut,
             )
+        s_overflow = None
         if args.mismatches >= 2:
             if dp is not None:
-                pos, _, _ = dp.locate_approx(
+                pos, _, s_overflow = dp.locate_approx(
                     q2, codes, args.mismatches, seed_hits=args.seed_hits
                 )
             else:
                 from tpufm.engine.seed import SeedExtendEngine
 
-                pos, _, _ = SeedExtendEngine(
+                pos, _, s_overflow = SeedExtendEngine(
                     index, loc, codes, mismatches=args.mismatches,
                     seed_hits=args.seed_hits, max_hits=args.max_hits,
                     lut_m=args.lut,
@@ -731,6 +737,12 @@ def cmd_locate(args):
                 names, queries, pos[:nq], pos[nq:], cmap,
                 codes=codes if args.mismatches else None,
             ))
+        if s_overflow is not None and s_overflow.any():
+            print(
+                f"warning: {int(s_overflow.sum())} read strands hit the "
+                f"seed-hits={args.seed_hits} cap; their SAM records are "
+                "lower bounds"
+            )
         print(f"{nq} reads, both strands")
         print(f"wrote {out}")
         return
@@ -748,24 +760,31 @@ def cmd_locate(args):
             from tpufm.parallel import make_mesh
 
             mesh = make_mesh(args.mesh or None)
+        sam_cmap = _contig_map() if args.sam else None
         r2 = load_queries(args.paired, args.qrysize, args.numqueries)
         pairs, strand, counts, p_overflow = PairedEndEngine(
             index, loc, args.insert_min, args.insert_max,
             max_hits=args.max_hits, max_pairs=args.max_pairs, mesh=mesh,
             lut_m=args.lut,
         ).pair(queries, r2)
+        if p_overflow.any():
+            print(
+                f"warning: {int(p_overflow.sum())} read pairs have a mate "
+                f"in a repeat wider than max-hits={args.max_hits}; their "
+                "pair lists are lower bounds"
+            )
         if args.sam:
+            from tpufm.io.fasta import load_query_names
             from tpufm.io.sam import sam_header, sam_paired_records
 
-            from tpufm.io.fasta import load_query_names
-
-            cmap = _contig_map()
             names = load_query_names(args.queries, nq)
             out = args.output or f"{args.queries}.sam"
             with open(out, "w") as fp:
-                fp.write(sam_header(cmap, extra_pg="tpufm locate --paired --sam"))
+                fp.write(sam_header(
+                    sam_cmap, extra_pg="tpufm locate --paired --sam"
+                ))
                 fp.write(sam_paired_records(
-                    names, queries, r2, pairs, strand, counts, cmap
+                    names, queries, r2, pairs, strand, sam_cmap
                 ))
             print(
                 f"{nq} read pairs, {int((counts > 0).sum())} properly "
@@ -773,24 +792,7 @@ def cmd_locate(args):
             )
             print(f"wrote {out}")
             return
-        if p_overflow.any():
-            print(
-                f"warning: {int(p_overflow.sum())} read pairs have a mate "
-                f"in a repeat wider than max-hits={args.max_hits}; their "
-                "pair lists are lower bounds"
-            )
-        cmap = None
-        if args.contigs:
-            import os
-
-            from tpufm.io.contigs import read_contigs
-
-            if not os.path.exists(args.reference):
-                sys.exit(
-                    "--contigs needs the reference FASTA to map record "
-                    "boundaries (pass its real path even with --from-store)"
-                )
-            cmap = read_contigs(args.reference, args.refsize or None)
+        cmap = _contig_map() if args.contigs else None
         out = args.output or f"{args.queries}.pairs"
         with open(out, "w") as fp:
             for i in range(nq):
@@ -824,11 +826,6 @@ def cmd_locate(args):
     # in-place; the two-pass paths hand it to the search engine).
     tail = loc.lf1 if args.qrysize % index.config.k else None
 
-    if args.mismatches < 0 or args.edits < 0:
-        sys.exit("--mismatches/--edits must be >= 0")
-    if args.edits and args.mismatches:
-        sys.exit("--edits (indel-aware) and --mismatches (substitutions "
-                 "only) are different distance models; pass one")
     if args.edits:
         # Edit-distance (indel-aware) sites: pigeonhole seeds + batched
         # Myers bit-vector verify (engine/edit.py). Like --mismatches >= 2
@@ -954,21 +951,10 @@ def cmd_locate(args):
         intervals = XLAEngine(index, tail_index=tail, lut_m=args.lut).search(queries)
         pos = LocateEngine(loc).locate_hits(intervals, max_hits=args.max_hits)
 
-    cmap = None
-    if args.contigs:
-        # chromosome:offset output — positions resolved against the
-        # multi-FASTA record map; matches that run past their record's
-        # end (concatenation artifacts) are flagged ':spans'
-        import os
-
-        from tpufm.io.contigs import read_contigs
-
-        if not os.path.exists(args.reference):
-            sys.exit(
-                "--contigs needs the reference FASTA to map record "
-                "boundaries (pass its real path even with --from-store)"
-            )
-        cmap = read_contigs(args.reference, args.refsize or None)
+    # chromosome:offset output — positions resolved against the
+    # multi-FASTA record map; matches that run past their record's
+    # end (concatenation artifacts) are flagged ':spans'
+    cmap = _contig_map() if args.contigs else None
 
     def _write_pos(path, rows):
         with open(path, "w") as fp:

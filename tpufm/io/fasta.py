@@ -114,9 +114,16 @@ def load_queries(path, query_len: int, num_queries: int | None = None) -> np.nda
 
 
 def load_query_names(path, num_queries: int | None = None) -> list[str]:
-    """Read names (first whitespace token of each '>'/'@' header) from a
-    .qry/FASTA/FASTQ query file, same detection rules as load_queries —
-    for SAM QNAMEs. Falls back to r{i} for nameless headers."""
+    """Read one name per READ (not per header) from a .qry/FASTA/FASTQ
+    query file — for SAM QNAMEs. Iteration mirrors load_queries exactly
+    (every non-empty non-header line is a read; FASTQ records with empty
+    sequences are skipped), so names[i] always labels reads[i] even for
+    multi-line FASTA records, where each line inherits the last header's
+    first token. Nameless or undecodable headers fall back to r{i}."""
+    def tok(header: bytes, i: int) -> str:
+        t = header[1:].split()
+        return t[0].decode("ascii", "replace") if t else f"r{i}"
+
     names = []
     with open_maybe_gzip(path) as fp:
         fastq = fp.read(1) == b"@"
@@ -126,21 +133,24 @@ def load_query_names(path, num_queries: int | None = None) -> list[str]:
                 header = fp.readline()
                 if not header:
                     break
-                tok = header[1:].split()
-                names.append(
-                    tok[0].decode() if tok else f"r{len(names)}"
-                )
+                seq = fp.readline().strip()
                 fp.readline()
                 fp.readline()
-                fp.readline()
+                if not seq:
+                    continue  # load_queries skips empty-sequence records
+                names.append(tok(header, len(names)))
                 if num_queries is not None and len(names) == num_queries:
                     break
         else:
+            current = None
             for line in fp:
                 if line.startswith(b">"):
-                    tok = line[1:].split()
+                    current = line
+                elif line.strip():
                     names.append(
-                        tok[0].decode() if tok else f"r{len(names)}"
+                        tok(current, len(names))
+                        if current is not None
+                        else f"r{len(names)}"
                     )
                     if num_queries is not None and len(names) == num_queries:
                         break

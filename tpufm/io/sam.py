@@ -46,20 +46,11 @@ def sam_header(cmap, extra_pg: str = "") -> str:
     return "\n".join(lines) + "\n"
 
 
-def _resolve(cmap, pos: int, span_len: int):
-    """(name, 1-based offset) or None when the hit crosses a record
-    boundary (dropped from SAM output)."""
-    idx, off, spans = cmap.resolve(
-        np.asarray([pos], np.uint32), query_len=span_len
-    )
-    if idx[0] < 0 or spans[0]:
-        return None
-    return cmap.names[idx[0]], int(off[0]) + 1
-
-
 def sam_single_records(names, reads, pos_fwd, pos_rc, cmap, codes=None) -> str:
     """One SAM block per read: primary + secondary records over both
-    strands' hits, or one unmapped record.
+    strands' hits, or one unmapped record. The PRIMARY record is the
+    lowest-NM site (ties: forward strand first, then position order) —
+    the representative-alignment convention; the rest carry 0x100.
 
     names: list[str] QNAMEs. reads: uint8 [B, L] as sequenced.
     pos_fwd/pos_rc: uint32 [B, max_hits] sentinel-padded absolute
@@ -68,78 +59,97 @@ def sam_single_records(names, reads, pos_fwd, pos_rc, cmap, codes=None) -> str:
     (Hamming alignments are pure <L>M CIGARs, so this covers
     --mismatches output exactly); when None the sites are exact and
     NM:i:0."""
-    out = []
     L = reads.shape[1]
+    rcs = reverse_complement(reads)
+    # resolve every site in two vectorized passes (not per hit)
+    idx_f, off_f, sp_f = cmap.resolve(pos_fwd, query_len=L)
+    idx_r, off_r, sp_r = cmap.resolve(pos_rc, query_len=L)
+    out = []
     for i, name in enumerate(names):
-        fwd = reads[i]
-        rc = reverse_complement(reads[i][None])[0]
-        seq_f = decode_bases(fwd).decode()
-        seq_r = decode_bases(rc).decode()
-        # the sequence as it matches the FORWARD reference per strand
-        sites = [(int(p), 0, seq_f, fwd) for p in pos_fwd[i] if p != _SENT]
-        sites += [(int(p), 16, seq_r, rc) for p in pos_rc[i] if p != _SENT]
-        emitted = 0
-        for p, flag, seq, match in sites:
-            r = _resolve(cmap, p, L)
-            if r is None:
-                continue
-            rname, pos1 = r
-            nm = 0 if codes is None else int(
-                (codes[p : p + L] != match).sum()
-            )
+        seq_f = decode_bases(reads[i]).decode()
+        seq_r = decode_bases(rcs[i]).decode()
+        sites = []  # (nm, order, flag, rname, pos1, seq)
+        order = 0
+        for pos_row, idx, off, sp, flag, seq, match in (
+            (pos_fwd[i], idx_f[i], off_f[i], sp_f[i], 0, seq_f, reads[i]),
+            (pos_rc[i], idx_r[i], off_r[i], sp_r[i], 16, seq_r, rcs[i]),
+        ):
+            for j in range(pos_row.shape[0]):
+                if pos_row[j] == _SENT or idx[j] < 0 or sp[j]:
+                    continue
+                p = int(pos_row[j])
+                nm = 0 if codes is None else int(
+                    (codes[p : p + L] != match).sum()
+                )
+                sites.append(
+                    (nm, order, flag, cmap.names[idx[j]], int(off[j]) + 1, seq)
+                )
+                order += 1
+        sites.sort(key=lambda s: (s[0], s[1]))
+        for emitted, (nm, _, flag, rname, pos1, seq) in enumerate(sites):
             f = flag | (0x100 if emitted else 0)
             out.append(
                 f"{name}\t{f}\t{rname}\t{pos1}\t255\t{L}M\t*\t0\t0\t"
                 f"{seq}\t*\tNM:i:{nm}"
             )
-            emitted += 1
-        if not emitted:
+        if not sites:
             out.append(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq_f}\t*")
     return "\n".join(out) + "\n"
 
 
-def sam_paired_records(names, r1, r2, pairs, strand, counts, cmap) -> str:
+def sam_paired_records(names, r1, r2, pairs, strand, cmap) -> str:
     """Two SAM records per read pair: the primary proper pair (additional
     pairs as secondary record pairs), or the standard both-unmapped pair.
 
-    pairs/strand/counts are PairedEndEngine.pair outputs; `pairs[i, j]` is
+    pairs/strand are PairedEndEngine.pair outputs; `pairs[i, j]` is
     (leftmost mate start, rightmost mate start) and strand 0 means R1 is
     the plus-strand (leftmost) mate."""
     out = []
     L1, L2 = r1.shape[1], r2.shape[1]
+    r1r = reverse_complement(r1)
+    r2r = reverse_complement(r2)
+    # vectorized resolution of every pair's two mates; span check uses
+    # the longer mate (conservative: a spanning mate drops the pair)
+    idx_l, off_l, sp_l = cmap.resolve(pairs[..., 0], query_len=max(L1, L2))
+    idx_r, off_r, sp_r = cmap.resolve(pairs[..., 1], query_len=max(L1, L2))
     for i, name in enumerate(names):
         seq1f = decode_bases(r1[i]).decode()
-        seq1r = decode_bases(reverse_complement(r1[i][None])[0]).decode()
+        seq1r = decode_bases(r1r[i]).decode()
         seq2f = decode_bases(r2[i]).decode()
-        seq2r = decode_bases(reverse_complement(r2[i][None])[0]).decode()
+        seq2r = decode_bases(r2r[i]).decode()
         emitted = 0
         for j in range(pairs.shape[1]):
-            if pairs[i, j, 0] == _SENT:
+            if (
+                pairs[i, j, 0] == _SENT
+                or idx_l[i, j] < 0
+                or idx_r[i, j] < 0
+                or idx_l[i, j] != idx_r[i, j]
+                or sp_l[i, j]
+                or sp_r[i, j]
+            ):
                 continue
             left, right = int(pairs[i, j, 0]), int(pairs[i, j, 1])
+            rname = cmap.names[idx_l[i, j]]
+            lpos1, rpos1 = int(off_l[i, j]) + 1, int(off_r[i, j]) + 1
             if strand[i, j] == 0:
                 # R1 forward at left, rc(R2) at right
-                p1, f1, s1, l1 = left, 0x63, seq1f, L1   # 1|2|32|64
-                p2, f2, s2, l2 = right, 0x93, seq2r, L2  # 1|2|16|128
+                p1, f1, s1, l1 = lpos1, 0x63, seq1f, L1   # 1|2|32|64
+                p2, f2, s2, l2 = rpos1, 0x93, seq2r, L2   # 1|2|16|128
                 frag = right + L2 - left
             else:
                 # R2 forward at left, rc(R1) at right
-                p1, f1, s1, l1 = right, 0x53, seq1r, L1  # 1|2|16|64
-                p2, f2, s2, l2 = left, 0xA3, seq2f, L2   # 1|2|32|128
+                p1, f1, s1, l1 = rpos1, 0x53, seq1r, L1   # 1|2|16|64
+                p2, f2, s2, l2 = lpos1, 0xA3, seq2f, L2   # 1|2|32|128
                 frag = right + L1 - left
-            ra = _resolve(cmap, p1, l1)
-            rb = _resolve(cmap, p2, l2)
-            if ra is None or rb is None or ra[0] != rb[0]:
-                continue
             sec = 0x100 if emitted else 0
             t1 = frag if p1 <= p2 else -frag
             out.append(
-                f"{name}\t{f1 | sec}\t{ra[0]}\t{ra[1]}\t255\t{l1}M\t=\t"
-                f"{rb[1]}\t{t1}\t{s1}\t*\tNM:i:0"
+                f"{name}\t{f1 | sec}\t{rname}\t{p1}\t255\t{l1}M\t=\t"
+                f"{p2}\t{t1}\t{s1}\t*\tNM:i:0"
             )
             out.append(
-                f"{name}\t{f2 | sec}\t{rb[0]}\t{rb[1]}\t255\t{l2}M\t=\t"
-                f"{ra[1]}\t{-t1}\t{s2}\t*\tNM:i:0"
+                f"{name}\t{f2 | sec}\t{rname}\t{p2}\t255\t{l2}M\t=\t"
+                f"{p1}\t{-t1}\t{s2}\t*\tNM:i:0"
             )
             emitted += 1
         if not emitted:
