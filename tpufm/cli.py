@@ -1102,7 +1102,10 @@ def main(argv=None):
     cn.add_argument("--mismatches", type=int, default=0, choices=[0, 1],
                     help="1 = count occurrences within Hamming distance 1 "
                          "(on-device 3L+1 variant expansion, full "
-                         "sensitivity, ~3L x the exact-search device work)")
+                         "sensitivity, ~3L x the exact-search device "
+                         "work). For m >= 2 use `tpufm locate "
+                         "--mismatches M`, which carries the locate "
+                         "tables the seed filter needs")
     cn.add_argument("--lut", type=int, default=0,
                     help="prefix LUT m-mer size (same as search --lut)")
     cn.add_argument("--tail", default=None, metavar="PATH",
