@@ -129,3 +129,61 @@ def test_search_resumable_stats_and_mesh_wave(tmp_path, rng):
     from tpufm.io.stream import _default_wave
 
     assert _default_wave(eng) == eng.WAVE_PER_CHIP * n_dev
+
+
+def test_locate_resumable_roundtrip(tmp_path, rng):
+    """locate_resumable: kill mid-run, resume, positions match the
+    uninterrupted fused run."""
+    from tpufm.config import IndexConfig
+    from tpufm.engine.xla import SearchLocateEngine
+    from tpufm.index.builder import build_index
+    from tpufm.index.locate import build_locate
+    from tpufm.index.suffix_array import suffix_array
+    from tpufm.io.genreads import generate_reads
+    from tpufm.io.stream import locate_resumable
+
+    codes = rng.integers(0, 4, size=2000, dtype=np.uint8)
+    sa = suffix_array(codes, method="doubling")
+    index = build_index(codes, IndexConfig(k=2, d=64), sa=sa)
+    loc = build_locate(codes, sample_rate=8, d=64, sa=sa)
+    queries = np.asarray(generate_reads(codes, 20, 100, seed=3))
+    eng = SearchLocateEngine(index, loc, max_hits=4)
+    out = tmp_path / "r.pos"
+
+    calls = {"n": 0}
+    real = eng.search_locate
+
+    def flaky(chunk, wave=None):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated crash")
+        return real(chunk)
+
+    eng.search_locate = flaky
+    with pytest.raises(RuntimeError):
+        locate_resumable(eng, queries, out, 4, wave=32)
+    assert (tmp_path / "r.pos.partial").exists()
+    eng.search_locate = real
+    res = locate_resumable(eng, queries, out, 4, wave=32)
+    want = real(queries)[1]
+    np.testing.assert_array_equal(res, want)
+    assert not (tmp_path / "r.pos.partial").exists()
+
+
+def test_cli_locate_resume(tmp_path, rng, monkeypatch):
+    from tpufm import cli
+    from tpufm.io.fasta import write_reference
+    from tpufm.utils.encoding import decode_bases
+
+    monkeypatch.chdir(tmp_path)
+    codes = rng.integers(0, 4, size=3000, dtype=np.uint8)
+    write_reference("g.fa", decode_bases(codes))
+    cli.main(["genreads", "g.fa", "3000", "20", "16", "--seed", "8"])
+    qry = "Q-16_B-20_R-3000.qry"
+    base = ["locate", "g.fa", "3000", qry, "20", "16",
+            "--k", "2", "--d", "64", "--sample-rate", "8"]
+    cli.main([*base, "--output", "a.pos"])
+    cli.main([*base, "--resume", "--output", "b.pos"])
+    assert open("b.pos").read() == open("a.pos").read()
+    with pytest.raises(SystemExit, match="exact position"):
+        cli.main([*base, "--resume", "--sam"])

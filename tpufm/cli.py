@@ -677,6 +677,10 @@ def cmd_locate(args):
         sys.exit("--sam --paired is exact-only; drop --mismatches")
     if args.sam and args.rc:
         sys.exit("--sam reports both strands by definition; drop --rc")
+    if args.resume and (args.sam or args.paired or args.mismatches
+                        or args.edits):
+        sys.exit("locate --resume covers exact position output; drop "
+                 "--sam/--paired/--mismatches/--edits")
     if args.sam and not args.paired:
         # Single-end SAM: both strands ride one device batch; FLAG 16
         # marks minus-strand records (io/sam.py). Hamming sites (pure
@@ -916,6 +920,30 @@ def cmd_locate(args):
             pos = SearchLocateEngine(
                 index, loc, max_hits=args.max_hits, lut_m=args.lut
             ).locate_mismatch(queries)
+    elif args.resume:
+        # Wave-checkpointed exact locate (io/stream.py locate_resumable):
+        # a killed genome-scale run re-invoked with the same arguments
+        # continues from its last completed wave. Rides the fused engine
+        # (single-chip or mesh).
+        from tpufm.io.stream import locate_resumable
+
+        if args.mesh is not None:
+            from tpufm.parallel import DataParallelSearchLocate, make_mesh
+
+            eng = DataParallelSearchLocate(
+                index, loc, make_mesh(args.mesh or None),
+                max_hits=args.max_hits, lut_m=args.lut,
+            )
+        else:
+            from tpufm.engine.xla import SearchLocateEngine
+
+            eng = SearchLocateEngine(
+                index, loc, max_hits=args.max_hits, lut_m=args.lut
+            )
+        pos = locate_resumable(
+            eng, queries, args.output or f"{args.queries}.pos",
+            args.max_hits,
+        )
     elif args.mesh is not None:
         # Multi-chip: batch-sharded search + row-sharded locate walk over
         # the same mesh (tables replicated — they are small, docs/PERF.md).
@@ -1231,6 +1259,10 @@ def main(argv=None):
                     help="--paired: largest proper fragment length")
     lc.add_argument("--max-pairs", type=int, default=4,
                     help="--paired: proper pairs reported per read pair")
+    lc.add_argument("--resume", action="store_true",
+                    help="checkpoint each completed wave next to the "
+                         "output; a killed run re-invoked with the same "
+                         "arguments continues (exact positions only)")
     lc.add_argument("--lut", type=int, default=0,
                     help="prefix LUT m-mer size for the search scan "
                          "(same as search --lut; seeds reuse it when "

@@ -64,6 +64,37 @@ def search_resumable(
     seconds of this invocation (checkpoint fsync/serialization excluded) —
     the number the TIME: protocol should report.
     """
+    return _stream_resumable(
+        lambda chunk: np.asarray(engine.search(chunk), dtype=np.uint32),
+        engine, queries, out_path, 2, wave, stats,
+    )
+
+
+def locate_resumable(
+    engine,
+    queries: np.ndarray,
+    out_path,
+    max_hits: int,
+    wave: int | None = None,
+    stats: dict | None = None,
+) -> np.ndarray:
+    """Positions twin of search_resumable: `engine` is a fused
+    search+locate engine (SearchLocateEngine or DataParallelSearchLocate);
+    each completed wave checkpoints its uint32 [W, max_hits] position rows,
+    so a killed genome-scale locate run re-invoked with the same arguments
+    continues where it stopped."""
+    return _stream_resumable(
+        lambda chunk: np.ascontiguousarray(
+            np.asarray(engine.search_locate(chunk)[1], dtype=np.uint32)
+        ),
+        engine, queries, out_path, max_hits, wave, stats,
+    )
+
+
+def _stream_resumable(run, engine, queries, out_path, row_words, wave, stats):
+    """Shared wave-checkpointed driver: run(chunk) -> uint32
+    [len(chunk), row_words]; rows append to .partial with an atomic
+    .progress sidecar (fingerprinted, torn-JSON safe)."""
     wave = wave or _default_wave(engine)
     mesh = getattr(engine, "mesh", None)
     n_dev = mesh.devices.size if mesh is not None else 1
@@ -76,8 +107,11 @@ def search_resumable(
     prog = out_path.with_suffix(out_path.suffix + ".progress")
 
     B = queries.shape[0]
+    row_bytes = 4 * row_words
     n_waves = -(-B // wave)
-    fp_now = _fingerprint(engine, queries)
+    fp_now = zlib.crc32(
+        repr(row_words).encode(), _fingerprint(engine, queries)
+    )
     state = {"total": B, "wave": wave, "done_waves": 0, "fingerprint": fp_now}
     if prog.exists() and part.exists():
         try:
@@ -90,7 +124,7 @@ def search_resumable(
             and prev.get("fingerprint") == fp_now
             and 0 < prev.get("done_waves", 0) <= n_waves
             and part.stat().st_size
-            == min(prev["done_waves"] * wave, B) * 8
+            == min(prev["done_waves"] * wave, B) * row_bytes
         ):
             state = prev
 
@@ -98,7 +132,7 @@ def search_resumable(
     start_wave = state["done_waves"]
     mode = "r+b" if start_wave else "wb"
     with open(part, mode) as fp:
-        fp.seek(min(start_wave * wave, B) * 8)
+        fp.seek(min(start_wave * wave, B) * row_bytes)
         for w in range(start_wave, n_waves):
             lo = w * wave
             chunk = queries[lo : lo + wave]
@@ -109,11 +143,11 @@ def search_resumable(
                 pad = -real % n_dev
                 chunk = pad_cycle(chunk, pad)
                 t0 = time.perf_counter()
-                res = np.asarray(engine.search(chunk), dtype=np.uint32)[:real]
+                res = run(chunk)[:real]
                 search_s += time.perf_counter() - t0
             else:
                 t0 = time.perf_counter()
-                res = np.asarray(engine.search(chunk), dtype=np.uint32)
+                res = run(chunk)
                 search_s += time.perf_counter() - t0
             fp.write(np.ascontiguousarray(res).tobytes())
             fp.flush()
@@ -127,7 +161,7 @@ def search_resumable(
 
     if stats is not None:
         stats["search_s"] = search_s
-    out = np.fromfile(part, dtype=np.uint32).reshape(B, 2)  # writable copy
+    out = np.fromfile(part, dtype=np.uint32).reshape(B, row_words)
     part.unlink()
     prog.unlink()
     return out
