@@ -179,10 +179,10 @@ def test_sam_unpaired_pair_and_guards(tmp_path, rng, monkeypatch):
               "--paired", "b.qry", "--sam", "--output", "o.sam"])
     _, recs = _parse("o.sam")
     assert [r["flag"] for r in recs] == [77, 141]
-    with pytest.raises(SystemExit, match="edit-distance CIGARs"):
+    with pytest.raises(SystemExit, match="exact-only"):
         cli.main(["locate", "g.fa", str(n), "a.qry", str(L), "1",
                   "--k", "2", "--d", "64", "--sample-rate", "8",
-                  "--sam", "--edits", "1"])
+                  "--paired", "b.qry", "--sam", "--edits", "1"])
     with pytest.raises(SystemExit, match="exact-only"):
         cli.main(["locate", "g.fa", str(n), "a.qry", str(L), "1",
                   "--k", "2", "--d", "64", "--sample-rate", "8",
@@ -311,3 +311,63 @@ def test_sam_negative_mismatches_rejected(tmp_path, rng, monkeypatch):
         cli.main(["locate", "g.fa", "1000", "q.qry", "20", "1",
                   "--k", "2", "--d", "64", "--sample-rate", "8",
                   "--sam", "--mismatches", "-1"])
+
+
+def _cigar_walk(cigar):
+    """(read bases consumed, ref bases consumed, edit ops) from a CIGAR."""
+    import re
+
+    rd = rf = ops = 0
+    for n, sym in re.findall(r"(\d+)([MID])", cigar):
+        n = int(n)
+        if sym == "M":
+            rd += n
+            rf += n
+        elif sym == "I":
+            rd += n
+            ops += n
+        else:
+            rf += n
+            ops += n
+    return rd, rf, ops
+
+
+def test_sam_edit_cigars(tmp_path, rng, monkeypatch):
+    """--sam --edits E: records carry REAL M/I/D CIGARs from the host
+    re-alignment; a planted deletion shows D, an insertion shows I, CIGAR
+    read-lengths always equal L, and NM:i matches the planted distance."""
+    monkeypatch.chdir(tmp_path)
+    n, L, E = 4000, 30, 1
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    with open("g.fa", "wb") as fp:
+        fp.write(b">c\n" + decode_bases(codes) + b"\n")
+    sd, si, sm = 500, 1500, 2500
+    r_del = np.concatenate([codes[sd : sd + 9], codes[sd + 10 : sd + L + 1]])
+    r_ins = np.concatenate(
+        [codes[si : si + 12], [(codes[si + 12] + 1) & 3], codes[si + 12 : si + L - 1]]
+    ).astype(np.uint8)
+    r_min = reverse_complement(codes[sm : sm + L][None])[0]  # exact, minus
+    reads = np.stack([r_del[:L], r_ins[:L], r_min])
+    with open("q.qry", "wb") as fp:
+        for i in range(3):
+            fp.write(b"> d%d\n%s\n" % (i, decode_bases(reads[i])))
+    cli.main(["locate", "g.fa", str(n), "q.qry", str(L), "3",
+              "--k", "2", "--d", "64", "--sample-rate", "8",
+              "--edits", str(E), "--sam", "--output", "o.sam"])
+    _, recs = _parse("o.sam")
+    by = {}
+    for r in recs:
+        by.setdefault(r["qname"], []).append(r)
+    d0 = by["d0"][0]
+    assert "D" in d0["cigar"] and "NM:i:1" in d0["tags"]
+    d1 = by["d1"][0]
+    assert "I" in d1["cigar"] and "NM:i:1" in d1["tags"]
+    d2 = by["d2"][0]
+    assert d2["flag"] & 0x10 and d2["cigar"] == f"{L}M"
+    assert "NM:i:0" in d2["tags"] and d2["pos"] == sm + 1
+    for r in recs:
+        rd, rf, ops = _cigar_walk(r["cigar"])
+        assert rd == L, r
+        # NM equals substitutions + indel bases; indel part bounded by ops
+        nmv = int(next(t for t in r["tags"] if t.startswith("NM:i:"))[5:])
+        assert ops <= nmv <= E

@@ -669,12 +669,8 @@ def cmd_locate(args):
     if args.edits and args.mismatches:
         sys.exit("--edits (indel-aware) and --mismatches (substitutions "
                  "only) are different distance models; pass one")
-    if args.sam and args.edits:
-        sys.exit("--sam covers exact and Hamming matching (pure <L>M "
-                 "CIGARs); edit-distance CIGARs need alignment paths and "
-                 "are future work (docs/ROADMAP.md)")
-    if args.sam and args.paired and args.mismatches:
-        sys.exit("--sam --paired is exact-only; drop --mismatches")
+    if args.sam and args.paired and (args.mismatches or args.edits):
+        sys.exit("--sam --paired is exact-only; drop --mismatches/--edits")
     if args.sam and args.rc:
         sys.exit("--sam reports both strands by definition; drop --rc")
     if args.resume and (args.sam or args.paired or args.mismatches
@@ -714,6 +710,19 @@ def cmd_locate(args):
                     seed_hits=args.seed_hits, max_hits=args.max_hits,
                     lut_m=args.lut,
                 ).locate_approx(q2)
+        elif args.edits:
+            if dp is not None:
+                pos, _, s_overflow = dp.locate_edits(
+                    q2, codes, args.edits, seed_hits=args.seed_hits
+                )
+            else:
+                from tpufm.engine.edit import EditExtendEngine
+
+                pos, _, s_overflow = EditExtendEngine(
+                    index, loc, codes, edits=args.edits,
+                    seed_hits=args.seed_hits, max_hits=args.max_hits,
+                    lut_m=args.lut,
+                ).locate_edits(q2)
         elif args.mismatches:
             if dp is not None:
                 pos = dp.locate_mismatch(q2)
@@ -737,10 +746,18 @@ def cmd_locate(args):
         out = args.output or f"{args.queries}.sam"
         with open(out, "w") as fp:
             fp.write(sam_header(cmap, extra_pg="tpufm locate --sam"))
-            fp.write(sam_single_records(
-                names, queries, pos[:nq], pos[nq:], cmap,
-                codes=codes if args.mismatches else None,
-            ))
+            if args.edits:
+                from tpufm.io.sam import sam_edit_records
+
+                fp.write(sam_edit_records(
+                    names, queries, pos[:nq], pos[nq:], cmap, codes,
+                    args.edits,
+                ))
+            else:
+                fp.write(sam_single_records(
+                    names, queries, pos[:nq], pos[nq:], cmap,
+                    codes=codes if args.mismatches else None,
+                ))
         if s_overflow is not None and s_overflow.any():
             print(
                 f"warning: {int(s_overflow.sum())} read strands hit the "

@@ -97,6 +97,61 @@ def sam_single_records(names, reads, pos_fwd, pos_rc, cmap, codes=None) -> str:
     return "\n".join(out) + "\n"
 
 
+def sam_edit_records(names, reads, pos_fwd, pos_rc, cmap, codes,
+                     edits: int) -> str:
+    """Edit-distance SAM records with REAL CIGARs: every reported site is
+    re-aligned on the host (utils/align.edit_alignments — start-anchored
+    free-end DP with traceback, batched over the hit list), yielding
+    M/I/D CIGARs and NM:i. Primary is the lowest-NM site; span checks use
+    each alignment's ACTUAL reference span, so sites near a contig end
+    survive when their alignment fits."""
+    from tpufm.utils.align import edit_alignments
+
+    L = reads.shape[1]
+    rcs = reverse_complement(reads)
+    sites = []  # (read i, flag, abs pos)
+    for i in range(len(names)):
+        for p in pos_fwd[i]:
+            if p != _SENT:
+                sites.append((i, 0, int(p)))
+        for p in pos_rc[i]:
+            if p != _SENT:
+                sites.append((i, 16, int(p)))
+    if sites:
+        mats = np.stack([
+            (reads if f == 0 else rcs)[i] for i, f, _ in sites
+        ])
+        pos_arr = np.asarray([p for _, _, p in sites], np.int64)
+        cigars, nm, ref_span = edit_alignments(codes, mats, pos_arr, edits)
+        idx, off, _ = cmap.resolve(pos_arr.astype(np.uint32))
+        ends = np.append(cmap.starts[1:], cmap.total)
+        clen = ends[np.maximum(idx, 0)] - cmap.starts[np.maximum(idx, 0)]
+        ok = (idx >= 0) & (off + ref_span <= clen)
+    per_read = {}
+    for j, (i, flag, _) in enumerate(sites):
+        if not ok[j]:
+            continue
+        per_read.setdefault(i, []).append(
+            (int(nm[j]), len(per_read.get(i, ())), flag,
+             cmap.names[idx[j]], int(off[j]) + 1, cigars[j])
+        )
+    out = []
+    for i, name in enumerate(names):
+        rows = sorted(per_read.get(i, []))
+        seq_f = decode_bases(reads[i]).decode()
+        seq_r = decode_bases(rcs[i]).decode()
+        for emitted, (nm_j, _, flag, rname, pos1, cigar) in enumerate(rows):
+            f = flag | (0x100 if emitted else 0)
+            seq = seq_r if flag & 0x10 else seq_f
+            out.append(
+                f"{name}\t{f}\t{rname}\t{pos1}\t255\t{cigar}\t*\t0\t0\t"
+                f"{seq}\t*\tNM:i:{nm_j}"
+            )
+        if not rows:
+            out.append(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq_f}\t*")
+    return "\n".join(out) + "\n"
+
+
 def sam_paired_records(names, r1, r2, pairs, strand, cmap) -> str:
     """Two SAM records per read pair: the primary proper pair (additional
     pairs as secondary record pairs), or the standard both-unmapped pair.
