@@ -68,6 +68,7 @@ def test_sam_single_end(tmp_path, rng, monkeypatch):
 
     r0 = by["x0"][0]  # plus strand
     assert r0["flag"] == 0 and r0["rname"] == "cA" and r0["pos"] == sp + 1
+    assert r0["mapq"] == 60  # unique best site
     assert r0["cigar"] == f"{L}M" and "NM:i:0" in r0["tags"]
     np.testing.assert_array_equal(
         encode_bases(r0["seq"].encode()), codes[sp : sp + L]
@@ -106,6 +107,8 @@ def test_sam_secondary_records(tmp_path, rng, monkeypatch):
     assert recs[0]["flag"] & 0x100 == 0
     assert recs[1]["flag"] & 0x100
     assert {r["pos"] for r in recs} == {s0 + 1, s0 + 500 + 1}
+    # tied-best multi-mapper: MAPQ 0 on every record
+    assert all(r["mapq"] == 0 for r in recs)
 
 
 def test_sam_paired(tmp_path, rng, monkeypatch):

@@ -1,12 +1,11 @@
-"""Minimal SAM (v1.6) emission for exact matches — single-end (both
-strands) and paired-end.
+"""SAM (v1.6) emission — single-end (both strands, exact / Hamming /
+edit distance) and exact paired-end.
 
-Scope is deliberately exact-match only: CIGAR is then always `<L>M` with
-NM:i:0, and FLAG semantics are unambiguous. Hamming/edit hits need
-per-alignment CIGARs (edit paths are not recovered by the Myers scan),
-so `--sam` rejects those modes for now (docs/ROADMAP.md). The reference
-suite has no position output at all, let alone SAM; this exists so tpufm
-plugs into samtools-style pipelines.
+Exact and Hamming sites are pure `<L>M` CIGARs (substitutions live under
+M) with NM:i the per-site distance; edit-distance sites are re-aligned
+on the host (utils/align.edit_alignments) for real M/I/D CIGARs. The
+reference suite has no position output at all, let alone SAM; this
+exists so tpufm plugs into samtools-style pipelines.
 
 Conventions implemented (SAM spec v1.6):
 - POS is 1-based, RNAME/POS resolved through the multi-FASTA record map
@@ -16,7 +15,13 @@ Conventions implemented (SAM spec v1.6):
 - SEQ is the forward-reference orientation: for a minus-strand alignment
   (FLAG 0x10) the reverse complement of the read as sequenced.
 - One primary record per mapped read; further sites repeat as secondary
-  (FLAG 0x100) records. MAPQ 255 (unavailable), QUAL '*'.
+  (FLAG 0x100) records. QUAL '*'.
+- MAPQ is the standard uniqueness heuristic: 60 when the lowest-NM site
+  is unique among the reported sites, 0 when tied (multi-mapper).
+  Caveat: sites beyond max_hits are not seen, so a read whose best site
+  was truncated away can carry MAPQ 60 on a suboptimal site — the
+  reported-site contract, stated here rather than hidden behind 255.
+  Paired records reuse the same rule over the reported proper pairs.
 - Paired FR records carry 0x1|0x2 (paired, proper), 0x40/0x80 (first /
   second of pair), 0x10/0x20 (self / mate reversed), RNEXT '=', PNEXT,
   and signed TLEN (+fragment on the leftmost mate, -fragment on the
@@ -31,6 +36,15 @@ import numpy as np
 from tpufm.utils.encoding import decode_bases, reverse_complement
 
 _SENT = np.uint32(0xFFFFFFFF)
+
+
+def _mapq(nms) -> int:
+    """60 when the lowest NM is unique among the reported sites, 0 when
+    tied (multi-mapper), 0 when unmapped (caller emits FLAG 4 anyway)."""
+    if not nms:
+        return 0
+    best = min(nms)
+    return 60 if sum(1 for v in nms if v == best) == 1 else 0
 
 
 def sam_header(cmap, extra_pg: str = "") -> str:
@@ -86,10 +100,11 @@ def sam_single_records(names, reads, pos_fwd, pos_rc, cmap, codes=None) -> str:
                 )
                 order += 1
         sites.sort(key=lambda s: (s[0], s[1]))
+        mapq = _mapq([s[0] for s in sites])
         for emitted, (nm, _, flag, rname, pos1, seq) in enumerate(sites):
             f = flag | (0x100 if emitted else 0)
             out.append(
-                f"{name}\t{f}\t{rname}\t{pos1}\t255\t{L}M\t*\t0\t0\t"
+                f"{name}\t{f}\t{rname}\t{pos1}\t{mapq}\t{L}M\t*\t0\t0\t"
                 f"{seq}\t*\tNM:i:{nm}"
             )
         if not sites:
@@ -140,11 +155,12 @@ def sam_edit_records(names, reads, pos_fwd, pos_rc, cmap, codes,
         rows = sorted(per_read.get(i, []))
         seq_f = decode_bases(reads[i]).decode()
         seq_r = decode_bases(rcs[i]).decode()
+        mapq = _mapq([r[0] for r in rows])
         for emitted, (nm_j, _, flag, rname, pos1, cigar) in enumerate(rows):
             f = flag | (0x100 if emitted else 0)
             seq = seq_r if flag & 0x10 else seq_f
             out.append(
-                f"{name}\t{f}\t{rname}\t{pos1}\t255\t{cigar}\t*\t0\t0\t"
+                f"{name}\t{f}\t{rname}\t{pos1}\t{mapq}\t{cigar}\t*\t0\t0\t"
                 f"{seq}\t*\tNM:i:{nm_j}"
             )
         if not rows:
@@ -172,6 +188,16 @@ def sam_paired_records(names, r1, r2, pairs, strand, cmap) -> str:
         seq1r = decode_bases(r1r[i]).decode()
         seq2f = decode_bases(r2[i]).decode()
         seq2r = decode_bases(r2r[i]).decode()
+        n_pairs = sum(
+            1
+            for j in range(pairs.shape[1])
+            if pairs[i, j, 0] != _SENT
+            and idx_l[i, j] >= 0
+            and idx_l[i, j] == idx_r[i, j]
+            and not sp_l[i, j]
+            and not sp_r[i, j]
+        )
+        mapq = 60 if n_pairs == 1 else 0
         emitted = 0
         for j in range(pairs.shape[1]):
             if (
@@ -199,11 +225,11 @@ def sam_paired_records(names, r1, r2, pairs, strand, cmap) -> str:
             sec = 0x100 if emitted else 0
             t1 = frag if p1 <= p2 else -frag
             out.append(
-                f"{name}\t{f1 | sec}\t{rname}\t{p1}\t255\t{l1}M\t=\t"
+                f"{name}\t{f1 | sec}\t{rname}\t{p1}\t{mapq}\t{l1}M\t=\t"
                 f"{p2}\t{t1}\t{s1}\t*\tNM:i:0"
             )
             out.append(
-                f"{name}\t{f2 | sec}\t{rname}\t{p2}\t255\t{l2}M\t=\t"
+                f"{name}\t{f2 | sec}\t{rname}\t{p2}\t{mapq}\t{l2}M\t=\t"
                 f"{p1}\t{-t1}\t{s2}\t*\tNM:i:0"
             )
             emitted += 1
