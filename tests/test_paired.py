@@ -282,3 +282,62 @@ def test_paired_mesh_matches_single(rng):
     want = sc.pair(r1, r2)
     for a, b in zip(got, want):
         np.testing.assert_array_equal(a, b)
+
+
+def test_paired_with_mismatches(rng):
+    """PairedEndEngine(mismatches=m): pairs recover when each mate
+    carries planted substitutions that break exact pairing."""
+    codes, index, loc = _setup(rng, n=4000, k=2)
+    imin, imax, L = 60, 200, 24
+    r1, r2, want = _plant_pairs(rng, codes, L, L, imin, imax, 10)
+    for i in range(10):  # one substitution per mate
+        for arr in (r1, r2):
+            p = int(rng.integers(0, L))
+            arr[i, p] = (arr[i, p] + 1) & 3
+    exact = PairedEndEngine(index, loc, imin, imax, max_hits=8, max_pairs=4)
+    _, _, c0, _ = exact.pair(r1, r2)
+    for m, kwargs in ((1, {}), (2, {"text": codes})):
+        eng = PairedEndEngine(
+            index, loc, imin, imax, max_hits=8, max_pairs=4,
+            mismatches=m, seed_hits=64, **kwargs,
+        )
+        pairs, strand, counts, overflow = eng.pair(r1, r2)
+        rec = 0
+        for i, (wl, wr, ws) in enumerate(want):
+            rec += any(
+                pairs[i, j, 0] == wl and pairs[i, j, 1] == wr
+                and strand[i, j] == ws
+                for j in range(4)
+            )
+        # approximate pairing recovers what exact pairing lost
+        assert rec == 10, (m, rec)
+        assert (counts >= c0).all()
+    with pytest.raises(ValueError, match="reference text"):
+        PairedEndEngine(index, loc, imin, imax, mismatches=2)
+
+
+def test_cli_paired_mismatches(tmp_path, rng, monkeypatch):
+    from tpufm import cli
+    from tpufm.io.fasta import write_reference
+    from tpufm.utils.encoding import decode_bases
+
+    monkeypatch.chdir(tmp_path)
+    codes = rng.integers(0, 4, size=4000, dtype=np.uint8)
+    write_reference("g.fa", decode_bases(codes))
+    L, imin, imax = 24, 60, 200
+    r1, r2, want = _plant_pairs(rng, codes, L, L, imin, imax, 8)
+    for i in range(8):
+        p = int(rng.integers(0, L))
+        r1[i, p] = (r1[i, p] + 1) & 3
+    for name, arr in (("r1.qry", r1), ("r2.qry", r2)):
+        with open(name, "wb") as fp:
+            for i in range(8):
+                fp.write(b"> p%d\n%s\n" % (i, decode_bases(arr[i])))
+    cli.main(["locate", "g.fa", "4000", "r1.qry", str(L), "8",
+              "--k", "2", "--d", "64", "--sample-rate", "8",
+              "--paired", "r2.qry", "--insert-min", str(imin),
+              "--insert-max", str(imax), "--mismatches", "1",
+              "--output", "p.pairs"])
+    lines = open("p.pairs").read().splitlines()
+    for line, (wl, wr, ws) in zip(lines, want):
+        assert f"{wl}:{wr}:{'+' if ws == 0 else '-'}" in line.split()

@@ -143,18 +143,40 @@ class PairedEndEngine:
 
     Runs [R1; rc(R2); rc(R1); R2] as one 4B-read batch through
     SearchLocateEngine (or its mesh twin when `mesh` is given) and pairs
-    the four position sets on device."""
+    the four position sets on device. The join is position-source
+    agnostic: with mismatches > 0 each mate's positions come from the
+    Hamming engines instead (m=1: the variant-expansion locate; m>=2:
+    the pigeonhole seed engine, which needs `text`), so pairing
+    tolerates per-mate substitutions — mate overflow then follows the
+    seed-cap lower-bound contract."""
 
     def __init__(self, index, loc, imin: int, imax: int,
                  max_hits: int = 8, max_pairs: int = 4, lut_m: int = 0,
-                 mesh=None):
+                 mesh=None, mismatches: int = 0, seed_hits: int = 32,
+                 text=None):
         if imin > imax:
             raise ValueError(f"insert range empty: [{imin}, {imax}]")
+        if mismatches >= 2 and text is None:
+            raise ValueError(
+                "mismatches >= 2 pairing needs the reference text "
+                "(2-bit codes) for the seed engine's verify pass"
+            )
+        self.mismatches = mismatches
+        self.seed_hits = seed_hits
+        self._mesh = mesh
+        self._text = text
         if mesh is not None:
             from tpufm.parallel import DataParallelSearchLocate
 
             self._eng = DataParallelSearchLocate(
                 index, loc, mesh, max_hits=max_hits, lut_m=lut_m
+            )
+        elif mismatches >= 2:
+            from tpufm.engine.seed import SeedExtendEngine
+
+            self._eng = SeedExtendEngine(
+                index, loc, text, mismatches=mismatches,
+                seed_hits=seed_hits, max_hits=max_hits, lut_m=lut_m,
             )
         else:
             from tpufm.engine.xla import SearchLocateEngine
@@ -166,6 +188,27 @@ class PairedEndEngine:
         self.max_hits = max_hits
         self.max_pairs = max_pairs
         self._pair_cache = {}
+
+    def _positions(self, batch, wave):
+        """uint8 [N, L] -> (positions uint32 [N, max_hits], overflow bool
+        [N]) from the configured source."""
+        m = self.mismatches
+        if m >= 2:
+            if self._mesh is not None:
+                pos, _, ovf = self._eng.locate_approx(
+                    batch, self._text, m, seed_hits=self.seed_hits,
+                    wave=wave,
+                )
+            else:
+                pos, _, ovf = self._eng.locate_approx(batch, wave=wave)
+            return pos, ovf
+        if m == 1:
+            pos = self._eng.locate_mismatch(batch, wave=wave)
+            # full sensitivity up to max_hits; truncation is not signaled
+            # by this source, so overflow stays False
+            return pos, np.zeros(batch.shape[0], bool)
+        iv, pos = self._eng.search_locate(batch, wave=wave)
+        return pos, (iv[:, 1] - iv[:, 0]) > np.uint32(self.max_hits)
 
     def pair(self, r1, r2, wave: int | None = None):
         """R1 uint8 [B, L1], R2 uint8 [B, L2] -> (pairs uint32
@@ -201,31 +244,29 @@ class PairedEndEngine:
 
         if L1 == L2:
             # both mates, both strands: ONE 4B-read engine batch
-            iv, pos = self._eng.search_locate(
+            pos, ovf = self._positions(
                 np.concatenate([
                     r1, reverse_complement(r2),
                     reverse_complement(r1), r2,
                 ]),
-                wave=wave,
+                wave,
             )
             p1f, p2r, p1r, p2f = (
                 pos[:B], pos[B : 2 * B], pos[2 * B : 3 * B], pos[3 * B :]
             )
-            widths = (iv[:, 1] - iv[:, 0]).reshape(4, B)
+            overflow = ovf.reshape(4, B).any(axis=0)
         else:
-            iv1, p1 = self._eng.search_locate(
-                np.concatenate([r1, reverse_complement(r1)]), wave=wave
+            p1, o1 = self._positions(
+                np.concatenate([r1, reverse_complement(r1)]), wave
             )
-            iv2, p2 = self._eng.search_locate(
-                np.concatenate([reverse_complement(r2), r2]), wave=wave
+            p2, o2 = self._positions(
+                np.concatenate([reverse_complement(r2), r2]), wave
             )
             p1f, p1r = p1[:B], p1[B:]
             p2r, p2f = p2[:B], p2[B:]
-            widths = np.stack([
-                iv1[:B, 1] - iv1[:B, 0], iv2[:B, 1] - iv2[:B, 0],
-                iv1[B:, 1] - iv1[B:, 0], iv2[B:, 1] - iv2[B:, 0],
-            ])
-        overflow = (widths > np.uint32(self.max_hits)).any(axis=0)
+            overflow = (
+                o1[:B] | o1[B:] | o2[:B] | o2[B:]
+            )
         pairs, strand, counts = pf(
             jnp.asarray(p1f), jnp.asarray(p2r),
             jnp.asarray(p1r), jnp.asarray(p2f),
