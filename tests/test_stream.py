@@ -161,10 +161,10 @@ def test_locate_resumable_roundtrip(tmp_path, rng):
 
     eng.search_locate = flaky
     with pytest.raises(RuntimeError):
-        locate_resumable(eng, queries, out, 4, wave=32)
+        locate_resumable(eng, queries, out, wave=32)
     assert (tmp_path / "r.pos.partial").exists()
     eng.search_locate = real
-    res = locate_resumable(eng, queries, out, 4, wave=32)
+    res = locate_resumable(eng, queries, out, wave=32)
     want = real(queries)[1]
     np.testing.assert_array_equal(res, want)
     assert not (tmp_path / "r.pos.partial").exists()

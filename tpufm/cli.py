@@ -685,7 +685,9 @@ def cmd_locate(args):
         from tpufm.utils.encoding import reverse_complement
 
         cmap = _contig_map()
-        if args.from_store:
+        if args.from_store and (args.mismatches or args.edits):
+            # only the approximate modes need the text itself (NM / seed
+            # verify); exact SAM works from the stores alone
             codes = read_reference(args.reference, args.refsize or None)
         q2 = np.concatenate([queries, reverse_complement(queries)])
         dp = None
@@ -967,8 +969,7 @@ def cmd_locate(args):
                 index, loc, max_hits=args.max_hits, lut_m=args.lut
             )
         pos = locate_resumable(
-            eng, queries, args.output or f"{args.queries}.pos",
-            args.max_hits,
+            eng, queries, args.output or f"{args.queries}.pos"
         )
     elif args.mesh is not None:
         # Multi-chip: batch-sharded search + row-sharded locate walk over

@@ -204,9 +204,11 @@ class PairedEndEngine:
             return pos, ovf
         if m == 1:
             pos = self._eng.locate_mismatch(batch, wave=wave)
-            # full sensitivity up to max_hits; truncation is not signaled
-            # by this source, so overflow stays False
-            return pos, np.zeros(batch.shape[0], bool)
+            # this source has no explicit truncation signal: a FULL row
+            # (max_hits real positions) may have been cut, so flag it
+            # conservatively (lower-bound contract; a read with exactly
+            # max_hits sites is flagged too)
+            return pos, (pos != np.uint32(0xFFFFFFFF)).all(axis=1)
         iv, pos = self._eng.search_locate(batch, wave=wave)
         return pos, (iv[:, 1] - iv[:, 0]) > np.uint32(self.max_hits)
 

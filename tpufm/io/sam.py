@@ -137,7 +137,20 @@ def sam_edit_records(names, reads, pos_fwd, pos_rc, cmap, codes,
             (reads if f == 0 else rcs)[i] for i, f, _ in sites
         ])
         pos_arr = np.asarray([p for _, _, p in sites], np.int64)
-        cigars, nm, ref_span = edit_alignments(codes, mats, pos_arr, edits)
+        # chunk the re-alignment: the DP's pointer tensor is
+        # [chunk, L, L+E] int8, so an unchunked genome-scale hit list
+        # would exhaust host memory
+        cigars, nms, spans = [], [], []
+        for lo_i in range(0, len(sites), 1 << 16):
+            c_, n_, s_ = edit_alignments(
+                codes, mats[lo_i : lo_i + (1 << 16)],
+                pos_arr[lo_i : lo_i + (1 << 16)], edits,
+            )
+            cigars.extend(c_)
+            nms.append(n_)
+            spans.append(s_)
+        nm = np.concatenate(nms)
+        ref_span = np.concatenate(spans)
         idx, off, _ = cmap.resolve(pos_arr.astype(np.uint32))
         ends = np.append(cmap.starts[1:], cmap.total)
         clen = ends[np.maximum(idx, 0)] - cmap.starts[np.maximum(idx, 0)]
@@ -179,10 +192,17 @@ def sam_paired_records(names, r1, r2, pairs, strand, cmap) -> str:
     L1, L2 = r1.shape[1], r2.shape[1]
     r1r = reverse_complement(r1)
     r2r = reverse_complement(r2)
-    # vectorized resolution of every pair's two mates; span check uses
-    # the longer mate (conservative: a spanning mate drops the pair)
-    idx_l, off_l, sp_l = cmap.resolve(pairs[..., 0], query_len=max(L1, L2))
-    idx_r, off_r, sp_r = cmap.resolve(pairs[..., 1], query_len=max(L1, L2))
+    # vectorized resolution of every pair's two mates; the span check
+    # uses each mate's OWN length (left mate is R1 on strand 0, R2 on 1)
+    idx_l, off_l, _ = cmap.resolve(pairs[..., 0])
+    idx_r, off_r, _ = cmap.resolve(pairs[..., 1])
+    cends = np.append(cmap.starts[1:], cmap.total)
+    clen_l = (cends - cmap.starts)[np.maximum(idx_l, 0)]
+    clen_r = (cends - cmap.starts)[np.maximum(idx_r, 0)]
+    len_left = np.where(strand == 0, L1, L2)
+    len_right = np.where(strand == 0, L2, L1)
+    sp_l = off_l + len_left > clen_l
+    sp_r = off_r + len_right > clen_r
     for i, name in enumerate(names):
         seq1f = decode_bases(r1[i]).decode()
         seq1r = decode_bases(r1r[i]).decode()

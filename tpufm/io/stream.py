@@ -74,20 +74,20 @@ def locate_resumable(
     engine,
     queries: np.ndarray,
     out_path,
-    max_hits: int,
     wave: int | None = None,
     stats: dict | None = None,
 ) -> np.ndarray:
     """Positions twin of search_resumable: `engine` is a fused
     search+locate engine (SearchLocateEngine or DataParallelSearchLocate);
-    each completed wave checkpoints its uint32 [W, max_hits] position rows,
-    so a killed genome-scale locate run re-invoked with the same arguments
-    continues where it stopped."""
+    each completed wave checkpoints its uint32 [W, engine.max_hits]
+    position rows, so a killed genome-scale locate run re-invoked with the
+    same arguments continues where it stopped. Row width comes from the
+    engine itself (a redundant parameter could silently disagree)."""
     return _stream_resumable(
         lambda chunk: np.ascontiguousarray(
             np.asarray(engine.search_locate(chunk)[1], dtype=np.uint32)
         ),
-        engine, queries, out_path, max_hits, wave, stats,
+        engine, queries, out_path, engine.max_hits, wave, stats,
     )
 
 

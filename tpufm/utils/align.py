@@ -14,9 +14,11 @@ the read count.
 
 CIGAR conventions (SAM v1.6): operations relative to the read as stored
 in SEQ — M consumes read+ref (match or mismatch), I consumes read only,
-D consumes ref only. Start-anchored alignments have no clips. NM:i is
-edits (substitutions + I + D lengths). Ties in the DP break toward M,
-then D, then I (deterministic, shortest-ref-span-last)."""
+D consumes ref only. Start-anchored alignments have no clips (a path
+whose optimum begins with deletions keeps those leading D ops — the
+CIGAR always accounts for the full ref_span). NM:i is edits
+(substitutions + I + D lengths). Ties in the DP break toward M, then I,
+then D (deterministic)."""
 
 from __future__ import annotations
 
@@ -65,7 +67,7 @@ def edit_alignments(codes, reads, starts, edits: int):
         )
         cur = np.minimum.accumulate(c0 - ar, axis=1) + ar
         body = cur[:, 1:]
-        # deterministic tie-break: M beats D beats I
+        # deterministic tie-break: M first, then I, then D
         p = np.where(body == up, np.int8(1), np.int8(2))
         p = np.where(body == diag, np.int8(0), p)
         ptr[:, r - 1] = p
@@ -92,6 +94,10 @@ def edit_alignments(codes, reads, starts, edits: int):
                 r -= 1
             else:
                 c -= 1
+        if c > 0:
+            # leading deletions: the optimal path enters the read at ref
+            # column c, so c reference bases precede the first read base
+            ops.extend([2] * c)
         ops.reverse()
         parts = []
         for op in ops:
