@@ -341,3 +341,45 @@ def test_cli_paired_mismatches(tmp_path, rng, monkeypatch):
     lines = open("p.pairs").read().splitlines()
     for line, (wl, wr, ws) in zip(lines, want):
         assert f"{wl}:{wr}:{'+' if ws == 0 else '-'}" in line.split()
+
+
+def test_paired_with_edits(rng):
+    """PairedEndEngine(edits=E): pairs recover when each mate carries a
+    planted indel that breaks exact AND Hamming pairing."""
+    codes, index, loc = _setup(rng, n=4000, k=2)
+    imin, imax, L = 80, 250, 30
+    r1, r2, want = _plant_pairs(rng, codes, L, L, imin, imax, 8)
+
+    def with_deletion(w):  # true deletion: L+1 window bases minus one
+        p = int(rng.integers(1, L))
+        return np.delete(w[: L + 1], p)[:L]
+
+    for i, (wl, wr, ws) in enumerate(want):
+        assert wr + L + 1 <= len(codes)
+        head = with_deletion(codes[wl : wl + L + 1])
+        tail = with_deletion(codes[wr : wr + L + 1])
+        if ws == 0:   # R1 forward at left, rc(R2) at right
+            r1[i] = head
+            r2[i] = reverse_complement(tail[None])[0]
+        else:         # R2 forward at left, rc(R1) at right
+            r2[i] = head
+            r1[i] = reverse_complement(tail[None])[0]
+    eng = PairedEndEngine(
+        index, loc, imin, imax, max_hits=8, max_pairs=4,
+        edits=1, seed_hits=64, text=codes,
+    )
+    pairs, strand, counts, overflow = eng.pair(r1, r2)
+    rec = 0
+    for i, (wl, wr, ws) in enumerate(want):
+        # edit sites sit within 2E of the truth and strands must agree
+        rec += any(
+            pairs[i, j, 0] != SENT
+            and abs(int(pairs[i, j, 0]) - wl) <= 2
+            and abs(int(pairs[i, j, 1]) - wr) <= 2
+            and strand[i, j] == ws
+            for j in range(4)
+        )
+    assert rec == 8, rec
+    with pytest.raises(ValueError, match="different distance"):
+        PairedEndEngine(index, loc, imin, imax, mismatches=1, edits=1,
+                        text=codes)

@@ -773,9 +773,8 @@ def cmd_locate(args):
         # Paired-end FR placement (engine/paired.py): both mates' both
         # strands ride one fused search+locate batch; pairing is an
         # on-device [H x H] insert-window join per read pair.
-        if args.rc or args.edits:
-            sys.exit("--paired covers exact and --mismatches matching "
-                     "(both strands by definition); drop --rc/--edits")
+        if args.rc:
+            sys.exit("--paired covers both strands by definition; drop --rc")
         from tpufm.engine.paired import PairedEndEngine
 
         mesh = None
@@ -784,20 +783,20 @@ def cmd_locate(args):
 
             mesh = make_mesh(args.mesh or None)
         sam_cmap = _contig_map() if args.sam else None
-        if args.mismatches >= 2 and args.from_store:
+        if (args.mismatches >= 2 or args.edits) and args.from_store:
             import os
 
             if not os.path.exists(args.reference):
-                sys.exit("--paired --mismatches >= 2 needs the reference "
-                         "FASTA for the seed verify pass")
+                sys.exit("--paired approximate matching needs the "
+                         "reference FASTA for the verify pass")
             codes = read_reference(args.reference, args.refsize or None)
         r2 = load_queries(args.paired, args.qrysize, args.numqueries)
         pairs, strand, counts, p_overflow = PairedEndEngine(
             index, loc, args.insert_min, args.insert_max,
             max_hits=args.max_hits, max_pairs=args.max_pairs, mesh=mesh,
-            lut_m=args.lut, mismatches=args.mismatches,
+            lut_m=args.lut, mismatches=args.mismatches, edits=args.edits,
             seed_hits=args.seed_hits,
-            text=codes if args.mismatches >= 2 else None,
+            text=codes if (args.mismatches >= 2 or args.edits) else None,
         ).pair(queries, r2)
         if p_overflow.any():
             print(

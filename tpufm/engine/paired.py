@@ -146,22 +146,29 @@ class PairedEndEngine:
     the four position sets on device. The join is position-source
     agnostic: with mismatches > 0 each mate's positions come from the
     Hamming engines instead (m=1: the variant-expansion locate; m>=2:
-    the pigeonhole seed engine, which needs `text`), so pairing
-    tolerates per-mate substitutions — mate overflow then follows the
-    seed-cap lower-bound contract."""
+    the pigeonhole seed engine, which needs `text`), and with edits > 0
+    from the Myers edit engine — pairing then tolerates per-mate
+    substitutions or indels. The insert window is orders of magnitude
+    wider than the <= E fragment-length slack indels introduce, so the
+    same FR join applies; mate overflow follows the seed-cap
+    lower-bound contract."""
 
     def __init__(self, index, loc, imin: int, imax: int,
                  max_hits: int = 8, max_pairs: int = 4, lut_m: int = 0,
                  mesh=None, mismatches: int = 0, seed_hits: int = 32,
-                 text=None):
+                 text=None, edits: int = 0):
         if imin > imax:
             raise ValueError(f"insert range empty: [{imin}, {imax}]")
-        if mismatches >= 2 and text is None:
+        if mismatches and edits:
+            raise ValueError("mismatches and edits are different distance "
+                             "models; pass one")
+        if (mismatches >= 2 or edits) and text is None:
             raise ValueError(
-                "mismatches >= 2 pairing needs the reference text "
-                "(2-bit codes) for the seed engine's verify pass"
+                "mismatches >= 2 / edits pairing needs the reference text "
+                "(2-bit codes) for the verify pass"
             )
         self.mismatches = mismatches
+        self.edits = edits
         self.seed_hits = seed_hits
         self._mesh = mesh
         self._text = text
@@ -170,6 +177,13 @@ class PairedEndEngine:
 
             self._eng = DataParallelSearchLocate(
                 index, loc, mesh, max_hits=max_hits, lut_m=lut_m
+            )
+        elif edits:
+            from tpufm.engine.edit import EditExtendEngine
+
+            self._eng = EditExtendEngine(
+                index, loc, text, edits=edits, seed_hits=seed_hits,
+                max_hits=max_hits, lut_m=lut_m,
             )
         elif mismatches >= 2:
             from tpufm.engine.seed import SeedExtendEngine
@@ -193,6 +207,15 @@ class PairedEndEngine:
         """uint8 [N, L] -> (positions uint32 [N, max_hits], overflow bool
         [N]) from the configured source."""
         m = self.mismatches
+        if self.edits:
+            if self._mesh is not None:
+                pos, _, ovf = self._eng.locate_edits(
+                    batch, self._text, self.edits,
+                    seed_hits=self.seed_hits, wave=wave,
+                )
+            else:
+                pos, _, ovf = self._eng.locate_edits(batch, wave=wave)
+            return pos, ovf
         if m >= 2:
             if self._mesh is not None:
                 pos, _, ovf = self._eng.locate_approx(
