@@ -414,6 +414,11 @@ def cmd_bench(args):
         )
         print(json.dumps(record))
         return
+    if (args.edits or args.mismatches >= 2) and (
+        args.locate or args.sharded or args.multichip
+    ):
+        sys.exit("bench --edits/--mismatches>=2 are single-chip records; "
+                 "drop --locate/--sharded/--multichip")
     if args.edits:
         from tpufm.bench import run_bench_edit
 
@@ -1010,11 +1015,17 @@ def cmd_locate(args):
     # end (concatenation artifacts) are flagged ':spans'
     cmap = _contig_map() if args.contigs else None
 
+    # edit-distance alignments consume up to L+E reference bases, so the
+    # :spans boundary label for --edits sites uses the conservative upper
+    # bound (flags anything that MIGHT span; SAM output instead computes
+    # each alignment's actual ref span)
+    span_len = args.qrysize + (args.edits or 0)
+
     def _write_pos(path, rows):
         with open(path, "w") as fp:
             for row in rows:
                 if cmap is not None:
-                    labels = cmap.format(row, query_len=args.qrysize)
+                    labels = cmap.format(row, query_len=span_len)
                     fp.write(" ".join(s for s in labels if s is not None) + "\n")
                 else:
                     fp.write(

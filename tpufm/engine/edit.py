@@ -306,13 +306,13 @@ def make_edit_extend_fn(
                 text_words, n_text, peq_rd[:, None, :, :], lo, hi, valid
             )
         else:
+            from tpufm.engine.xla import compact_slots, scatter_back
+
             vflat = valid.reshape(-1)
             lof, hif = lo.reshape(-1), hi.reshape(-1)
-            slot = jnp.cumsum(vflat.astype(jnp.int32)) - 1
-            total = jnp.sum(vflat, dtype=jnp.int32)
+            slot, total, tgt = compact_slots(vflat, R)
 
             def compact_verify(_):
-                tgt = jnp.where(vflat, jnp.minimum(slot, R), R)
                 clo = jnp.zeros(R + 1, _U32).at[tgt].set(lof)
                 chi = jnp.zeros(R + 1, _U32).at[tgt].set(hif)
                 ridx = jax.lax.broadcasted_iota(
@@ -324,12 +324,13 @@ def make_edit_extend_fn(
                     text_words, n_text, cpeq, clo[:R], chi[:R],
                     jnp.ones(R, bool),
                 )
-                d1 = jnp.concatenate([d, jnp.full(1, L + 1, jnp.int32)])
-                s1 = jnp.concatenate([s, jnp.full(1, _U32(_SENTINEL))])
-                back = jnp.minimum(slot, R)
                 return (
-                    jnp.where(vflat, d1[back], L + 1).reshape(B, C),
-                    jnp.where(vflat, s1[back], _U32(_SENTINEL)).reshape(B, C),
+                    scatter_back(
+                        vflat, slot, R, d, jnp.int32(L + 1)
+                    ).reshape(B, C),
+                    scatter_back(
+                        vflat, slot, R, s, _U32(_SENTINEL)
+                    ).reshape(B, C),
                 )
 
             def full_verify(_):

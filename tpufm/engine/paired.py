@@ -209,22 +209,25 @@ class PairedEndEngine:
         m = self.mismatches
         if self.edits:
             if self._mesh is not None:
-                pos, _, ovf = self._eng.locate_edits(
+                pos, cnt, ovf = self._eng.locate_edits(
                     batch, self._text, self.edits,
                     seed_hits=self.seed_hits, wave=wave,
                 )
             else:
-                pos, _, ovf = self._eng.locate_edits(batch, wave=wave)
-            return pos, ovf
+                pos, cnt, ovf = self._eng.locate_edits(batch, wave=wave)
+            # counts past max_hits mean the position row was truncated:
+            # that too makes the join's view incomplete (same contract as
+            # the exact source's interval-width check)
+            return pos, ovf | (cnt > np.uint32(self.max_hits))
         if m >= 2:
             if self._mesh is not None:
-                pos, _, ovf = self._eng.locate_approx(
+                pos, cnt, ovf = self._eng.locate_approx(
                     batch, self._text, m, seed_hits=self.seed_hits,
                     wave=wave,
                 )
             else:
-                pos, _, ovf = self._eng.locate_approx(batch, wave=wave)
-            return pos, ovf
+                pos, cnt, ovf = self._eng.locate_approx(batch, wave=wave)
+            return pos, ovf | (cnt > np.uint32(self.max_hits))
         if m == 1:
             pos = self._eng.locate_mismatch(batch, wave=wave)
             # this source has no explicit truncation signal: a FULL row

@@ -272,13 +272,13 @@ def make_seed_extend_fn(
             p = jnp.where(uniq, cand, _U32(0))
             dist = hamming_to_text(text_words, p, qwords[:, None, :], L)
         else:
+            from tpufm.engine.xla import compact_slots, scatter_back
+
             uflat = uniq.reshape(-1)
             pflat = jnp.where(uflat, cand.reshape(-1), _U32(0))
-            slot = jnp.cumsum(uflat.astype(jnp.int32)) - 1
-            total = jnp.sum(uflat, dtype=jnp.int32)
+            slot, total, tgt = compact_slots(uflat, R)
 
             def compact_verify(_):
-                tgt = jnp.where(uflat, jnp.minimum(slot, R), R)
                 cp = jnp.zeros(R + 1, _U32).at[tgt].set(pflat)
                 ridx = jax.lax.broadcasted_iota(
                     jnp.int32, (B, C), 0
@@ -287,9 +287,8 @@ def make_seed_extend_fn(
                 d = hamming_to_text(
                     text_words, cp[:R], qwords[crd[:R]], L
                 )
-                d1 = jnp.concatenate([d, jnp.full(1, L + 1, jnp.int32)])
-                return jnp.where(
-                    uflat, d1[jnp.minimum(slot, R)], L + 1
+                return scatter_back(
+                    uflat, slot, R, d, jnp.int32(L + 1)
                 ).reshape(B, C)
 
             def full_verify(_):

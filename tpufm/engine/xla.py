@@ -958,6 +958,25 @@ class LocateEngine:
         return locate_hits_compacted(self.locate_rows, intervals, max_hits)
 
 
+def compact_slots(vflat, R: int):
+    """Shared compaction primitives: per-lane target slots for packing the
+    valid lanes of a flat [N] mask into an [R+1] array whose parking slot
+    R absorbs invalid/overflow lanes (sliced off before use). Returns
+    (slot int32 [N] — each lane's compact index, total int32 scalar,
+    tgt int32 [N] — scatter target with invalid lanes parked at R)."""
+    slot = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+    total = jnp.sum(vflat, dtype=jnp.int32)
+    tgt = jnp.where(vflat, jnp.minimum(slot, R), R)
+    return slot, total, tgt
+
+
+def scatter_back(vflat, slot, R: int, values, fill):
+    """Inverse of the compaction: values [R] (one per compact slot) plus a
+    fill for invalid lanes -> flat [N] in original lane order."""
+    padded = jnp.concatenate([values, jnp.full((1,), fill, values.dtype)])
+    return jnp.where(vflat, padded[jnp.minimum(slot, R)], fill)
+
+
 def locate_compacted(locate, loc_tables, rows, valid, walk_budget=None):
     """Sampled-SA walk over only the `valid` lanes of `rows` (any shape).
 
@@ -983,18 +1002,15 @@ def locate_compacted(locate, loc_tables, rows, valid, walk_budget=None):
     R = walk_budget if walk_budget is not None else max(4096, N // 8)
     if R <= 0 or R >= N:
         return locate(loc_tables, flat_rows).reshape(shape)
-    slot = jnp.cumsum(vflat.astype(jnp.int32)) - 1
-    total = jnp.sum(vflat, dtype=jnp.int32)
+    slot, total, tgt = compact_slots(vflat, R)
 
     def compact_walk(_):
-        tgt = jnp.where(vflat, jnp.minimum(slot, R), R)
         comp = jnp.zeros(R + 1, _U32).at[tgt].set(
             jnp.where(vflat, flat_rows, _U32(0))
         )
-        cpos = jnp.concatenate(
-            [locate(loc_tables, comp[:R]), jnp.zeros(1, _U32)]
+        return scatter_back(
+            vflat, slot, R, locate(loc_tables, comp[:R]), _U32(0)
         )
-        return jnp.where(vflat, cpos[jnp.minimum(slot, R)], _U32(0))
 
     def full_walk(_):
         return locate(loc_tables, flat_rows)

@@ -32,7 +32,8 @@ def generate_read_pairs(
     insert_max: int, seed: int = 0, return_truth: bool = False,
 ):
     """Sample `num` FR read pairs: per pair, a fragment of uniform length
-    in [insert_min, insert_max] is placed uniformly, R1 is its head and R2
+    in [max(insert_min, length), insert_max] (a fragment cannot be shorter
+    than a mate) is placed uniformly, R1 is its head and R2
     the reverse complement of its tail; pairs alternate the sequenced
     strand (even index: R1 on plus, odd: R1 on minus — i.e. (R1, R2)
     swapped through rc). Returns (r1, r2) uint8 [num, length] and, with

@@ -210,11 +210,10 @@ class DataParallelSearchLocate:
                     wave: int | None):
         """Shared driver for locate_approx / locate_edits: cache the jitted
         pass together with ITS OWN replicated packed text under `key` plus
-        a content fingerprint of `text` (a sampled CRC32 — the full text is
-        up to ~1 GB packed, so the fingerprint reads a 64K-element stride
-        sample plus shape/dtype; a different text re-puts and re-jits
-        instead of silently verifying against stale words), then shard the
-        batch and stream fixed-shape waves."""
+        a FULL CRC32 of `text` (a localized edit between calls must not
+        silently verify against stale device words; the CRC costs ~0.3 s/GB
+        once per call, amortized over the batch), then shard the batch and
+        stream fixed-shape waves."""
         import zlib
 
         import jax.numpy as jnp
@@ -227,10 +226,9 @@ class DataParallelSearchLocate:
         from tpufm.utils.waves import pad_cycle, stream_waves
 
         text = np.asarray(text)
-        flat = text.reshape(-1)
-        sample = np.ascontiguousarray(flat[:: max(1, flat.size // 65536)])
         key = key + (
-            text.shape, text.dtype.str, zlib.crc32(memoryview(sample)),
+            text.shape, text.dtype.str,
+            zlib.crc32(memoryview(np.ascontiguousarray(text))),
         )
         cache = getattr(self, "_approx_cache", None)
         if cache is None:
