@@ -182,14 +182,6 @@ def test_sam_unpaired_pair_and_guards(tmp_path, rng, monkeypatch):
               "--paired", "b.qry", "--sam", "--output", "o.sam"])
     _, recs = _parse("o.sam")
     assert [r["flag"] for r in recs] == [77, 141]
-    with pytest.raises(SystemExit, match="exact-only"):
-        cli.main(["locate", "g.fa", str(n), "a.qry", str(L), "1",
-                  "--k", "2", "--d", "64", "--sample-rate", "8",
-                  "--paired", "b.qry", "--sam", "--edits", "1"])
-    with pytest.raises(SystemExit, match="exact-only"):
-        cli.main(["locate", "g.fa", str(n), "a.qry", str(L), "1",
-                  "--k", "2", "--d", "64", "--sample-rate", "8",
-                  "--paired", "b.qry", "--sam", "--mismatches", "1"])
     with pytest.raises(SystemExit, match="both strands"):
         cli.main(["locate", "g.fa", str(n), "a.qry", str(L), "1",
                   "--k", "2", "--d", "64", "--sample-rate", "8",
@@ -374,3 +366,96 @@ def test_sam_edit_cigars(tmp_path, rng, monkeypatch):
         # NM equals substitutions + indel bases; indel part bounded by ops
         nmv = int(next(t for t in r["tags"] if t.startswith("NM:i:"))[5:])
         assert ops <= nmv <= E
+
+
+def test_sam_paired_hamming_nm(tmp_path, rng, monkeypatch):
+    """--sam --paired --mismatches M: proper-pair records carry each
+    mate's own Hamming NM:i; both FR orientations; the lowest combined-NM
+    pair is primary."""
+    monkeypatch.chdir(tmp_path)
+    n, L = 6000, 24
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    with open("g.fa", "wb") as fp:
+        fp.write(b">c\n" + decode_bases(codes) + b"\n")
+    # pair 0 (strand 0): R1 fwd at l0 with 1 sub, rc(R2) at r0 with 2 subs
+    l0, r0 = 700, 1000
+    m1 = codes[l0 : l0 + L].copy()
+    m1[5] = (m1[5] + 1) & 3
+    w0 = codes[r0 : r0 + L].copy()
+    w0[2] = (w0[2] + 1) & 3
+    w0[17] = (w0[17] + 2) & 3
+    m2 = reverse_complement(w0[None])[0]
+    # pair 1 (strand 1): R2 fwd at l1 exact, rc(R1) at r1 with 1 sub
+    l1, r1 = 3000, 3200
+    p2 = codes[l1 : l1 + L].copy()
+    w1 = codes[r1 : r1 + L].copy()
+    w1[9] = (w1[9] + 3) & 3
+    p1 = reverse_complement(w1[None])[0]
+    with open("a.qry", "wb") as fp:
+        fp.write(b"> p0\n%s\n> p1\n%s\n"
+                 % (decode_bases(m1), decode_bases(p1)))
+    with open("b.qry", "wb") as fp:
+        fp.write(b"> p0\n%s\n> p1\n%s\n"
+                 % (decode_bases(m2), decode_bases(p2)))
+    cli.main(["locate", "g.fa", str(n), "a.qry", str(L), "2",
+              "--k", "2", "--d", "64", "--sample-rate", "8",
+              "--paired", "b.qry", "--insert-min", "200",
+              "--insert-max", "400", "--mismatches", "2", "--sam",
+              "--output", "o.sam"])
+    _, recs = _parse("o.sam")
+    by = {}
+    for r in recs:
+        by.setdefault(r["qname"], []).append(r)
+    # pair 0: R1 leftmost forward (0x63), R2 reversed rightmost (0x93)
+    first = next(r for r in by["p0"] if r["flag"] & 0x40)
+    second = next(r for r in by["p0"] if r["flag"] & 0x80)
+    assert first["flag"] == 0x63 and first["pos"] == l0 + 1
+    assert "NM:i:1" in first["tags"] and first["cigar"] == f"{L}M"
+    assert second["flag"] == 0x93 and second["pos"] == r0 + 1
+    assert "NM:i:2" in second["tags"]
+    assert first["tlen"] == r0 + L - l0 == -second["tlen"]
+    # pair 1: R2 leftmost forward (0xA3), R1 reversed rightmost (0x53)
+    first = next(r for r in by["p1"] if r["flag"] & 0x40)
+    second = next(r for r in by["p1"] if r["flag"] & 0x80)
+    assert first["flag"] == 0x53 and first["pos"] == r1 + 1
+    assert "NM:i:1" in first["tags"]
+    assert second["flag"] == 0xA3 and second["pos"] == l1 + 1
+    assert "NM:i:0" in second["tags"]
+    assert second["tlen"] == r1 + L - l1 == -first["tlen"]
+
+
+def test_sam_paired_edit_cigars(tmp_path, rng, monkeypatch):
+    """--sam --paired --edits E: both mates are re-aligned on the host;
+    an indel mate carries a real I/D CIGAR and TLEN uses the right
+    mate's actual reference span."""
+    monkeypatch.chdir(tmp_path)
+    n, L, E = 6000, 30, 1
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    with open("g.fa", "wb") as fp:
+        fp.write(b">c\n" + decode_bases(codes) + b"\n")
+    # R1: deletion read at l (consumes L+1 ref bases); rc(R2) exact at r
+    l, r = 900, 1200
+    r1_read = np.concatenate(
+        [codes[l : l + 9], codes[l + 10 : l + L + 1]]
+    )[:L].astype(np.uint8)
+    r2_read = reverse_complement(codes[r : r + L][None])[0]
+    with open("a.qry", "wb") as fp:
+        fp.write(b"> e0\n%s\n" % decode_bases(r1_read))
+    with open("b.qry", "wb") as fp:
+        fp.write(b"> e0\n%s\n" % decode_bases(r2_read))
+    cli.main(["locate", "g.fa", str(n), "a.qry", str(L), "1",
+              "--k", "2", "--d", "64", "--sample-rate", "8",
+              "--paired", "b.qry", "--insert-min", "250",
+              "--insert-max", "400", "--edits", str(E), "--sam",
+              "--output", "o.sam"])
+    _, recs = _parse("o.sam")
+    first = next(r_ for r_ in recs if r_["flag"] & 0x40)
+    second = next(r_ for r_ in recs if r_["flag"] & 0x80)
+    assert first["flag"] == 0x63 and first["pos"] == l + 1
+    assert "D" in first["cigar"] and "NM:i:1" in first["tags"]
+    rd, rf, ops = _cigar_walk(first["cigar"])
+    assert rd == L and rf == L + 1 and ops == 1
+    assert second["flag"] == 0x93 and second["pos"] == r + 1
+    assert second["cigar"] == f"{L}M" and "NM:i:0" in second["tags"]
+    # TLEN from the exact right mate's span
+    assert first["tlen"] == r + L - l == -second["tlen"]

@@ -674,8 +674,6 @@ def cmd_locate(args):
     if args.edits and args.mismatches:
         sys.exit("--edits (indel-aware) and --mismatches (substitutions "
                  "only) are different distance models; pass one")
-    if args.sam and args.paired and (args.mismatches or args.edits):
-        sys.exit("--sam --paired is exact-only; drop --mismatches/--edits")
     if args.sam and args.rc:
         sys.exit("--sam reports both strands by definition; drop --rc")
     if args.resume and (args.sam or args.paired or args.mismatches
@@ -788,7 +786,12 @@ def cmd_locate(args):
 
             mesh = make_mesh(args.mesh or None)
         sam_cmap = _contig_map() if args.sam else None
-        if (args.mismatches >= 2 or args.edits) and args.from_store:
+        if args.from_store and (
+            args.mismatches >= 2 or args.edits
+            or (args.sam and args.mismatches)
+        ):
+            # the verify pass (m>=2 / edits) and approximate SAM NM:i
+            # both need the text itself, not just the stores
             import os
 
             if not os.path.exists(args.reference):
@@ -820,7 +823,10 @@ def cmd_locate(args):
                     sam_cmap, extra_pg="tpufm locate --paired --sam"
                 ))
                 fp.write(sam_paired_records(
-                    names, queries, r2, pairs, strand, sam_cmap
+                    names, queries, r2, pairs, strand, sam_cmap,
+                    codes=(codes if (args.mismatches or args.edits)
+                           else None),
+                    edits=args.edits,
                 ))
             print(
                 f"{nq} read pairs, {int((counts > 0).sum())} properly "

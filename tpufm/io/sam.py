@@ -1,5 +1,5 @@
-"""SAM (v1.6) emission — single-end (both strands, exact / Hamming /
-edit distance) and exact paired-end.
+"""SAM (v1.6) emission — single-end and paired-end, each covering
+exact / Hamming / edit-distance placements (both strands).
 
 Exact and Hamming sites are pure `<L>M` CIGARs (substitutions live under
 M) with NM:i the per-site distance; edit-distance sites are re-aligned
@@ -25,8 +25,9 @@ Conventions implemented (SAM spec v1.6):
 - Paired FR records carry 0x1|0x2 (paired, proper), 0x40/0x80 (first /
   second of pair), 0x10/0x20 (self / mate reversed), RNEXT '=', PNEXT,
   and signed TLEN (+fragment on the leftmost mate, -fragment on the
-  rightmost). Pairs with no proper placement emit the standard
-  both-unmapped pair (FLAG 77 / 141).
+  rightmost; under --edits the fragment uses the right mate's ACTUAL
+  aligned reference span). Pairs with no proper placement emit the
+  standard both-unmapped pair (FLAG 77 / 141).
 """
 
 from __future__ import annotations
@@ -181,79 +182,131 @@ def sam_edit_records(names, reads, pos_fwd, pos_rc, cmap, codes,
     return "\n".join(out) + "\n"
 
 
-def sam_paired_records(names, r1, r2, pairs, strand, cmap) -> str:
-    """Two SAM records per read pair: the primary proper pair (additional
-    pairs as secondary record pairs), or the standard both-unmapped pair.
+def sam_paired_records(names, r1, r2, pairs, strand, cmap, codes=None,
+                       edits: int = 0) -> str:
+    """Two SAM records per read pair: the primary proper pair — the
+    lowest combined-NM placement (ties: engine order) — with additional
+    pairs as secondary record pairs, or the standard both-unmapped pair.
 
     pairs/strand are PairedEndEngine.pair outputs; `pairs[i, j]` is
     (leftmost mate start, rightmost mate start) and strand 0 means R1 is
-    the plus-strand (leftmost) mate."""
+    the plus-strand (leftmost) mate.
+
+    codes: the 2-bit reference. When given with edits == 0, NM:i is each
+    mate's Hamming distance at its site (Hamming alignments are pure
+    <L>M CIGARs, so this covers --paired --mismatches output exactly).
+    When edits > 0, both mates are re-aligned on the host
+    (utils/align.edit_alignments) for REAL M/I/D CIGARs; span checks and
+    TLEN then use each alignment's ACTUAL reference span. When codes is
+    None the pairs are exact (NM:i:0)."""
     out = []
+    B, P = pairs.shape[:2]
     L1, L2 = r1.shape[1], r2.shape[1]
+    if codes is not None and L1 != L2:
+        raise ValueError("approximate paired SAM assumes equal mate "
+                         "lengths (the paired engine batches both mates "
+                         "in one fixed-shape pass)")
     r1r = reverse_complement(r1)
     r2r = reverse_complement(r2)
-    # vectorized resolution of every pair's two mates; the span check
-    # uses each mate's OWN length (left mate is R1 on strand 0, R2 on 1)
     idx_l, off_l, _ = cmap.resolve(pairs[..., 0])
     idx_r, off_r, _ = cmap.resolve(pairs[..., 1])
     cends = np.append(cmap.starts[1:], cmap.total)
     clen_l = (cends - cmap.starts)[np.maximum(idx_l, 0)]
     clen_r = (cends - cmap.starts)[np.maximum(idx_r, 0)]
+    # mate content in forward-reference orientation at each end
+    # (left mate is R1 on strand 0, R2 on 1; the right mate is the rc)
+    valid = (pairs[..., 0] != _SENT) & (idx_l >= 0) & (idx_l == idx_r)
+    vi, vj = np.nonzero(valid)
+    left_mat = np.where(
+        (strand[vi, vj] == 0)[:, None], r1[vi], r2[vi]
+    ).astype(np.uint8)
+    right_mat = np.where(
+        (strand[vi, vj] == 0)[:, None], r2r[vi], r1r[vi]
+    ).astype(np.uint8)
     len_left = np.where(strand == 0, L1, L2)
     len_right = np.where(strand == 0, L2, L1)
-    sp_l = off_l + len_left > clen_l
-    sp_r = off_r + len_right > clen_r
+    span_l = len_left.astype(np.int64)
+    span_r = len_right.astype(np.int64)
+    nm_l = np.zeros((B, P), np.int64)
+    nm_r = np.zeros((B, P), np.int64)
+    cig_l = np.empty((B, P), object)
+    cig_r = np.empty((B, P), object)
+    if edits and len(vi):
+        # re-align the ACCEPTED pair sites (not the candidate grid) for
+        # real M/I/D CIGARs — cost proportional to the pair list;
+        # chunked because the DP pointer tensor is [chunk, L, L+E] int8
+        from tpufm.utils.align import edit_alignments
+
+        for mat, col, nm_a, sp_a, cg_a in (
+            (left_mat, 0, nm_l, span_l.copy(), cig_l),
+            (right_mat, 1, nm_r, span_r.copy(), cig_r),
+        ):
+            starts = pairs[vi, vj, col].astype(np.int64)
+            cigs, nms, spans = [], [], []
+            for lo in range(0, len(vi), 1 << 16):
+                c_, n_, s_ = edit_alignments(
+                    codes, mat[lo : lo + (1 << 16)],
+                    starts[lo : lo + (1 << 16)], edits,
+                )
+                cigs.extend(c_)
+                nms.append(n_)
+                spans.append(s_)
+            nm_a[vi, vj] = np.concatenate(nms)
+            sp_a[vi, vj] = np.concatenate(spans)
+            for t, c in enumerate(cigs):
+                cg_a[vi[t], vj[t]] = c
+            if col == 0:
+                span_l = sp_a
+            else:
+                span_r = sp_a
+    elif codes is not None and len(vi):
+        lw = pairs[vi, vj, 0].astype(np.int64)[:, None] + np.arange(L1)
+        rw = pairs[vi, vj, 1].astype(np.int64)[:, None] + np.arange(L1)
+        n = codes.shape[0]
+        nm_l[vi, vj] = (
+            np.where(lw < n, codes[np.minimum(lw, n - 1)], 255) != left_mat
+        ).sum(1)
+        nm_r[vi, vj] = (
+            np.where(rw < n, codes[np.minimum(rw, n - 1)], 255) != right_mat
+        ).sum(1)
+    sp_l = off_l + span_l > clen_l
+    sp_r = off_r + span_r > clen_r
     for i, name in enumerate(names):
         seq1f = decode_bases(r1[i]).decode()
         seq1r = decode_bases(r1r[i]).decode()
         seq2f = decode_bases(r2[i]).decode()
         seq2r = decode_bases(r2r[i]).decode()
-        n_pairs = sum(
-            1
-            for j in range(pairs.shape[1])
-            if pairs[i, j, 0] != _SENT
-            and idx_l[i, j] >= 0
-            and idx_l[i, j] == idx_r[i, j]
-            and not sp_l[i, j]
-            and not sp_r[i, j]
+        rows = sorted(
+            (int(nm_l[i, j] + nm_r[i, j]), j)
+            for j in range(P)
+            if valid[i, j] and not sp_l[i, j] and not sp_r[i, j]
         )
-        mapq = 60 if n_pairs == 1 else 0
-        emitted = 0
-        for j in range(pairs.shape[1]):
-            if (
-                pairs[i, j, 0] == _SENT
-                or idx_l[i, j] < 0
-                or idx_r[i, j] < 0
-                or idx_l[i, j] != idx_r[i, j]
-                or sp_l[i, j]
-                or sp_r[i, j]
-            ):
-                continue
-            left, right = int(pairs[i, j, 0]), int(pairs[i, j, 1])
+        mapq = _mapq([nm for nm, _ in rows])
+        for emitted, (_, j) in enumerate(rows):
             rname = cmap.names[idx_l[i, j]]
             lpos1, rpos1 = int(off_l[i, j]) + 1, int(off_r[i, j]) + 1
+            frag = int(off_r[i, j]) + int(span_r[i, j]) - int(off_l[i, j])
+            c_l = cig_l[i, j] or f"{int(len_left[i, j])}M"
+            c_r = cig_r[i, j] or f"{int(len_right[i, j])}M"
             if strand[i, j] == 0:
                 # R1 forward at left, rc(R2) at right
-                p1, f1, s1, l1 = lpos1, 0x63, seq1f, L1   # 1|2|32|64
-                p2, f2, s2, l2 = rpos1, 0x93, seq2r, L2   # 1|2|16|128
-                frag = right + L2 - left
+                p1, f1, s1, c1, n1 = lpos1, 0x63, seq1f, c_l, nm_l[i, j]
+                p2, f2, s2, c2, n2 = rpos1, 0x93, seq2r, c_r, nm_r[i, j]
             else:
                 # R2 forward at left, rc(R1) at right
-                p1, f1, s1, l1 = rpos1, 0x53, seq1r, L1   # 1|2|16|64
-                p2, f2, s2, l2 = lpos1, 0xA3, seq2f, L2   # 1|2|32|128
-                frag = right + L1 - left
+                p1, f1, s1, c1, n1 = rpos1, 0x53, seq1r, c_r, nm_r[i, j]
+                p2, f2, s2, c2, n2 = lpos1, 0xA3, seq2f, c_l, nm_l[i, j]
             sec = 0x100 if emitted else 0
             t1 = frag if p1 <= p2 else -frag
             out.append(
-                f"{name}\t{f1 | sec}\t{rname}\t{p1}\t{mapq}\t{l1}M\t=\t"
-                f"{p2}\t{t1}\t{s1}\t*\tNM:i:0"
+                f"{name}\t{f1 | sec}\t{rname}\t{p1}\t{mapq}\t{c1}\t=\t"
+                f"{p2}\t{t1}\t{s1}\t*\tNM:i:{int(n1)}"
             )
             out.append(
-                f"{name}\t{f2 | sec}\t{rname}\t{p2}\t{mapq}\t{l2}M\t=\t"
-                f"{p1}\t{-t1}\t{s2}\t*\tNM:i:0"
+                f"{name}\t{f2 | sec}\t{rname}\t{p2}\t{mapq}\t{c2}\t=\t"
+                f"{p1}\t{-t1}\t{s2}\t*\tNM:i:{int(n2)}"
             )
-            emitted += 1
-        if not emitted:
+        if not rows:
             out.append(f"{name}\t77\t*\t0\t0\t*\t*\t0\t0\t{seq1f}\t*")
             out.append(f"{name}\t141\t*\t0\t0\t*\t*\t0\t0\t{seq2f}\t*")
     return "\n".join(out) + "\n"
