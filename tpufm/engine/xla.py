@@ -58,25 +58,23 @@ def _pick_counter(counters, code, k: int):
     """In-register counter select from a gathered fused row.
 
     counters uint32 [..., 4^k]; code uint32 broadcastable to
-    counters.shape[:-1]. Two-stage one-hot over a [g, s] regrouping of the
-    4^k counters (g = s = 2^k): O(g + s) predicated lane sums instead of
-    either a 4^k-wide one-hot (measured 2.2x slower at k=3) or
-    jnp.take_along_axis, which lowers to a SECOND serialized device gather
-    costing 420 of the 879 ms fast-regime flagship pass (docs/PERF.md,
-    probe52 trace). This formulation stays on the VPU at the table-gather
-    rate: flagship 1.83M vs 1.21M reads/s (probe63).
+    counters.shape[:-1]. Binary-tree select: 2k levels of halving
+    where()s driven by one code bit each — O(4^k) total lane-selects but
+    every level is a full-width VPU select with no iota compares or lane
+    sums. Measured fastest of four formulations on v5e (probe63, flagship
+    k=3 d=128 lut12): tree 2.11M reads/s vs two-stage one-hot 1.83M vs
+    jnp.take_along_axis 1.22M (the take lowers to a SECOND serialized
+    device gather costing 420 of the 879 ms fast-regime pass — probe52
+    trace, docs/PERF.md "The counter pick, solved").
     """
-    n = 4**k
-    g = 1 << ((n.bit_length() - 1) // 2)
-    s = n // g
-    c = counters.reshape(counters.shape[:-1] + (g, s))
+    c = counters
     code = jnp.broadcast_to(code, counters.shape[:-1])
-    gi = jax.lax.broadcasted_iota(jnp.int32, c.shape, c.ndim - 2)
-    gidx = (code // _U32(s)).astype(jnp.int32)[..., None, None]
-    grp = jnp.sum(jnp.where(gi == gidx, c, _U32(0)), axis=-2)  # [..., s]
-    si = jax.lax.broadcasted_iota(jnp.int32, grp.shape, grp.ndim - 1)
-    sidx = (code % _U32(s)).astype(jnp.int32)[..., None]
-    return jnp.sum(jnp.where(si == sidx, grp, _U32(0)), axis=-1)
+    bits = (4**k).bit_length() - 1
+    for bit in reversed(range(bits)):
+        half = c.shape[-1] // 2
+        hi = ((code >> _U32(bit)) & _U32(1)) != 0
+        c = jnp.where(hi[..., None], c[..., half:], c[..., :half])
+    return c[..., 0]
 
 
 def lf_step_fused(tables: dict, cfg: tuple, interval, code, gather_fn=None):
