@@ -429,3 +429,53 @@ def test_cli_bench_edit():
     assert rec["detail"]["sound_vs_dp_oracle"]
     assert rec["detail"]["origin_recovered_sample"]
     assert rec["unit"] == "reads/s"
+
+
+def test_cli_align_single_end(tmp_path, ref, monkeypatch):
+    """tpufm align: one-command FASTA/FASTQ -> SAM with auto-sniffed sizes
+    and auto (k, d, LUT); odd read length exercises the k=1 tail rounds."""
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    cli.main(["genreads", str(path), str(n), "25", "24", "--seed", "11"])
+    qry = f"Q-24_B-25_R-{n}.qry"
+    cli.main(["align", str(path), qry, "-o", str(tmp_path / "out.sam")])
+    lines = (tmp_path / "out.sam").read_text().splitlines()
+    header = [l for l in lines if l.startswith("@")]
+    body = [l for l in lines if not l.startswith("@")]
+    assert any(l.startswith("@SQ") for l in header)
+    assert len(body) == 24  # one primary record per read (all sampled hits)
+    text = codes.tobytes()
+    from tpufm.io.fasta import load_queries
+
+    reads = load_queries(qry, 25, 24)
+    for read, line in zip(reads, body):
+        f = line.split("\t")
+        flag, pos, cigar, seq = int(f[1]), int(f[3]), f[5], f[9]
+        assert cigar == "25M" and not flag & 4
+        if not flag & 16:  # sampled plus-strand read: POS is 1-based
+            assert text[pos - 1 : pos + 24] == read.tobytes()
+            assert seq == decode_bases(read).decode()
+
+
+def test_cli_align_paired_and_store(tmp_path, ref, monkeypatch):
+    """tpufm align -2: paired SAM; --store/--from-store reuse is identical."""
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    cli.main(["genreads", str(path), str(n), "24", "16", "--seed", "13",
+              "--paired", "--insert-min", "60", "--insert-max", "200"])
+    r1, r2 = f"Q-16_B-24_R-{n}_1.qry", f"Q-16_B-24_R-{n}_2.qry"
+    cli.main(["align", str(path), r1, "-2", r2,
+              "--insert-min", "60", "--insert-max", "200",
+              "--store", str(tmp_path / "st"),
+              "-o", str(tmp_path / "p.sam")])
+    body = [l for l in (tmp_path / "p.sam").read_text().splitlines()
+            if not l.startswith("@")]
+    assert body, "paired records written"
+    assert all(int(l.split("\t")[1]) & 1 for l in body)  # FLAG paired bit
+    # proper pairs for every generated pair (insert window matches genreads)
+    assert sum(1 for l in body if int(l.split("\t")[1]) & 2) >= 2 * 16
+    cli.main(["align", str(path), r1, "-2", r2,
+              "--insert-min", "60", "--insert-max", "200",
+              "--from-store", str(tmp_path / "st"),
+              "-o", str(tmp_path / "p2.sam")])
+    assert (tmp_path / "p.sam").read_text() == (tmp_path / "p2.sam").read_text()

@@ -1044,6 +1044,137 @@ def cmd_locate(args):
     _emit_strands(out, pos, nq, _write_pos)
 
 
+def _fasta_num_bases(path) -> int:
+    """Total sequence bases in a (gzipped) multi-FASTA — the same count
+    read_reference produces with refsize=None."""
+    from tpufm.io.fasta import open_maybe_gzip
+
+    total = 0
+    with open_maybe_gzip(path) as fp:
+        for line in fp:
+            if not line.startswith(b">"):
+                total += len(line.strip())
+    return total
+
+
+def _sniff_reads(path):
+    """(read_length, read_count) of a FASTA/FASTQ(.gz) read file, from the
+    same record iteration load_queries uses."""
+    from tpufm.io.fasta import open_maybe_gzip
+
+    length, count = None, 0
+    with open_maybe_gzip(path) as fp:
+        fastq = fp.read(1) == b"@"
+        fp.seek(0)
+        if fastq:
+            while True:
+                header = fp.readline()
+                if not header:
+                    break
+                seq = fp.readline().strip()
+                fp.readline()
+                fp.readline()
+                if seq:
+                    length = length or len(seq)
+                    count += 1
+        else:
+            for line in fp:
+                if not line.startswith(b">"):
+                    seq = line.strip()
+                    if seq:
+                        length = length or len(seq)
+                        count += 1
+    if not count:
+        sys.exit(f"{path}: no reads found")
+    return length, count
+
+
+def cmd_align(args):
+    """One-command read aligner: reference FASTA + FASTA/FASTQ reads ->
+    SAM v1.6. Sugar over `tpufm locate --sam`: sizes are sniffed from the
+    files and (k, d, LUT) chosen by the measured ladder (recommend_config);
+    any read length works (the locate tables' k=1 LF index finishes the
+    L mod k leftover rounds). The reference suite stops at (L, R) interval
+    counts (common/searchQueries.c:34-132) — this is the production entry
+    point its users would reach for from bwa/bowtie."""
+    import json as _json
+    import os
+
+    from tpufm.config import recommend_config
+
+    qlen, nreads = _sniff_reads(args.reads)
+    if args.from_store:
+        meta_path = os.path.join(f"{args.from_store}.search.tpufm", "meta.json")
+        try:
+            meta = _json.loads(open(meta_path).read())
+        except OSError:
+            sys.exit(f"--from-store: cannot read {meta_path}")
+        k, d = int(meta["k"]), int(meta["d"])
+        refsize = int(meta["bwtsize"]) - 1
+    else:
+        if not os.path.exists(args.reference):
+            sys.exit(f"{args.reference}: no such reference FASTA")
+        refsize = _fasta_num_bases(args.reference)
+        rec = recommend_config(refsize, query_len=qlen)
+        # recommend_config drops to k<3 when k does not divide the read
+        # length, but the aligner always has the k=1 tail (loc.lf1), so
+        # the measured-best k=3 applies at ANY length.
+        k, d = 3, rec["d"]
+    if args.lut is not None:
+        lut = args.lut
+    elif qlen >= 24:
+        # largest m <= 12 with m % k == 0; for small references scale m
+        # down so the 4^m-entry LUT stays smaller than the index itself
+        lut = next(
+            (m for m in range(12 - (12 % k), 0, -k) if 4 ** m <= refsize),
+            0,
+        )
+    else:
+        lut = 0
+    if args.paired:
+        qlen2, nreads2 = _sniff_reads(args.paired)
+        if qlen2 != qlen or nreads2 != nreads:
+            sys.exit(
+                f"mate files disagree: {args.reads} has {nreads} x {qlen} bp,"
+                f" {args.paired} has {nreads2} x {qlen2} bp"
+            )
+    print(
+        f"align: {nreads} x {qlen} bp"
+        + (" pairs" if args.paired else " reads")
+        + f", reference {refsize} bases, k={k} d={d} lut={lut}"
+    )
+    ns = argparse.Namespace(
+        reference=args.reference,
+        refsize=refsize,
+        queries=args.reads,
+        qrysize=qlen,
+        numqueries=nreads,
+        k=k,
+        d=d,
+        sample_rate=args.sample_rate,
+        max_hits=args.max_hits,
+        fused=True,
+        on_device=args.on_device,
+        mesh=args.mesh,
+        store=args.store,
+        from_store=args.from_store,
+        rc=False,
+        mismatches=args.mismatches,
+        edits=args.edits,
+        seed_hits=args.seed_hits,
+        paired=args.paired,
+        insert_min=args.insert_min,
+        insert_max=args.insert_max,
+        max_pairs=args.max_pairs,
+        resume=False,
+        lut=lut,
+        sam=True,
+        contigs=False,
+        output=args.output,
+    )
+    cmd_locate(ns)
+
+
 def cmd_diff(args):
     """Compare two .res files — formalizes the reference's manual
     cross-implementation diffing (SURVEY.md section 4)."""
@@ -1324,6 +1455,47 @@ def main(argv=None):
                          "reference FASTA, also with --from-store")
     lc.add_argument("--output", default=None)
     lc.set_defaults(fn=cmd_locate)
+
+    al = sub.add_parser(
+        "align",
+        help="one-command read aligner: reference + FASTA/FASTQ reads -> "
+             "SAM v1.6 (auto-sized `locate --sam`)",
+    )
+    al.add_argument("reference", help="reference FASTA(.gz); needed even "
+                                      "with --from-store (SAM record map)")
+    al.add_argument("reads", help="FASTA/FASTQ(.gz) reads; length and "
+                                  "count are sniffed")
+    al.add_argument("-2", "--paired", default=None, metavar="R2",
+                    help="mate-2 reads: paired-end FR placement")
+    al.add_argument("-o", "--output", default=None,
+                    help="SAM path (default <reads>.sam)")
+    al.add_argument("--mismatches", type=int, default=0,
+                    help="substitutions tolerated per read (1 = variant "
+                         "expansion, >=2 = seed-and-extend)")
+    al.add_argument("--edits", type=int, default=0, metavar="E",
+                    help="indel-aware edit distance per read (Myers "
+                         "bit-vector verify)")
+    al.add_argument("--mesh", type=int, default=None, metavar="N",
+                    help="shard the batch over an N-device mesh "
+                         "(0 = all local devices)")
+    al.add_argument("--insert-min", type=int, default=0)
+    al.add_argument("--insert-max", type=int, default=1000)
+    al.add_argument("--max-pairs", type=int, default=4)
+    al.add_argument("--max-hits", type=int, default=16)
+    al.add_argument("--seed-hits", type=int, default=32)
+    al.add_argument("--sample-rate", type=int, default=32)
+    al.add_argument("--lut", type=int, default=None,
+                    help="prefix-LUT m (default: largest <=12 multiple "
+                         "of k)")
+    al.add_argument("--on-device", action="store_true",
+                    help="build the tables on the accelerator")
+    al.add_argument("--store", default=None, metavar="PREFIX",
+                    help="persist the tables for reuse "
+                         "(PREFIX.search.tpufm + PREFIX.locate.tpufm)")
+    al.add_argument("--from-store", default=None, metavar="PREFIX",
+                    help="reuse tables built by a previous --store run "
+                         "(skips the suffix sort)")
+    al.set_defaults(fn=cmd_align)
 
     de = sub.add_parser("dumpentry", help="print entry counters/bitmaps (debug)")
     de.add_argument("index")
