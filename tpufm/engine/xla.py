@@ -304,6 +304,94 @@ def _tail_scan(tables: dict, tail_d: int, iv, head):
     return iv
 
 
+#: pad byte for right-aligned variable-length batches (outside the 0-3
+#: code alphabet, so per-read lengths are derivable in-program)
+VARLEN_PAD = 0xFF
+
+
+def make_search_varlen_fn(
+    k: int,
+    d: int,
+    lut_m: int = 0,
+    tail_d: int | None = None,
+    gather_fn=None,
+):
+    """Jittable VARIABLE-length batch search (fused layout).
+
+    queries: uint8 [B, Lp] reads RIGHT-ALIGNED (left-padded with
+    VARLEN_PAD = 0xFF); each read's length is derived in-program as its
+    non-pad count. One fixed program serves every mix of lengths <= Lp —
+    the TPU answer to shape-polymorphic read sets (real FASTQ runs mix
+    lengths after adapter trimming): no per-length recompiles, no
+    bucketing. Because reads are right-aligned, backward search (which
+    consumes characters from the END, reference
+    src/fmIndexCPUBaseline.c:200) sees every read's real suffix in the
+    same columns: k-step round j is all-real for read i iff
+    (j+1)*k <= len_i - lut_m, so each round's interval update is simply
+    masked per read; the leftover (len_i - lut_m) mod k leading characters
+    finish as up to k-1 masked single-step rounds on the k=1 tail table
+    (same table the fixed-length any-length extension uses, _tail_scan).
+
+    With lut_m > 0 every read must be at least lut_m long (the LUT
+    consumes the rightmost lut_m columns of every lane at once).
+    """
+    if k > 1 and tail_d is None:
+        raise ValueError(
+            "variable-length search needs a k=1 tail table (tail_d)"
+        )
+    nb = d // 32
+    cfg = (k, d, nb)
+
+    def search(tables, bwtsize, queries):
+        B, Lraw = queries.shape
+        # left-pad so the k-step rounds tile the non-LUT columns exactly
+        pad = (-(Lraw - lut_m)) % k
+        q = jnp.pad(queries, ((0, 0), (pad, 0)), constant_values=VARLEN_PAD)
+        Lp = Lraw + pad
+        lengths = jnp.sum((q != VARLEN_PAD).astype(jnp.int32), axis=1)
+        qc = jnp.where(q == VARLEN_PAD, 0, q).astype(jnp.uint8)
+        if lut_m:
+            iv = tables["lut"][fuse_prefix_codes(qc, lut_m)]
+        else:
+            iv = jnp.stack(
+                [jnp.zeros(B, dtype=_U32), jnp.full(B, bwtsize, dtype=_U32)],
+                axis=1,
+            )
+        M = lengths - lut_m  # characters left after the LUT start
+        W = Lp - lut_m
+        if W:
+            codes = fuse_round_codes(qc[:, :W], k)
+
+            def body(iv, xj):
+                code, j = xj
+                iv2 = lf_step_fused(tables, cfg, iv, code, gather_fn)
+                keep = (j + 1) * k <= M
+                return jnp.where(keep[:, None], iv2, iv), None
+
+            iv, _ = jax.lax.scan(
+                body, iv, (codes, jnp.arange(W // k, dtype=jnp.int32))
+            )
+        if k > 1:
+            tt = {
+                "entries": tables["tail_entries"],
+                "dollar_pos": tables["tail_dollar_pos"],
+                "dollar_base": tables["tail_dollar_base"],
+                "dollar_block": tables["tail_dollar_block"],
+            }
+            cfg1 = (1, tail_d, tail_d // 32)
+            rem = M % k
+            for t in range(k - 1):
+                col = Lp - lengths + rem - 1 - t
+                ch = jnp.take_along_axis(
+                    qc, jnp.clip(col, 0, Lp - 1)[:, None], axis=1
+                )[:, 0].astype(_U32)
+                iv2 = lf_step_fused(tt, cfg1, iv, ch)
+                iv = jnp.where((t < rem)[:, None], iv2, iv)
+        return iv
+
+    return search
+
+
 def make_search_fn(
     k: int,
     d: int,
@@ -653,6 +741,57 @@ class XLAEngine:
             lambda q: self._search(
                 self.tables, _U32(self.bwtsize), jnp.asarray(q)
             ),
+            lambda h: np.asarray(jax.device_get(h)),
+            depth=3,
+        )
+
+    def search_varlen(self, queries, wave: int | None = None) -> np.ndarray:
+        """Variable-length batch search: queries uint8 [B, Lmax]
+        RIGHT-ALIGNED with pad byte VARLEN_PAD (0xFF) on the left — the
+        shape load_queries_varlen produces. Returns uint32 [B, 2], each
+        read searched at its own true length (bit-exact vs a per-read
+        fixed-length search). Requires the baseline fused tables and,
+        for k > 1, a tail_index (the k=1 table finishes each read's
+        length-mod-k leftover rounds)."""
+        if self.layout != "fused":
+            raise ValueError(
+                "variable-length search rides the baseline fused layout "
+                "(alt-counters/split/paired are fixed-length engines)"
+            )
+        if self.config.k > 1 and self.tail_d is None:
+            raise ValueError(
+                "variable-length search needs a tail_index (k=1) — every "
+                "length mix has reads with L mod k != 0"
+            )
+        queries = np.asarray(queries, dtype=np.uint8)
+        lengths = (queries != VARLEN_PAD).sum(axis=1)
+        if (lengths == 0).any():
+            raise ValueError("empty read in variable-length batch")
+        if self.lut_m and int(lengths.min()) < self.lut_m:
+            raise ValueError(
+                f"shortest read ({int(lengths.min())}) is below "
+                f"lut_m={self.lut_m}; rebuild the engine with a smaller LUT"
+            )
+        if not hasattr(self, "_search_varlen"):
+            self._search_varlen = jax.jit(
+                make_search_varlen_fn(
+                    self.config.k,
+                    self.config.d,
+                    lut_m=self.lut_m,
+                    tail_d=self.tail_d,
+                    gather_fn=self._gather_fn,
+                )
+            )
+        from tpufm.utils.waves import stream_waves
+
+        return stream_waves(
+            queries,
+            wave or self.WAVE,
+            lambda q: self._search_varlen(
+                self.tables, _U32(self.bwtsize), jnp.asarray(q)
+            ),
+            # zero-padded tail-wave rows read as full-length all-A reads
+            # and are trimmed by stream_waves like every fixed-length path
             lambda h: np.asarray(jax.device_get(h)),
             depth=3,
         )

@@ -73,26 +73,30 @@ def write_reference(path, seq: bytes | str) -> None:
         fp.write(b"\n")
 
 
+def _seq_lines(fp, fastq):
+    """Yield one raw sequence per record: FASTQ 4-line records, or every
+    non-header line of a (multi-)FASTA — the record iteration shared by
+    load_queries / load_queries_varlen (load_query_names mirrors it)."""
+    if fastq:
+        while True:
+            header = fp.readline()
+            if not header:
+                return
+            yield fp.readline().strip()
+            fp.readline()  # '+'
+            fp.readline()  # quality
+    else:
+        for line in fp:
+            if not line.startswith(b">"):
+                yield line.strip()
+
+
 def load_queries(path, query_len: int, num_queries: int | None = None) -> np.ndarray:
     """Load a query file into uint8 codes [num_queries, query_len].
 
     Accepts the reference's multi-FASTA `.qry` shape AND 4-line FASTQ
     (detected by the leading '@'; quality lines ignored), both optionally
     gzipped — real read sets ship as .fastq.gz."""
-    def _seq_lines(fp, fastq):
-        if fastq:
-            while True:
-                header = fp.readline()
-                if not header:
-                    return
-                yield fp.readline().strip()
-                fp.readline()  # '+'
-                fp.readline()  # quality
-        else:
-            for line in fp:
-                if not line.startswith(b">"):
-                    yield line.strip()
-
     reads = []
     with open_maybe_gzip(path) as fp:
         fastq = fp.read(1) == b"@"
@@ -111,6 +115,35 @@ def load_queries(path, query_len: int, num_queries: int | None = None) -> np.nda
         raise ValueError(f"{path}: only {len(reads)} reads, need {num_queries}")
     blob = b"".join(reads)
     return encode_bases(blob).reshape(len(reads), query_len)
+
+
+def load_queries_varlen(path, num_queries: int | None = None) -> np.ndarray:
+    """Load a MIXED-length FASTA/FASTQ(.gz) read set as uint8 codes
+    [num_queries, max_len], each read RIGHT-ALIGNED with pad byte 0xFF on
+    the left — the variable-length engine contract
+    (tpufm.engine.xla.VARLEN_PAD / XLAEngine.search_varlen). Backward
+    search consumes characters from the end, so right alignment puts every
+    read's real suffix in the same columns."""
+    reads = []
+    max_len = 0
+    with open_maybe_gzip(path) as fp:
+        fastq = fp.read(1) == b"@"
+        fp.seek(0)
+        for seq in _seq_lines(fp, fastq):
+            if not seq:
+                continue
+            reads.append(seq)
+            max_len = max(max_len, len(seq))
+            if num_queries is not None and len(reads) == num_queries:
+                break
+    if num_queries is not None and len(reads) < num_queries:
+        raise ValueError(f"{path}: only {len(reads)} reads, need {num_queries}")
+    if not reads:
+        raise ValueError(f"{path}: no reads found")
+    out = np.full((len(reads), max_len), 0xFF, dtype=np.uint8)
+    for i, seq in enumerate(reads):
+        out[i, max_len - len(seq):] = encode_bases(seq)
+    return out
 
 
 def load_query_names(path, num_queries: int | None = None) -> list[str]:
