@@ -479,3 +479,41 @@ def test_cli_align_paired_and_store(tmp_path, ref, monkeypatch):
               "--from-store", str(tmp_path / "st"),
               "-o", str(tmp_path / "p2.sam")])
     assert (tmp_path / "p.sam").read_text() == (tmp_path / "p2.sam").read_text()
+
+
+def test_cli_align_mixed_lengths(tmp_path, ref, monkeypatch):
+    """tpufm align on a mixed-length read set: the variable-length path
+    (search_varlen + locate walk), per-read-length SAM records."""
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    rng2 = np.random.default_rng(17)
+    text = codes.tobytes()
+    lengths = [20, 33, 25, 41, 20, 28]
+    reads, qry = [], tmp_path / "mixed.fa"
+    with open(qry, "w") as fp:
+        for i, L in enumerate(lengths):
+            s = int(rng2.integers(0, n - L))
+            reads.append((s, codes[s : s + L]))
+            fp.write(f">m{i}\n{decode_bases(reads[-1][1]).decode()}\n")
+    cli.main(["align", str(path), str(qry), "-o", str(tmp_path / "m.sam")])
+    body = [l for l in (tmp_path / "m.sam").read_text().splitlines()
+            if not l.startswith("@")]
+    assert len(body) >= 6
+    primaries = [l for l in body if not int(l.split("\t")[1]) & 0x100]
+    assert len(primaries) == 6
+    for (s, read), line in zip(reads, primaries):
+        f = line.split("\t")
+        L = len(read)
+        assert f[5] == f"{L}M" and not int(f[1]) & 4
+        if not int(f[1]) & 16:
+            assert text[int(f[3]) - 1 : int(f[3]) - 1 + L] == read.tobytes()
+            assert f[9] == decode_bases(read).decode()
+
+
+def test_cli_align_mixed_rejects_approx(tmp_path, ref, monkeypatch):
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    qry = tmp_path / "mix2.fa"
+    qry.write_text(">a\nACGTACGTACGT\n>b\nACGTACGTACGTACG\n")
+    with pytest.raises(SystemExit, match="mixed-length"):
+        cli.main(["align", str(path), str(qry), "--edits", "1"])

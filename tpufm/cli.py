@@ -596,10 +596,21 @@ def cmd_locate(args):
     PREFIX.search.tpufm + PREFIX.locate.tpufm and runs with NO rebuild.
     --store PREFIX persists both after a build. Writes '<out>: one line per
     query: pos pos ...'."""
-    from tpufm.engine.xla import XLAEngine, LocateEngine
+    index, loc, codes = _locate_tables(args)
+    queries = load_queries(args.queries, args.qrysize, args.numqueries)
+    nq = queries.shape[0]
+    _locate_body(args, index, loc, codes, queries, nq)
+
+
+def _locate_tables(args):
+    """Acquire (index, locate tables, codes) for cmd_locate/cmd_align:
+    prebuilt stores, sharded/on-device build, or a host build — one shared
+    suffix sort either way. codes is None in --from-store mode (re-read by
+    the branches that need the text). Honors --store persistence."""
     from tpufm.index.locate import build_locate
     from tpufm.index.suffix_array import suffix_array
 
+    codes = None
     if args.from_store:
         from tpufm.index.store import load_store
 
@@ -654,8 +665,13 @@ def cmd_locate(args):
         save_store(f"{args.store}.search.tpufm", index)
         save_store(f"{args.store}.locate.tpufm", loc)
         print(f"stored {args.store}.search.tpufm + {args.store}.locate.tpufm")
-    queries = load_queries(args.queries, args.qrysize, args.numqueries)
-    nq = queries.shape[0]
+    return index, loc, codes
+
+
+def _locate_body(args, index, loc, codes, queries, nq):
+    """The search/locate/SAM dispatch shared by cmd_locate (which builds or
+    loads tables via _locate_tables) and cmd_align's fixed-length path."""
+    from tpufm.engine.xla import XLAEngine, LocateEngine
 
     def _contig_map():
         import os
@@ -1058,35 +1074,24 @@ def _fasta_num_bases(path) -> int:
 
 
 def _sniff_reads(path):
-    """(read_length, read_count) of a FASTA/FASTQ(.gz) read file, from the
-    same record iteration load_queries uses."""
-    from tpufm.io.fasta import open_maybe_gzip
+    """(min_length, max_length, read_count) of a FASTA/FASTQ(.gz) read
+    file, from the same record iteration load_queries uses. min != max
+    means a mixed-length set (the variable-length align path)."""
+    from tpufm.io.fasta import _seq_lines, open_maybe_gzip
 
-    length, count = None, 0
+    lmin, lmax, count = None, 0, 0
     with open_maybe_gzip(path) as fp:
         fastq = fp.read(1) == b"@"
         fp.seek(0)
-        if fastq:
-            while True:
-                header = fp.readline()
-                if not header:
-                    break
-                seq = fp.readline().strip()
-                fp.readline()
-                fp.readline()
-                if seq:
-                    length = length or len(seq)
-                    count += 1
-        else:
-            for line in fp:
-                if not line.startswith(b">"):
-                    seq = line.strip()
-                    if seq:
-                        length = length or len(seq)
-                        count += 1
+        for seq in _seq_lines(fp, fastq):
+            if seq:
+                n = len(seq)
+                lmin = n if lmin is None else min(lmin, n)
+                lmax = max(lmax, n)
+                count += 1
     if not count:
         sys.exit(f"{path}: no reads found")
-    return length, count
+    return lmin, lmax, count
 
 
 def cmd_align(args):
@@ -1102,7 +1107,16 @@ def cmd_align(args):
 
     from tpufm.config import recommend_config
 
-    qlen, nreads = _sniff_reads(args.reads)
+    qmin, qlen, nreads = _sniff_reads(args.reads)
+    mixed = qmin != qlen
+    if mixed and (args.paired or args.mismatches or args.edits):
+        sys.exit(
+            f"{args.reads} mixes read lengths ({qmin}-{qlen} bp): "
+            "mixed-length sets currently align exact single-end only "
+            "(trim to one length for --paired/--mismatches/--edits)"
+        )
+    if mixed and args.mesh is not None:
+        sys.exit("mixed-length align is single-chip for now; drop --mesh")
     if args.from_store:
         meta_path = os.path.join(f"{args.from_store}.search.tpufm", "meta.json")
         try:
@@ -1122,24 +1136,33 @@ def cmd_align(args):
         k, d = 3, rec["d"]
     if args.lut is not None:
         lut = args.lut
-    elif qlen >= 24:
-        # largest m <= 12 with m % k == 0; for small references scale m
-        # down so the 4^m-entry LUT stays smaller than the index itself
+    elif qmin >= 24:
+        # largest m <= min(12, shortest read) with m % k == 0; for small
+        # references scale m down so the 4^m-entry LUT stays smaller than
+        # the index itself
         lut = next(
-            (m for m in range(12 - (12 % k), 0, -k) if 4 ** m <= refsize),
+            (
+                m
+                for m in range(12 - (12 % k), 0, -k)
+                if 4 ** m <= refsize and m <= qmin
+            ),
             0,
         )
     else:
         lut = 0
     if args.paired:
-        qlen2, nreads2 = _sniff_reads(args.paired)
+        qmin2, qlen2, nreads2 = _sniff_reads(args.paired)
+        if qmin2 != qlen2:
+            sys.exit(f"{args.paired} mixes read lengths; trim mates first")
         if qlen2 != qlen or nreads2 != nreads:
             sys.exit(
                 f"mate files disagree: {args.reads} has {nreads} x {qlen} bp,"
                 f" {args.paired} has {nreads2} x {qlen2} bp"
             )
     print(
-        f"align: {nreads} x {qlen} bp"
+        f"align: {nreads} x "
+        + (f"{qmin}-{qlen}" if mixed else f"{qlen}")
+        + " bp"
         + (" pairs" if args.paired else " reads")
         + f", reference {refsize} bases, k={k} d={d} lut={lut}"
     )
@@ -1172,6 +1195,42 @@ def cmd_align(args):
         contigs=False,
         output=args.output,
     )
+    if mixed:
+        # Variable-length exact alignment: one search_varlen program over
+        # the right-aligned 0xFF-padded batch (both strands), the ordinary
+        # locate walk (length-independent), per-read-length SAM records.
+        from tpufm.engine.xla import VARLEN_PAD, LocateEngine, XLAEngine
+        from tpufm.io.contigs import read_contigs
+        from tpufm.io.fasta import load_queries_varlen, load_query_names
+        from tpufm.io.sam import sam_header, sam_single_records
+        from tpufm.utils.encoding import reverse_complement_varlen
+
+        index, loc, _ = _locate_tables(ns)
+        batch = load_queries_varlen(args.reads, nreads)
+        lengths = (batch != VARLEN_PAD).sum(axis=1)
+        q2 = np.concatenate([batch, reverse_complement_varlen(batch)])
+        eng = XLAEngine(
+            index,
+            tail_index=loc.lf1 if index.config.k > 1 else None,
+            lut_m=lut,
+        )
+        pos = LocateEngine(loc).locate_hits(
+            eng.search_varlen(q2), max_hits=args.max_hits
+        )
+        cmap = read_contigs(args.reference, refsize or None)
+        names = load_query_names(args.reads, nreads)
+        out = args.output or f"{args.reads}.sam"
+        with open(out, "w") as fp:
+            fp.write(sam_header(cmap, extra_pg="tpufm align (mixed-length)"))
+            fp.write(
+                sam_single_records(
+                    names, batch, pos[:nreads], pos[nreads:], cmap,
+                    lengths=lengths,
+                )
+            )
+        print(f"{nreads} mixed-length reads, both strands")
+        print(f"wrote {out}")
+        return
     cmd_locate(ns)
 
 

@@ -61,7 +61,9 @@ def sam_header(cmap, extra_pg: str = "") -> str:
     return "\n".join(lines) + "\n"
 
 
-def sam_single_records(names, reads, pos_fwd, pos_rc, cmap, codes=None) -> str:
+def sam_single_records(
+    names, reads, pos_fwd, pos_rc, cmap, codes=None, lengths=None
+) -> str:
     """One SAM block per read: primary + secondary records over both
     strands' hits, or one unmapped record. The PRIMARY record is the
     lowest-NM site (ties: forward strand first, then position order) —
@@ -73,21 +75,30 @@ def sam_single_records(names, reads, pos_fwd, pos_rc, cmap, codes=None) -> str:
     reference — when given, NM:i is the per-site Hamming distance
     (Hamming alignments are pure <L>M CIGARs, so this covers
     --mismatches output exactly); when None the sites are exact and
-    NM:i:0."""
-    L = reads.shape[1]
-    rcs = reverse_complement(reads)
+    NM:i:0. lengths: per-read true lengths for a RIGHT-ALIGNED
+    0xFF-padded variable-length batch (search_varlen contract) — CIGARs,
+    NM windows, and contig span checks all use each read's own length."""
+    B, Lmax = reads.shape
+    Ls = (
+        np.full(B, Lmax, dtype=np.int64)
+        if lengths is None
+        else np.asarray(lengths, dtype=np.int64)
+    )
     # resolve every site in two vectorized passes (not per hit)
-    idx_f, off_f, sp_f = cmap.resolve(pos_fwd, query_len=L)
-    idx_r, off_r, sp_r = cmap.resolve(pos_rc, query_len=L)
+    idx_f, off_f, sp_f = cmap.resolve(pos_fwd, query_len=Ls[:, None])
+    idx_r, off_r, sp_r = cmap.resolve(pos_rc, query_len=Ls[:, None])
     out = []
     for i, name in enumerate(names):
-        seq_f = decode_bases(reads[i]).decode()
-        seq_r = decode_bases(rcs[i]).decode()
+        L = int(Ls[i])
+        read_i = reads[i, Lmax - L :]
+        rc_i = reverse_complement(read_i)
+        seq_f = decode_bases(read_i).decode()
+        seq_r = decode_bases(rc_i).decode()
         sites = []  # (nm, order, flag, rname, pos1, seq)
         order = 0
         for pos_row, idx, off, sp, flag, seq, match in (
-            (pos_fwd[i], idx_f[i], off_f[i], sp_f[i], 0, seq_f, reads[i]),
-            (pos_rc[i], idx_r[i], off_r[i], sp_r[i], 16, seq_r, rcs[i]),
+            (pos_fwd[i], idx_f[i], off_f[i], sp_f[i], 0, seq_f, read_i),
+            (pos_rc[i], idx_r[i], off_r[i], sp_r[i], 16, seq_r, rc_i),
         ):
             for j in range(pos_row.shape[0]):
                 if pos_row[j] == _SENT or idx[j] < 0 or sp[j]:

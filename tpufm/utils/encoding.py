@@ -55,6 +55,28 @@ def reverse_complement(codes: np.ndarray) -> np.ndarray:
     return (np.uint8(3) - codes[..., ::-1]).astype(np.uint8)
 
 
+def reverse_complement_varlen(batch: np.ndarray) -> np.ndarray:
+    """Reverse-complement a RIGHT-ALIGNED 0xFF-padded variable-length batch
+    [B, Lmax] (the search_varlen contract), keeping the result right-aligned.
+
+    Plain reverse_complement would flip each row's padding to the right
+    side; here each row's real suffix is reversed/complemented in place and
+    the pad stays on the left, via one vectorized right-shift."""
+    batch = np.asarray(batch, dtype=np.uint8)
+    B, L = batch.shape
+    pad = np.uint8(0xFF)
+    rev = batch[:, ::-1]  # real chars now LEFT-aligned
+    comp = np.where(rev != pad, np.uint8(3) - rev, pad).astype(np.uint8)
+    lengths = (batch != pad).sum(axis=1)
+    src = np.arange(L)[None, :] - (L - lengths)[:, None]
+    out = np.where(
+        src >= 0,
+        comp[np.arange(B)[:, None], np.clip(src, 0, L - 1)],
+        pad,
+    ).astype(np.uint8)
+    return out
+
+
 def fuse_kmer_codes(levels: np.ndarray) -> np.ndarray:
     """Fuse per-level 2-bit codes into one k-tuple code.
 
