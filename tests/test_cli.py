@@ -517,3 +517,20 @@ def test_cli_align_mixed_rejects_approx(tmp_path, ref, monkeypatch):
     qry.write_text(">a\nACGTACGTACGT\n>b\nACGTACGTACGTACG\n")
     with pytest.raises(SystemExit, match="mixed-length"):
         cli.main(["align", str(path), str(qry), "--edits", "1"])
+
+
+def test_cli_align_mixed_mesh(tmp_path, ref, monkeypatch):
+    """Mixed-length align over the 8-device virtual mesh is byte-identical
+    to the single-chip SAM."""
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    rng2 = np.random.default_rng(23)
+    qry = tmp_path / "mix3.fa"
+    with open(qry, "w") as fp:
+        for i, L in enumerate((20, 33, 25, 41, 20, 28, 37, 22, 30)):
+            s = int(rng2.integers(0, n - L))
+            fp.write(f">q{i}\n{decode_bases(codes[s : s + L]).decode()}\n")
+    cli.main(["align", str(path), str(qry), "-o", str(tmp_path / "s.sam")])
+    cli.main(["align", str(path), str(qry), "--mesh", "8",
+              "-o", str(tmp_path / "m.sam")])
+    assert (tmp_path / "s.sam").read_text() == (tmp_path / "m.sam").read_text()

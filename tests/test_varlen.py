@@ -138,3 +138,20 @@ def test_load_queries_varlen(tmp_path, setup, rng):
     np.testing.assert_array_equal(got, want)
     hit = got[1]
     assert hit[1] > hit[0]
+
+
+def test_varlen_mesh_matches_single_chip(setup, rng):
+    """DataParallelEngine.search_varlen over the 8-device virtual mesh is
+    bit-identical to the single-chip result, including a batch not
+    divisible by the mesh size (pad_cycle tail)."""
+    from tpufm.parallel import DataParallelEngine, make_mesh
+
+    codes, index, tail = setup
+    lengths = [15 + int(x) for x in rng.integers(0, 30, size=43)]  # 43 % 8 != 0
+    batch, _ = _mixed_batch(codes, rng, lengths)
+    single = XLAEngine(index, tail_index=tail, lut_m=6).search_varlen(batch)
+    mesh = make_mesh()
+    got = DataParallelEngine(
+        index, mesh, tail_index=tail, lut_m=6
+    ).search_varlen(batch)
+    np.testing.assert_array_equal(got, single)

@@ -1115,8 +1115,6 @@ def cmd_align(args):
             "mixed-length sets currently align exact single-end only "
             "(trim to one length for --paired/--mismatches/--edits)"
         )
-    if mixed and args.mesh is not None:
-        sys.exit("mixed-length align is single-chip for now; drop --mesh")
     if args.from_store:
         meta_path = os.path.join(f"{args.from_store}.search.tpufm", "meta.json")
         try:
@@ -1209,14 +1207,26 @@ def cmd_align(args):
         batch = load_queries_varlen(args.reads, nreads)
         lengths = (batch != VARLEN_PAD).sum(axis=1)
         q2 = np.concatenate([batch, reverse_complement_varlen(batch)])
-        eng = XLAEngine(
-            index,
-            tail_index=loc.lf1 if index.config.k > 1 else None,
-            lut_m=lut,
-        )
-        pos = LocateEngine(loc).locate_hits(
-            eng.search_varlen(q2), max_hits=args.max_hits
-        )
+        tail = loc.lf1 if index.config.k > 1 else None
+        if args.mesh is not None:
+            from tpufm.parallel import (
+                DataParallelEngine,
+                DataParallelLocate,
+                make_mesh,
+            )
+
+            mesh = make_mesh(args.mesh or None)
+            iv = DataParallelEngine(
+                index, mesh, tail_index=tail, lut_m=lut
+            ).search_varlen(q2)
+            pos = DataParallelLocate(loc, mesh).locate_hits(
+                iv, max_hits=args.max_hits
+            )
+        else:
+            eng = XLAEngine(index, tail_index=tail, lut_m=lut)
+            pos = LocateEngine(loc).locate_hits(
+                eng.search_varlen(q2), max_hits=args.max_hits
+            )
         cmap = read_contigs(args.reference, refsize or None)
         names = load_query_names(args.reads, nreads)
         out = args.output or f"{args.reads}.sam"

@@ -175,6 +175,51 @@ class DataParallelEngine:
     def search_device(self, queries_sharded):
         return self._search(self.tables, _U32(self.bwtsize), queries_sharded)
 
+    def search_varlen(self, queries) -> np.ndarray:
+        """Variable-length twin of search(): a RIGHT-ALIGNED 0xFF-padded
+        mixed-length batch (the XLAEngine.search_varlen contract),
+        batch-sharded over the mesh. Each chip runs the same masked-round
+        program on its query shard; results all-gather like search()."""
+        from tpufm.engine.xla import VARLEN_PAD, make_search_varlen_fn
+        from tpufm.utils.waves import pad_cycle
+
+        if self.alt_counters:
+            raise ValueError(
+                "variable-length search rides the baseline fused layout"
+            )
+        if self.config.k > 1 and self._tail_d is None:
+            raise ValueError(
+                "variable-length search needs a tail_index (k=1) — every "
+                "length mix has reads with L mod k != 0"
+            )
+        queries = np.asarray(queries, np.uint8)
+        lengths = (queries != VARLEN_PAD).sum(axis=1)
+        if (lengths == 0).any():
+            raise ValueError("empty read in variable-length batch")
+        if self.lut_m and int(lengths.min()) < self.lut_m:
+            raise ValueError(
+                f"shortest read ({int(lengths.min())}) is below "
+                f"lut_m={self.lut_m}"
+            )
+        if not hasattr(self, "_search_vl"):
+            self._search_vl = jax.jit(
+                make_search_varlen_fn(
+                    self.config.k,
+                    self.config.d,
+                    lut_m=self.lut_m,
+                    tail_d=self._tail_d,
+                ),
+                out_shardings=NamedSharding(self.mesh, P()),
+            )
+        B = queries.shape[0]
+        pad = -B % self.mesh.devices.size
+        if pad:
+            queries = pad_cycle(queries, pad)
+        out = self._search_vl(
+            self.tables, _U32(self.bwtsize), self.shard_queries(queries)
+        )
+        return np.asarray(jax.device_get(out))[:B]
+
     def count(self, queries, mismatches: int = 0) -> np.ndarray:
         """Occurrence counts per read over the mesh, uint32 [B] — the
         batch-sharded twin of XLAEngine.count. mismatches=1 fans each chip's
