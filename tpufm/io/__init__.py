@@ -1,4 +1,9 @@
-from tpufm.io.fasta import read_reference, write_reference, load_queries
+from tpufm.io.fasta import (
+    read_reference,
+    write_reference,
+    load_queries,
+    load_queries_varlen,
+)
 from tpufm.io.results import write_results, load_results
 from tpufm.io.genreads import generate_reads
 from tpufm.io.contigs import ContigMap, read_contigs
@@ -7,6 +12,7 @@ __all__ = [
     "read_reference",
     "write_reference",
     "load_queries",
+    "load_queries_varlen",
     "write_results",
     "load_results",
     "generate_reads",
