@@ -30,7 +30,7 @@ def log(o):
 
 def main():
     from tpufm.config import IndexConfig
-    from tpufm.engine.oracle import OracleEngine
+    from tpufm.engine.oracle import search_oracle
     from tpufm.engine.xla import XLAEngine
     from tpufm.index.builder import build_index
     from tpufm.index.suffix_array import suffix_array
@@ -53,7 +53,7 @@ def main():
             eng.search(q)
             ts.append(time.perf_counter() - t0)
         if ref is None:
-            ref = np.asarray(OracleEngine(index).search(q[sel]))
+            ref = np.asarray(search_oracle(index, q[sel]))
         exact = bool(np.array_equal(out[sel], ref))
         log({"exp": "probe73_dsweep_10M", "k": 3, "d": d, "lut_m": 12,
              "reads": B, "reads_per_s": round(B / min(ts)),

@@ -596,6 +596,8 @@ def cmd_locate(args):
     PREFIX.search.tpufm + PREFIX.locate.tpufm and runs with NO rebuild.
     --store PREFIX persists both after a build. Writes '<out>: one line per
     query: pos pos ...'."""
+    if getattr(args, "bam", False):
+        args.sam = True  # --bam is the binary serialization of --sam
     index, loc, codes = _locate_tables(args)
     queries = load_queries(args.queries, args.qrysize, args.numqueries)
     nq = queries.shape[0]
@@ -764,21 +766,22 @@ def _locate_body(args, index, loc, codes, queries, nq):
         from tpufm.io.fasta import load_query_names
 
         names = load_query_names(args.queries, nq)
-        out = args.output or f"{args.queries}.sam"
-        with open(out, "w") as fp:
-            fp.write(sam_header(cmap, extra_pg="tpufm locate --sam"))
-            if args.edits:
-                from tpufm.io.sam import sam_edit_records
+        out = args.output or f"{args.queries}." + ("bam" if args.bam
+                                                   else "sam")
+        text = sam_header(cmap, extra_pg="tpufm locate --sam")
+        if args.edits:
+            from tpufm.io.sam import sam_edit_records
 
-                fp.write(sam_edit_records(
-                    names, queries, pos[:nq], pos[nq:], cmap, codes,
-                    args.edits,
-                ))
-            else:
-                fp.write(sam_single_records(
-                    names, queries, pos[:nq], pos[nq:], cmap,
-                    codes=codes if args.mismatches else None,
-                ))
+            text += sam_edit_records(
+                names, queries, pos[:nq], pos[nq:], cmap, codes,
+                args.edits,
+            )
+        else:
+            text += sam_single_records(
+                names, queries, pos[:nq], pos[nq:], cmap,
+                codes=codes if args.mismatches else None,
+            )
+        _write_sam_or_bam(out, text, args.bam)
         if s_overflow is not None and s_overflow.any():
             print(
                 f"warning: {int(s_overflow.sum())} read strands hit the "
@@ -833,17 +836,17 @@ def _locate_body(args, index, loc, codes, queries, nq):
             from tpufm.io.sam import sam_header, sam_paired_records
 
             names = load_query_names(args.queries, nq)
-            out = args.output or f"{args.queries}.sam"
-            with open(out, "w") as fp:
-                fp.write(sam_header(
-                    sam_cmap, extra_pg="tpufm locate --paired --sam"
-                ))
-                fp.write(sam_paired_records(
-                    names, queries, r2, pairs, strand, sam_cmap,
-                    codes=(codes if (args.mismatches or args.edits)
-                           else None),
-                    edits=args.edits,
-                ))
+            out = args.output or f"{args.queries}." + ("bam" if args.bam
+                                                       else "sam")
+            text = sam_header(
+                sam_cmap, extra_pg="tpufm locate --paired --sam"
+            ) + sam_paired_records(
+                names, queries, r2, pairs, strand, sam_cmap,
+                codes=(codes if (args.mismatches or args.edits)
+                       else None),
+                edits=args.edits,
+            )
+            _write_sam_or_bam(out, text, args.bam)
             print(
                 f"{nq} read pairs, {int((counts > 0).sum())} properly "
                 f"paired (insert [{args.insert_min}, {args.insert_max}])"
@@ -1190,6 +1193,7 @@ def cmd_align(args):
         resume=False,
         lut=lut,
         sam=True,
+        bam=args.bam,
         contigs=False,
         output=args.output,
     )
@@ -1229,19 +1233,32 @@ def cmd_align(args):
             )
         cmap = read_contigs(args.reference, refsize or None)
         names = load_query_names(args.reads, nreads)
-        out = args.output or f"{args.reads}.sam"
-        with open(out, "w") as fp:
-            fp.write(sam_header(cmap, extra_pg="tpufm align (mixed-length)"))
-            fp.write(
-                sam_single_records(
-                    names, batch, pos[:nreads], pos[nreads:], cmap,
-                    lengths=lengths,
-                )
-            )
+        out = args.output or f"{args.reads}." + ("bam" if args.bam
+                                                 else "sam")
+        text = sam_header(
+            cmap, extra_pg="tpufm align (mixed-length)"
+        ) + sam_single_records(
+            names, batch, pos[:nreads], pos[nreads:], cmap,
+            lengths=lengths,
+        )
+        _write_sam_or_bam(out, text, args.bam)
         print(f"{nreads} mixed-length reads, both strands")
         print(f"wrote {out}")
         return
     cmd_locate(ns)
+
+
+def _write_sam_or_bam(path: str, sam_text: str, as_bam: bool) -> None:
+    """One alignment-semantics implementation, two serializations: the
+    SAM text (io/sam.py, the tested source of truth) is either written
+    verbatim or encoded to bgzf BAM (io/bam.py)."""
+    if as_bam:
+        from tpufm.io.bam import write_bam
+
+        write_bam(path, sam_text)
+    else:
+        with open(path, "w") as fp:
+            fp.write(sam_text)
 
 
 def cmd_diff(args):
@@ -1516,6 +1533,10 @@ def main(argv=None):
                          "with NM:i; single-end reports both strands, "
                          "--paired emits proper-pair records; needs the "
                          "reference FASTA for the record map)")
+    lc.add_argument("--bam", action="store_true",
+                    help="write bgzf-compressed BAM v1 instead of SAM "
+                         "text (implies --sam; io/bam.py encodes the "
+                         "same records)")
     lc.add_argument("--contigs", action="store_true",
                     help="write chromosome:offset instead of absolute "
                          "positions (multi-FASTA record map from the "
@@ -1538,6 +1559,9 @@ def main(argv=None):
                     help="mate-2 reads: paired-end FR placement")
     al.add_argument("-o", "--output", default=None,
                     help="SAM path (default <reads>.sam)")
+    al.add_argument("--bam", action="store_true",
+                    help="write bgzf-compressed BAM v1 instead of SAM "
+                         "text (default output <reads>.bam)")
     al.add_argument("--mismatches", type=int, default=0,
                     help="substitutions tolerated per read (1 = variant "
                          "expansion, >=2 = seed-and-extend)")
