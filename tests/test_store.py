@@ -111,3 +111,82 @@ def test_cli_store_flow(tmp_path, rng, monkeypatch):
               "--from-store", str(tmp_path / "pre"), "--max-hits", "4",
               "--output", str(tmp_path / "b.pos")])
     assert (tmp_path / "a.pos").read_text() == (tmp_path / "b.pos").read_text()
+
+
+def test_store_sharded_roundtrip(tmp_path, rng):
+    """Per-shard store: save from a device-resident sharded build with no
+    whole-table host copy, reload onto an equal mesh, search bit-exact —
+    and the shard files reassemble byte-identical to the host build."""
+    import jax
+
+    from tpufm.index.builder_sharded import build_index_sharded
+    from tpufm.index.store import load_store_sharded, save_store_sharded
+    from tpufm.parallel import ShardedIndexEngine
+    from tpufm.parallel.mesh import make_mesh
+
+    mesh8 = make_mesh(8)
+    codes = rng.integers(0, 4, size=9000, dtype=np.uint8)
+    cfg = IndexConfig(k=2, d=64)
+    dev = build_index_sharded(codes, cfg, mesh8, return_host=False)
+    root = save_store_sharded(tmp_path / "sh", dev)
+    assert sorted(p.name for p in root.glob("occ.shard*.npy")) == [
+        f"occ.shard{i:04d}.npy" for i in range(8)
+    ]
+
+    loaded = load_store_sharded(root, mesh8)
+    assert isinstance(loaded.occ, jax.Array)
+    assert not loaded.occ.is_fully_replicated
+
+    host = build_index(codes, cfg)
+    E1 = host.occ.shape[0]
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(loaded.occ))[:E1], host.occ
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(loaded.bitmaps))[:E1], host.bitmaps
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded.dollar_pos, np.uint32),
+        np.asarray(host.dollar_pos, np.uint32),
+    )
+
+    starts = rng.integers(0, 9000 - 24, size=64)
+    q = np.stack([codes[i : i + 24] for i in starts])
+    got = ShardedIndexEngine(loaded, mesh8).search(q)
+    np.testing.assert_array_equal(got, search_oracle(host, q))
+
+    # wrong-size mesh and wrong loader are told apart explicitly
+    with pytest.raises(ValueError, match="equal-size mesh"):
+        load_store_sharded(root, make_mesh(4))
+    with pytest.raises(ValueError, match="load_store_sharded"):
+        load_store(root)
+    with pytest.raises(TypeError, match="save_store"):
+        save_store_sharded(tmp_path / "host", host)
+
+
+def test_cli_store_sharded_flow(tmp_path, rng, monkeypatch):
+    """build --on-device --mesh --store-sharded -> search --sharded, end
+    to end, matching the plain single-chip search."""
+    from tpufm import cli
+    from tpufm.io.fasta import write_reference
+    from tpufm.io.results import load_results
+    from tpufm.utils.encoding import decode_bases
+
+    monkeypatch.chdir(tmp_path)
+    n = 6000
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    write_reference("ref.fa", decode_bases(codes))
+    cli.main(["build", "ref.fa", str(n), "--k", "2", "--d", "64",
+              "--on-device", "--mesh", "8", "--store-sharded",
+              "--output", "sh.tpufm"])
+    cli.main(["genreads", "ref.fa", str(n), "24", "32", "--seed", "3"])
+    qry = f"Q-32_B-24_R-{n}.qry"
+    cli.main(["search", "sh.tpufm", qry, "24", "32", "--iterations", "1",
+              "--sharded", "--output", "sh.res"])
+    # plain host build + single-chip search is the ground truth
+    cli.main(["build", "ref.fa", str(n), "--k", "2", "--d", "64",
+              "--output", "host.npz"])
+    cli.main(["search", "host.npz", qry, "24", "32", "--iterations", "1",
+              "--output", "host.res"])
+    np.testing.assert_array_equal(load_results("sh.res"),
+                                  load_results("host.res"))

@@ -64,6 +64,9 @@ def cmd_build(args):
     if args.mesh and not args.on_device:
         sys.exit("build --mesh requires --on-device (the sharded build runs "
                  "on the accelerator mesh; the host build has no mesh mode)")
+    if args.store_sharded and not (args.mesh and args.on_device):
+        sys.exit("--store-sharded persists the device-resident sharded "
+                 "tables; it requires --on-device --mesh N")
     # --tail: the k=1 sibling shares ONE suffix sort with the main build on
     # every path (host sa=, device/sharded sa_dev=); at k=1 the main index
     # IS the tail, no second build at all.
@@ -79,7 +82,10 @@ def cmd_build(args):
             from tpufm.index.sa_sharded import suffix_array_sharded_arr
 
             order = suffix_array_sharded_arr(codes, mesh)
-        index = build_index_sharded(codes, cfg, mesh, sa_dev=order)
+        index = build_index_sharded(
+            codes, cfg, mesh, sa_dev=order,
+            return_host=not args.store_sharded,
+        )
         if want_tail:
             tail = build_index_sharded(
                 codes, IndexConfig(k=1, d=args.d), mesh, sa_dev=order
@@ -118,7 +124,16 @@ def cmd_build(args):
     # Reference-compatible name: <ref>.<size>.<d>fmi<k>steps.fmi
     # (reference src/genFMindex.c:162)
     out = args.output or f"{args.reference}.{args.refsize}.{args.d}fmi{args.k}steps.fmi"
-    if out.endswith(".tpufm"):
+    if args.store_sharded:
+        # The tables never touched the host (return_host=False above);
+        # each process writes only its own shards.
+        if not out.endswith(".tpufm"):
+            sys.exit("--store-sharded writes a .tpufm store; pass "
+                     "--output <name>.tpufm")
+        from tpufm.index.store import save_store_sharded
+
+        save_store_sharded(out, index)
+    elif out.endswith(".tpufm"):
         from tpufm.index.store import save_store
 
         save_store(out, index)
@@ -228,8 +243,35 @@ def _emit_strands(out, rows, B, write_one):
         print(f"wrote {out}.rc (minus strand)")
 
 
+def _sharded_store_meta(path: str):
+    """meta.json of a per-shard .tpufm store, or None."""
+    if not path.endswith(".tpufm"):
+        return None
+    import json
+    import os
+
+    try:
+        meta = json.loads(open(os.path.join(path, "meta.json")).read())
+    except OSError:
+        return None
+    return meta if meta.get("kind") == "kstep_sharded" else None
+
+
 def cmd_search(args):
-    index = _load_any_index(args.index)
+    if _sharded_store_meta(args.index):
+        # Per-shard store: reassembled straight onto the mesh, no
+        # whole-table host copy (index/store.py save_store_sharded).
+        if not getattr(args, "sharded", False):
+            sys.exit(f"{args.index} is a per-shard store; search it with "
+                     "--sharded [--mesh N]")
+        from tpufm.index.store import load_store_sharded
+        from tpufm.parallel import make_mesh
+
+        index = load_store_sharded(
+            args.index, make_mesh(getattr(args, "mesh", None) or None)
+        )
+    else:
+        index = _load_any_index(args.index)
     queries = load_queries(args.queries, args.qrysize, args.numqueries)
     tail = _maybe_tail(args, index)
     engine = _make_engine(index, args, tail_index=tail)
@@ -1315,6 +1357,11 @@ def main(argv=None):
                    help="with --on-device: shard every build stage over N "
                         "devices (tpufm/index/builder_sharded.py) — lifts "
                         "the single-chip ~400 Mbase on-device cap")
+    b.add_argument("--store-sharded", action="store_true",
+                   help="with --on-device --mesh N: persist per-shard "
+                        "files (--output X.tpufm) without ever assembling "
+                        "the table on one host; search them with "
+                        "`tpufm search X.tpufm ... --sharded`")
     b.add_argument("--save-ref", action="store_true")
     b.add_argument("--tail", action="store_true",
                    help="also build a k=1 tail index (<out>.tail.npz) so "

@@ -108,6 +108,101 @@ def save_store(path, index) -> Path:
     return root
 
 
+def save_store_sharded(path, index) -> Path:
+    """Persist a KStepFMIndex whose occ/bitmaps are GLOBAL SHARDED
+    jax.Arrays (build_index_sharded return_host=False) WITHOUT ever
+    assembling the table on one host: every process writes one raw
+    `.npy` per shard it holds (`occ.shard0007.npy`, ...), so an index
+    larger than any single host's RAM can still be persisted. Process 0
+    writes meta.json + the replicated dollar arrays. Closes the
+    docs/DISTRIBUTED.md "persistence of device-resident sharded tables"
+    gap; the reference's persistence story is a single whole-table fread
+    (src/fmIndexCPUBaseline.c:71-143) with no >RAM mode at all."""
+    import jax
+
+    occ, bitmaps = index.occ, index.bitmaps
+    if not isinstance(occ, jax.Array) or occ.is_fully_replicated:
+        raise TypeError(
+            "save_store_sharded expects row-sharded device tables "
+            "(build_index_sharded(..., return_host=False)); use "
+            "save_store for host/replicated indexes"
+        )
+    root = Path(str(path) if str(path).endswith(".tpufm") else f"{path}.tpufm")
+    root.mkdir(parents=True, exist_ok=True)
+
+    n_shards = occ.sharding.num_devices
+    rows = occ.shape[0]
+    if rows % n_shards:
+        raise ValueError(f"row count {rows} not a multiple of {n_shards}")
+    shard_len = rows // n_shards
+    for arr, name in ((occ, "occ"), (bitmaps, "bitmaps")):
+        for sh in arr.addressable_shards:
+            sid = sh.index[0].start // shard_len
+            np.save(root / f"{name}.shard{sid:04d}.npy", np.asarray(sh.data))
+    if jax.process_index() == 0:
+        _save_arrays(
+            root,
+            {
+                "dollar_pos": np.asarray(jax.device_get(index.dollar_pos)),
+                "dollar_base": np.asarray(jax.device_get(index.dollar_base)),
+            },
+        )
+        meta = {
+            "kind": "kstep_sharded",
+            "format": FORMAT,
+            "n_shards": n_shards,
+            "rows": rows,
+            **_kstep_meta(index),
+        }
+        (root / "meta.json").write_text(json.dumps(meta, indent=1))
+    return root
+
+
+def load_store_sharded(path, mesh, axis: str | None = None):
+    """Reassemble a per-shard store onto `mesh` with no full-table host
+    copy: each process memory-maps ONLY the shard files of its
+    addressable devices, uploads them, and the global sharded array is
+    stitched with jax.make_array_from_single_device_arrays. The mesh
+    must have as many devices as the store has shards (the shard is the
+    unit of placement). Returns a KStepFMIndex whose occ/bitmaps are
+    global sharded jax.Arrays — feed it straight to ShardedIndexEngine."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    root = Path(str(path) if str(path).endswith(".tpufm") else f"{path}.tpufm")
+    meta = json.loads((root / "meta.json").read_text())
+    if meta["kind"] != "kstep_sharded":
+        raise ValueError(f"not a sharded store: kind={meta['kind']!r}")
+    n_shards, rows = meta["n_shards"], meta["rows"]
+    if mesh.devices.size != n_shards:
+        raise ValueError(
+            f"store has {n_shards} shards; mesh has {mesh.devices.size} "
+            "devices (per-shard stores reload onto an equal-size mesh)"
+        )
+    axis = axis or mesh.axis_names[0]
+    shard_len = rows // n_shards
+
+    def stitch(name, tail_shape):
+        sharding = NamedSharding(
+            mesh, PartitionSpec(axis, *([None] * len(tail_shape)))
+        )
+        shape = (rows, *tail_shape)
+        bufs = []
+        for dev, idx in sharding.addressable_devices_indices_map(shape).items():
+            sid = idx[0].start // shard_len
+            arr = np.load(root / f"{name}.shard{sid:04d}.npy", mmap_mode="r")
+            bufs.append(jax.device_put(arr, dev))
+        return jax.make_array_from_single_device_arrays(shape, sharding, bufs)
+
+    k, nb = meta["k"], meta["d"] // 32
+    arrays = {
+        "occ": stitch("occ", (4**k,)),
+        "bitmaps": stitch("bitmaps", (k, 2, nb)),
+        **_load_arrays(root, ("dollar_pos", "dollar_base"), mmap=False),
+    }
+    return _kstep_from(meta, arrays)
+
+
 def load_store(path, mmap: bool = True):
     """Load a `.tpufm` store. mmap=True (default) memory-maps every array:
     opening a 6 GB genome index is instant, pages stream on first use."""
@@ -122,6 +217,11 @@ def load_store(path, mmap: bool = True):
         )
 
     kind = meta["kind"]
+    if kind == "kstep_sharded":
+        raise ValueError(
+            "per-shard store: load with tpufm.index.store."
+            "load_store_sharded(path, mesh) onto an equal-size mesh"
+        )
     if kind == "kstep":
         return _kstep_from(meta, _load_arrays(root, _KSTEP_ARRAYS, mmap))
     if kind == "alt_counters":
