@@ -510,13 +510,77 @@ def test_cli_align_mixed_lengths(tmp_path, ref, monkeypatch):
             assert f[9] == decode_bases(read).decode()
 
 
-def test_cli_align_mixed_rejects_approx(tmp_path, ref, monkeypatch):
+def test_cli_align_mixed_rejects_paired(tmp_path, ref, monkeypatch):
     path, n, codes = ref
     monkeypatch.chdir(tmp_path)
     qry = tmp_path / "mix2.fa"
     qry.write_text(">a\nACGTACGTACGT\n>b\nACGTACGTACGTACG\n")
+    qry2 = tmp_path / "mix2b.fa"
+    qry2.write_text(">a\nACGTACGTACGT\n>b\nACGTACGTACGTACG\n")
     with pytest.raises(SystemExit, match="mixed-length"):
-        cli.main(["align", str(path), str(qry), "--edits", "1"])
+        cli.main(["align", str(path), str(qry), "-2", str(qry2)])
+
+
+def test_cli_align_mixed_mismatches(tmp_path, ref, monkeypatch):
+    """Mixed-length --mismatches 1: per-length grouping — every read
+    gets one substitution planted and must map back to its origin with
+    NM:i:1, records in input order."""
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    rng2 = np.random.default_rng(31)
+    lengths = [24, 36, 24, 30, 36, 24]
+    reads, qry = [], tmp_path / "mixm.fa"
+    with open(qry, "w") as fp:
+        for i, L in enumerate(lengths):
+            s = int(rng2.integers(0, n - L))
+            r = codes[s : s + L].copy()
+            j = int(rng2.integers(0, L))
+            r[j] = (r[j] + 1 + int(rng2.integers(0, 3))) % 4
+            reads.append((s, r))
+            fp.write(f">mm{i}\n{decode_bases(r).decode()}\n")
+    cli.main(["align", str(path), str(qry), "--mismatches", "1",
+              "-o", str(tmp_path / "mm.sam")])
+    body = [l for l in (tmp_path / "mm.sam").read_text().splitlines()
+            if not l.startswith("@")]
+    qnames = []
+    for l in body:
+        if l.split("\t")[0] not in qnames:
+            qnames.append(l.split("\t")[0])
+    assert qnames == [f"mm{i}" for i in range(6)]  # input order kept
+    for i, (s, r) in enumerate(reads):
+        recs = [l.split("\t") for l in body if l.split("\t")[0] == f"mm{i}"]
+        assert any(
+            int(f[3]) - 1 == s and not int(f[1]) & 0x10 for f in recs
+        ), f"read {i}: origin {s} not reported"
+        for f in recs:
+            assert not int(f[1]) & 4
+            assert int(f[-1].split(":")[-1]) <= 1  # NM:i at most 1
+
+
+def test_cli_align_mixed_edits(tmp_path, ref, monkeypatch):
+    """Mixed-length --edits 1: one planted deletion per read; the origin
+    window must be recovered with a real M/D CIGAR."""
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    rng2 = np.random.default_rng(37)
+    reads, qry = [], tmp_path / "mixe.fa"
+    with open(qry, "w") as fp:
+        for i, L in enumerate((36, 45, 36)):
+            s = int(rng2.integers(0, n - L - 2))
+            window = codes[s : s + L + 1]
+            j = int(rng2.integers(4, L - 4))
+            r = np.concatenate([window[:j], window[j + 1 :]])[:L]
+            reads.append((s, r))
+            fp.write(f">me{i}\n{decode_bases(r).decode()}\n")
+    cli.main(["align", str(path), str(qry), "--edits", "1",
+              "-o", str(tmp_path / "me.sam")])
+    body = [l for l in (tmp_path / "me.sam").read_text().splitlines()
+            if not l.startswith("@")]
+    for i, (s, r) in enumerate(reads):
+        recs = [l.split("\t") for l in body if l.split("\t")[0] == f"me{i}"]
+        assert recs and any(not int(f[1]) & 4 for f in recs)
+        assert any(abs(int(f[3]) - 1 - s) <= 2 for f in recs), \
+            f"read {i}: no site near origin {s}"
 
 
 def test_cli_align_mixed_mesh(tmp_path, ref, monkeypatch):

@@ -243,6 +243,70 @@ def _emit_strands(out, rows, B, write_one):
         print(f"wrote {out}.rc (minus strand)")
 
 
+def _single_end_positions(args, index, loc, codes, queries):
+    """Both-strand hit positions for one fixed-length read batch: the
+    engine dispatch shared by `locate --sam` and the per-length groups of
+    a mixed-length `align` run. Returns (pos uint32 [2B, max_hits] —
+    forward strand rows first, then reverse complements — and the
+    seed-overflow flags or None)."""
+    from tpufm.utils.encoding import reverse_complement
+
+    q2 = np.concatenate([queries, reverse_complement(queries)])
+    dp = None
+    if args.mesh is not None:
+        from tpufm.parallel import DataParallelSearchLocate, make_mesh
+
+        dp = DataParallelSearchLocate(
+            index, loc, make_mesh(args.mesh or None),
+            max_hits=args.max_hits, lut_m=args.lut,
+        )
+    s_overflow = None
+    if args.mismatches >= 2:
+        if dp is not None:
+            pos, _, s_overflow = dp.locate_approx(
+                q2, codes, args.mismatches, seed_hits=args.seed_hits
+            )
+        else:
+            from tpufm.engine.seed import SeedExtendEngine
+
+            pos, _, s_overflow = SeedExtendEngine(
+                index, loc, codes, mismatches=args.mismatches,
+                seed_hits=args.seed_hits, max_hits=args.max_hits,
+                lut_m=args.lut,
+            ).locate_approx(q2)
+    elif args.edits:
+        if dp is not None:
+            pos, _, s_overflow = dp.locate_edits(
+                q2, codes, args.edits, seed_hits=args.seed_hits
+            )
+        else:
+            from tpufm.engine.edit import EditExtendEngine
+
+            pos, _, s_overflow = EditExtendEngine(
+                index, loc, codes, edits=args.edits,
+                seed_hits=args.seed_hits, max_hits=args.max_hits,
+                lut_m=args.lut,
+            ).locate_edits(q2)
+    elif args.mismatches:
+        if dp is not None:
+            pos = dp.locate_mismatch(q2)
+        else:
+            from tpufm.engine.xla import SearchLocateEngine
+
+            pos = SearchLocateEngine(
+                index, loc, max_hits=args.max_hits, lut_m=args.lut
+            ).locate_mismatch(q2)
+    elif dp is not None:
+        _, pos = dp.search_locate(q2)
+    else:
+        from tpufm.engine.xla import SearchLocateEngine
+
+        _, pos = SearchLocateEngine(
+            index, loc, max_hits=args.max_hits, lut_m=args.lut
+        ).search_locate(q2)
+    return pos, s_overflow
+
+
 def _sharded_store_meta(path: str):
     """meta.json of a per-shard .tpufm store, or None."""
     if not path.endswith(".tpufm"):
@@ -745,66 +809,14 @@ def _locate_body(args, index, loc, codes, queries, nq):
         # marks minus-strand records (io/sam.py). Hamming sites (pure
         # <L>M CIGARs) carry their per-site NM:i.
         from tpufm.io.sam import sam_header, sam_single_records
-        from tpufm.utils.encoding import reverse_complement
 
         cmap = _contig_map()
         if args.from_store and (args.mismatches or args.edits):
             # only the approximate modes need the text itself (NM / seed
             # verify); exact SAM works from the stores alone
             codes = read_reference(args.reference, args.refsize or None)
-        q2 = np.concatenate([queries, reverse_complement(queries)])
-        dp = None
-        if args.mesh is not None:
-            from tpufm.parallel import DataParallelSearchLocate, make_mesh
-
-            dp = DataParallelSearchLocate(
-                index, loc, make_mesh(args.mesh or None),
-                max_hits=args.max_hits, lut_m=args.lut,
-            )
-        s_overflow = None
-        if args.mismatches >= 2:
-            if dp is not None:
-                pos, _, s_overflow = dp.locate_approx(
-                    q2, codes, args.mismatches, seed_hits=args.seed_hits
-                )
-            else:
-                from tpufm.engine.seed import SeedExtendEngine
-
-                pos, _, s_overflow = SeedExtendEngine(
-                    index, loc, codes, mismatches=args.mismatches,
-                    seed_hits=args.seed_hits, max_hits=args.max_hits,
-                    lut_m=args.lut,
-                ).locate_approx(q2)
-        elif args.edits:
-            if dp is not None:
-                pos, _, s_overflow = dp.locate_edits(
-                    q2, codes, args.edits, seed_hits=args.seed_hits
-                )
-            else:
-                from tpufm.engine.edit import EditExtendEngine
-
-                pos, _, s_overflow = EditExtendEngine(
-                    index, loc, codes, edits=args.edits,
-                    seed_hits=args.seed_hits, max_hits=args.max_hits,
-                    lut_m=args.lut,
-                ).locate_edits(q2)
-        elif args.mismatches:
-            if dp is not None:
-                pos = dp.locate_mismatch(q2)
-            else:
-                from tpufm.engine.xla import SearchLocateEngine
-
-                pos = SearchLocateEngine(
-                    index, loc, max_hits=args.max_hits, lut_m=args.lut
-                ).locate_mismatch(q2)
-        elif dp is not None:
-            _, pos = dp.search_locate(q2)
-        else:
-            from tpufm.engine.xla import SearchLocateEngine
-
-            _, pos = SearchLocateEngine(
-                index, loc, max_hits=args.max_hits, lut_m=args.lut
-            ).search_locate(q2)
+        pos, s_overflow = _single_end_positions(args, index, loc, codes,
+                                                queries)
         from tpufm.io.fasta import load_query_names
 
         names = load_query_names(args.queries, nq)
@@ -1154,11 +1166,11 @@ def cmd_align(args):
 
     qmin, qlen, nreads = _sniff_reads(args.reads)
     mixed = qmin != qlen
-    if mixed and (args.paired or args.mismatches or args.edits):
+    if mixed and args.paired:
         sys.exit(
             f"{args.reads} mixes read lengths ({qmin}-{qlen} bp): "
-            "mixed-length sets currently align exact single-end only "
-            "(trim to one length for --paired/--mismatches/--edits)"
+            "mixed-length sets align single-end (exact, --mismatches, "
+            "or --edits); trim mates to one length for --paired"
         )
     if args.from_store:
         meta_path = os.path.join(f"{args.from_store}.search.tpufm", "meta.json")
@@ -1239,6 +1251,68 @@ def cmd_align(args):
         contigs=False,
         output=args.output,
     )
+    if mixed and (args.mismatches or args.edits):
+        # Mixed-length approximate alignment: per-length grouping. The
+        # seed/edit engines are fixed-L programs (seed spans and Myers
+        # word counts are shape constants), so each DISTINCT length runs
+        # its own compiled instance over the SHARED tables, and the
+        # per-read record blocks merge back in input order. One compile
+        # per distinct length (persistent-cached); right for real trimmed
+        # sets with a handful of lengths, quadratic-compile-silly for
+        # pathological 1-length-per-read inputs.
+        from tpufm.engine.xla import VARLEN_PAD
+        from tpufm.io.contigs import read_contigs
+        from tpufm.io.fasta import load_queries_varlen, load_query_names
+        from tpufm.io.sam import (
+            sam_edit_records,
+            sam_header,
+            sam_single_records,
+        )
+
+        index, loc, codes = _locate_tables(ns)
+        if codes is None:
+            codes = read_reference(args.reference, refsize or None)
+        batch = load_queries_varlen(args.reads, nreads)
+        lengths = (batch != VARLEN_PAD).sum(axis=1)
+        names = load_query_names(args.reads, nreads)
+        cmap = read_contigs(args.reference, refsize or None)
+        blocks = [None] * nreads
+        overflow_total = 0
+        for L in sorted({int(x) for x in lengths}):
+            sel = np.flatnonzero(lengths == L)
+            qL = np.ascontiguousarray(batch[sel, batch.shape[1] - L :])
+            gnames = [names[i] for i in sel]
+            pos, ov = _single_end_positions(ns, index, loc, codes, qL)
+            nL = sel.size
+            if args.edits:
+                b = sam_edit_records(
+                    gnames, qL, pos[:nL], pos[nL:], cmap, codes,
+                    args.edits, return_blocks=True,
+                )
+            else:
+                b = sam_single_records(
+                    gnames, qL, pos[:nL], pos[nL:], cmap, codes=codes,
+                    return_blocks=True,
+                )
+            for j, i in enumerate(sel):
+                blocks[i] = b[j]
+            if ov is not None:
+                overflow_total += int(np.asarray(ov).sum())
+        out = args.output or f"{args.reads}." + ("bam" if args.bam
+                                                 else "sam")
+        text = sam_header(
+            cmap, extra_pg="tpufm align (mixed-length)"
+        ) + "\n".join(line for blk in blocks for line in blk) + "\n"
+        _write_sam_or_bam(out, text, args.bam)
+        if overflow_total:
+            print(f"warning: {overflow_total} read strands hit the "
+                  f"seed-hits={args.seed_hits} cap; their SAM records "
+                  "are lower bounds")
+        print(f"{nreads} mixed-length reads "
+              f"({len(set(int(x) for x in lengths))} lengths), "
+              "both strands")
+        print(f"wrote {out}")
+        return
     if mixed:
         # Variable-length exact alignment: one search_varlen program over
         # the right-aligned 0xFF-padded batch (both strands), the ordinary

@@ -61,9 +61,20 @@ def sam_header(cmap, extra_pg: str = "") -> str:
     return "\n".join(lines) + "\n"
 
 
+def _emit(blocks, return_blocks: bool):
+    """blocks: one list of record lines per read. Joined text by default;
+    return_blocks=True hands the per-read blocks back so a caller that
+    batched reads out of order (per-length grouping of a mixed-length
+    set, cli.cmd_align) can re-emit them in input order."""
+    if return_blocks:
+        return blocks
+    return "\n".join(line for b in blocks for line in b) + "\n"
+
+
 def sam_single_records(
-    names, reads, pos_fwd, pos_rc, cmap, codes=None, lengths=None
-) -> str:
+    names, reads, pos_fwd, pos_rc, cmap, codes=None, lengths=None,
+    return_blocks: bool = False,
+):
     """One SAM block per read: primary + secondary records over both
     strands' hits, or one unmapped record. The PRIMARY record is the
     lowest-NM site (ties: forward strand first, then position order) —
@@ -87,8 +98,10 @@ def sam_single_records(
     # resolve every site in two vectorized passes (not per hit)
     idx_f, off_f, sp_f = cmap.resolve(pos_fwd, query_len=Ls[:, None])
     idx_r, off_r, sp_r = cmap.resolve(pos_rc, query_len=Ls[:, None])
-    out = []
+    blocks = []
     for i, name in enumerate(names):
+        out = []
+        blocks.append(out)
         L = int(Ls[i])
         read_i = reads[i, Lmax - L :]
         rc_i = reverse_complement(read_i)
@@ -121,11 +134,11 @@ def sam_single_records(
             )
         if not sites:
             out.append(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq_f}\t*")
-    return "\n".join(out) + "\n"
+    return _emit(blocks, return_blocks)
 
 
 def sam_edit_records(names, reads, pos_fwd, pos_rc, cmap, codes,
-                     edits: int) -> str:
+                     edits: int, return_blocks: bool = False):
     """Edit-distance SAM records with REAL CIGARs: every reported site is
     re-aligned on the host (utils/align.edit_alignments — start-anchored
     free-end DP with traceback, batched over the hit list), yielding
@@ -175,8 +188,10 @@ def sam_edit_records(names, reads, pos_fwd, pos_rc, cmap, codes,
             (int(nm[j]), len(per_read.get(i, ())), flag,
              cmap.names[idx[j]], int(off[j]) + 1, cigars[j])
         )
-    out = []
+    blocks = []
     for i, name in enumerate(names):
+        out = []
+        blocks.append(out)
         rows = sorted(per_read.get(i, []))
         seq_f = decode_bases(reads[i]).decode()
         seq_r = decode_bases(rcs[i]).decode()
@@ -190,11 +205,11 @@ def sam_edit_records(names, reads, pos_fwd, pos_rc, cmap, codes,
             )
         if not rows:
             out.append(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq_f}\t*")
-    return "\n".join(out) + "\n"
+    return _emit(blocks, return_blocks)
 
 
 def sam_paired_records(names, r1, r2, pairs, strand, cmap, codes=None,
-                       edits: int = 0) -> str:
+                       edits: int = 0, return_blocks: bool = False):
     """Two SAM records per read pair: the primary proper pair — the
     lowest combined-NM placement (ties: engine order) — with additional
     pairs as secondary record pairs, or the standard both-unmapped pair.
@@ -210,7 +225,7 @@ def sam_paired_records(names, r1, r2, pairs, strand, cmap, codes=None,
     (utils/align.edit_alignments) for REAL M/I/D CIGARs; span checks and
     TLEN then use each alignment's ACTUAL reference span. When codes is
     None the pairs are exact (NM:i:0)."""
-    out = []
+    blocks = []
     B, P = pairs.shape[:2]
     L1, L2 = r1.shape[1], r2.shape[1]
     if codes is not None and L1 != L2:
@@ -283,6 +298,8 @@ def sam_paired_records(names, r1, r2, pairs, strand, cmap, codes=None,
     sp_l = off_l + span_l > clen_l
     sp_r = off_r + span_r > clen_r
     for i, name in enumerate(names):
+        out = []
+        blocks.append(out)
         seq1f = decode_bases(r1[i]).decode()
         seq1r = decode_bases(r1r[i]).decode()
         seq2f = decode_bases(r2[i]).decode()
@@ -320,4 +337,4 @@ def sam_paired_records(names, r1, r2, pairs, strand, cmap, codes=None,
         if not rows:
             out.append(f"{name}\t77\t*\t0\t0\t*\t*\t0\t0\t{seq1f}\t*")
             out.append(f"{name}\t141\t*\t0\t0\t*\t*\t0\t0\t{seq2f}\t*")
-    return "\n".join(out) + "\n"
+    return _emit(blocks, return_blocks)
