@@ -56,7 +56,18 @@ def main():
     # re-measure a few times spaced out, keep the BEST attempt, and stamp
     # the record with the attempt count + degraded flag so the number is
     # never silently under- or over-stated.
-    floor = float(os.environ.get("TPUFM_BENCH_HEALTHY_FLOOR", 1_200_000))
+    # The 1.2M floor is calibrated to the DEFAULT flagship config on a
+    # healthy TPU only — a user-overridden engine/config (or a CPU run)
+    # can be legitimately slower, so those default to no-retry.
+    default_cfg = not any(
+        f"TPUFM_BENCH_{name}" in os.environ
+        for name in ("REFSIZE", "LEN", "K", "D", "QUERIES", "ENGINE", "LUT")
+    )
+    floor = float(
+        os.environ.get(
+            "TPUFM_BENCH_HEALTHY_FLOOR", 1_200_000 if default_cfg else 0
+        )
+    )
     attempts = int(os.environ.get("TPUFM_BENCH_ATTEMPTS", 3))
     pause = float(os.environ.get("TPUFM_BENCH_RETRY_SLEEP", 240))
     import time as _time
@@ -70,6 +81,8 @@ def main():
             best = record
         if best["detail"]["reads_per_s"] >= floor:
             break
+        if "TPU" not in str(record["detail"].get("device", "")):
+            break  # the floor is a TPU-tunnel calibration; CPU runs once
         if i + 1 < attempts:
             _time.sleep(pause)
     best["detail"]["bench_attempts"] = i + 1

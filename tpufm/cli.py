@@ -67,6 +67,10 @@ def cmd_build(args):
     if args.store_sharded and not (args.mesh and args.on_device):
         sys.exit("--store-sharded persists the device-resident sharded "
                  "tables; it requires --on-device --mesh N")
+    if args.store_sharded and not (args.output or "").endswith(".tpufm"):
+        # validate BEFORE the (potentially hours-long) build, not after
+        sys.exit("--store-sharded writes a .tpufm store; pass "
+                 "--output <name>.tpufm")
     # --tail: the k=1 sibling shares ONE suffix sort with the main build on
     # every path (host sa=, device/sharded sa_dev=); at k=1 the main index
     # IS the tail, no second build at all.
@@ -125,11 +129,10 @@ def cmd_build(args):
     # (reference src/genFMindex.c:162)
     out = args.output or f"{args.reference}.{args.refsize}.{args.d}fmi{args.k}steps.fmi"
     if args.store_sharded:
-        # The tables never touched the host (return_host=False above);
-        # each process writes only its own shards.
-        if not out.endswith(".tpufm"):
-            sys.exit("--store-sharded writes a .tpufm store; pass "
-                     "--output <name>.tpufm")
+        # The tables never touched the host (return_host=False above;
+        # the optional k=1 TAIL still goes through the host — it is
+        # ~7-8x smaller than the main table, <=1.5 GB at the formats'
+        # 4 Gbase uint32 cap, so it never drives peak memory).
         from tpufm.index.store import save_store_sharded
 
         save_store_sharded(out, index)
@@ -243,7 +246,23 @@ def _emit_strands(out, rows, B, write_one):
         print(f"wrote {out}.rc (minus strand)")
 
 
-def _single_end_positions(args, index, loc, codes, queries):
+def _make_dp_search_locate(args, index, loc):
+    """DataParallelSearchLocate for --mesh runs, or None. Length-
+    independent (only the jitted programs specialize per shape), so the
+    mixed-length align loop builds it ONCE and reuses it across its
+    per-length groups — constructing it re-replicates the tables to
+    every device."""
+    if args.mesh is None:
+        return None
+    from tpufm.parallel import DataParallelSearchLocate, make_mesh
+
+    return DataParallelSearchLocate(
+        index, loc, make_mesh(args.mesh or None),
+        max_hits=args.max_hits, lut_m=args.lut,
+    )
+
+
+def _single_end_positions(args, index, loc, codes, queries, dp=None):
     """Both-strand hit positions for one fixed-length read batch: the
     engine dispatch shared by `locate --sam` and the per-length groups of
     a mixed-length `align` run. Returns (pos uint32 [2B, max_hits] —
@@ -252,14 +271,8 @@ def _single_end_positions(args, index, loc, codes, queries):
     from tpufm.utils.encoding import reverse_complement
 
     q2 = np.concatenate([queries, reverse_complement(queries)])
-    dp = None
-    if args.mesh is not None:
-        from tpufm.parallel import DataParallelSearchLocate, make_mesh
-
-        dp = DataParallelSearchLocate(
-            index, loc, make_mesh(args.mesh or None),
-            max_hits=args.max_hits, lut_m=args.lut,
-        )
+    if dp is None:
+        dp = _make_dp_search_locate(args, index, loc)
     s_overflow = None
     if args.mismatches >= 2:
         if dp is not None:
@@ -315,8 +328,9 @@ def _sharded_store_meta(path: str):
     import os
 
     try:
-        meta = json.loads(open(os.path.join(path, "meta.json")).read())
-    except OSError:
+        with open(os.path.join(path, "meta.json")) as fp:
+            meta = json.load(fp)
+    except (OSError, ValueError):
         return None
     return meta if meta.get("kind") == "kstep_sharded" else None
 
@@ -1278,11 +1292,13 @@ def cmd_align(args):
         cmap = read_contigs(args.reference, refsize or None)
         blocks = [None] * nreads
         overflow_total = 0
+        dp = _make_dp_search_locate(ns, index, loc)  # once, not per length
         for L in sorted({int(x) for x in lengths}):
             sel = np.flatnonzero(lengths == L)
             qL = np.ascontiguousarray(batch[sel, batch.shape[1] - L :])
             gnames = [names[i] for i in sel]
-            pos, ov = _single_end_positions(ns, index, loc, codes, qL)
+            pos, ov = _single_end_positions(ns, index, loc, codes, qL,
+                                            dp=dp)
             nL = sel.size
             if args.edits:
                 b = sam_edit_records(

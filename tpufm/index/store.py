@@ -171,6 +171,10 @@ def load_store_sharded(path, mesh, axis: str | None = None):
 
     root = Path(str(path) if str(path).endswith(".tpufm") else f"{path}.tpufm")
     meta = json.loads((root / "meta.json").read_text())
+    if meta.get("format", 0) > FORMAT:
+        raise ValueError(
+            f"store format {meta['format']} is newer than supported ({FORMAT})"
+        )
     if meta["kind"] != "kstep_sharded":
         raise ValueError(f"not a sharded store: kind={meta['kind']!r}")
     n_shards, rows = meta["n_shards"], meta["rows"]
