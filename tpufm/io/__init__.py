@@ -7,8 +7,12 @@ from tpufm.io.fasta import (
 from tpufm.io.results import write_results, load_results
 from tpufm.io.genreads import generate_reads
 from tpufm.io.contigs import ContigMap, read_contigs
+from tpufm.io.bam import read_bam, sam_to_bam, write_bam
 
 __all__ = [
+    "read_bam",
+    "sam_to_bam",
+    "write_bam",
     "read_reference",
     "write_reference",
     "load_queries",
