@@ -598,3 +598,25 @@ def test_cli_align_mixed_mesh(tmp_path, ref, monkeypatch):
     cli.main(["align", str(path), str(qry), "--mesh", "8",
               "-o", str(tmp_path / "m.sam")])
     assert (tmp_path / "s.sam").read_text() == (tmp_path / "m.sam").read_text()
+
+
+def test_cli_align_mixed_mismatches_mesh(tmp_path, ref, monkeypatch):
+    """Mixed-length --mismatches over the 8-device mesh is byte-identical
+    to the single-chip SAM (the per-length groups reuse ONE
+    DataParallelSearchLocate)."""
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    rng2 = np.random.default_rng(41)
+    qry = tmp_path / "mixmm.fa"
+    with open(qry, "w") as fp:
+        for i, L in enumerate((24, 36, 24, 30, 36, 24, 30, 24)):
+            s = int(rng2.integers(0, n - L))
+            r = codes[s : s + L].copy()
+            j = int(rng2.integers(0, L))
+            r[j] = (r[j] + 1) % 4
+            fp.write(f">g{i}\n{decode_bases(r).decode()}\n")
+    cli.main(["align", str(path), str(qry), "--mismatches", "1",
+              "-o", str(tmp_path / "s.sam")])
+    cli.main(["align", str(path), str(qry), "--mismatches", "1",
+              "--mesh", "8", "-o", str(tmp_path / "m.sam")])
+    assert (tmp_path / "s.sam").read_text() == (tmp_path / "m.sam").read_text()
