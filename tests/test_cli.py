@@ -81,7 +81,7 @@ def test_cli_build_auto(tmp_path, ref, monkeypatch):
     from tpufm.index.formats import read_fmi
 
     index, _ = read_fmi(tmp_path / "auto.fmi")
-    assert index.config.k == 3 and index.config.d == 128
+    assert index.config.k == 3 and index.config.d == 192
 
 
 def test_cli_dumpentry_and_sweep(tmp_path, ref, monkeypatch, capsys):

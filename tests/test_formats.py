@@ -101,7 +101,9 @@ def test_recommend_config():
     from tpufm.config import recommend_config
 
     r = recommend_config(10_000_000)
-    assert r == {"k": 3, "d": 128, "lut_m": 12}
+    assert r == {"k": 3, "d": 192, "lut_m": 12}  # round-4 ladder, probe79
+    r = recommend_config(60_000_000)
+    assert r == {"k": 3, "d": 320, "lut_m": 12}
     r = recommend_config(3_000_000_000)
     assert r == {"k": 3, "d": 192, "lut_m": 12}
     # k must divide the query length

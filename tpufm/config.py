@@ -123,11 +123,15 @@ def recommend_config(refsize: int, query_len: int = 120) -> dict:
 
     k=3 dominates k in {1,2} (more rounds at the same gather rate) and
     k in {4,5} (fewer rounds at a third of the rate — the row-width cliff,
-    PERF.md "High-k refutation"). d is the smallest in {128..320} whose
-    entry count fits the VMEM fast path (VMEM_FAST_ENTRIES); d > 320 would
-    exceed 128 row words, doubling the physical footprint (tile padding)
-    and losing VMEM residency. Beyond ~65 Mbase no d fits and throughput
-    is ~700K reads/s flat to at least 6.25 GB; d=192 is kept there (the
+    PERF.md "High-k refutation"). d: the round-4 bracketed ladder
+    (probe79) measured d=192 fastest whenever it fits the VMEM fast path
+    (10 Mbase: 2.24M reads/s vs d=128's 2.11M, d=256's 1.99M, d=320's
+    2.06M), and d=320 next (63M: 2.04M, 69M: 1.96M) — so the preference
+    is 192 (refs <= ~40 Mbase), then 320 (<= ~67 Mbase); d=128/256 are
+    never optimal. d > 320 would exceed 128 row words, doubling the
+    physical footprint (tile padding) and losing VMEM residency. Beyond
+    ~69 Mbase no d fits and throughput is ~940K reads/s flat to at least
+    6.25 GB (tree-pick HBM regime, probe74/75); d=192 is kept there (the
     sharded-mode layout convention). A 12-mer prefix LUT removes lut_m/k
     rounds whenever the query length permits.
 
@@ -138,7 +142,7 @@ def recommend_config(refsize: int, query_len: int = 120) -> dict:
     k = next((kk for kk in (3, 2, 1) if query_len % kk == 0), 1)
     bwtsize = refsize + 1
     d = next(
-        (dd for dd in (128, 192, 256, 320)
+        (dd for dd in (192, 320)
          if -(-bwtsize // dd) <= VMEM_FAST_ENTRIES),
         192,
     )
