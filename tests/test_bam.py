@@ -173,3 +173,28 @@ def test_cli_align_bam_default_name(tmp_path, ref, monkeypatch):
     header, records = read_bam(f"{qry}.bam")
     assert "@SQ" in header
     assert len([r for r in records if not int(r[1]) & 0x100]) == 16
+
+
+def test_cli_paired_bam_matches_sam(tmp_path, ref, monkeypatch):
+    """locate --paired --sam --bam: paired records (flags, '=' RNEXT,
+    TLEN) survive the BAM round trip identically."""
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    cli.main(["genreads", str(path), str(n), "24", "16", "--seed", "21",
+              "--paired", "--insert-min", "60", "--insert-max", "200"])
+    r1, r2 = f"Q-16_B-24_R-{n}_1.qry", f"Q-16_B-24_R-{n}_2.qry"
+    common = ["locate", str(path), str(n), r1, "24", "16",
+              "--k", "2", "--d", "64", "--sample-rate", "8",
+              "--paired", r2, "--insert-min", "60", "--insert-max", "200",
+              "--sam"]
+    cli.main(common + ["--output", str(tmp_path / "p.sam")])
+    cli.main(common + ["--bam", "--output", str(tmp_path / "p.bam")])
+    sam_lines = (tmp_path / "p.sam").read_text().splitlines()
+    header, records = read_bam(str(tmp_path / "p.bam"))
+    assert records == [
+        l.split("\t") for l in sam_lines if not l.startswith("@")
+    ]
+    # paired flags and '=' RNEXT survived
+    mapped = [r for r in records if not int(r[1]) & 4]
+    assert mapped and all(int(r[1]) & 1 for r in mapped)
+    assert all(r[6] == "=" for r in mapped)
