@@ -27,7 +27,7 @@ from tpufm.engine.xla import XLAEngine
 from tpufm.index.builder import build_index
 from tpufm.io.genreads import generate_reads
 
-B, L, k, d, lut_m = 1 << 20, 120, 3, 128, 12
+B, L, k, d, lut_m = 1 << 20, 120, 3, 192, 12
 
 
 def run_one(refsize, tag):
@@ -66,8 +66,8 @@ def run_one(refsize, tag):
     return rec
 
 
-records = [run_one(10_000_000, "fast_10M_tree"),
-           run_one(80_000_000, "hbm_80M_tree")]
+records = [run_one(10_000_000, "fast_10M_tree_d192"),
+           run_one(80_000_000, "hbm_80M_tree_d192")]
 
 for r in records:
     files = glob.glob(f"{r['trace_dir']}/**/*.trace.json.gz", recursive=True)
