@@ -2,9 +2,11 @@
 """Driver benchmark entry point: prints ONE JSON line
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Runs the flagship configuration (2-step FM-index, d=64, 10 Mbase reference,
-131072 reads x 120 bp — the reference suite's workload shape scaled to a
-single pass) on the available accelerator.
+Runs the flagship configuration (k-step FM-index backward search,
+k/d/LUT from the measured ladder in recommend_config — k=3 d=192 lut12
+as of round 4 — 10 Mbase reference, 1M reads x 120 bp) on the available
+accelerator, with bounded best-of retries against the oscillating
+tunnel state (docs/PERF.md "the tunnel oscillates").
 """
 
 import json

@@ -510,17 +510,6 @@ def test_cli_align_mixed_lengths(tmp_path, ref, monkeypatch):
             assert f[9] == decode_bases(read).decode()
 
 
-def test_cli_align_mixed_rejects_paired(tmp_path, ref, monkeypatch):
-    path, n, codes = ref
-    monkeypatch.chdir(tmp_path)
-    qry = tmp_path / "mix2.fa"
-    qry.write_text(">a\nACGTACGTACGT\n>b\nACGTACGTACGTACG\n")
-    qry2 = tmp_path / "mix2b.fa"
-    qry2.write_text(">a\nACGTACGTACGT\n>b\nACGTACGTACGTACG\n")
-    with pytest.raises(SystemExit, match="mixed-length"):
-        cli.main(["align", str(path), str(qry), "-2", str(qry2)])
-
-
 def test_cli_align_mixed_mismatches(tmp_path, ref, monkeypatch):
     """Mixed-length --mismatches 1: per-length grouping — every read
     gets one substitution planted and must map back to its origin with
@@ -620,3 +609,67 @@ def test_cli_align_mixed_mismatches_mesh(tmp_path, ref, monkeypatch):
     cli.main(["align", str(path), str(qry), "--mismatches", "1",
               "--mesh", "8", "-o", str(tmp_path / "m.sam")])
     assert (tmp_path / "s.sam").read_text() == (tmp_path / "m.sam").read_text()
+
+
+def test_cli_align_mixed_paired(tmp_path, ref, monkeypatch):
+    """Mixed-length PAIRED align: pairs with two (L1, L2) combos group
+    per combo and merge back in input order; every planted pair comes
+    back properly paired at its origin."""
+    from tpufm.io.genreads import generate_read_pairs
+
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    a1, a2, (als, ars, am) = generate_read_pairs(
+        codes, 24, 3, 60, 200, seed=3, return_truth=True)
+    b1, b2, (bls, brs, bm) = generate_read_pairs(
+        codes, 30, 3, 60, 200, seed=4, return_truth=True)
+    # interleave the two length sets so grouping must reorder
+    order = [("a", 0), ("b", 0), ("a", 1), ("b", 1), ("b", 2), ("a", 2)]
+    truth = []
+    with open("m1.fa", "w") as f1, open("m2.fa", "w") as f2:
+        for t, (which, j) in enumerate(order):
+            r1 = (a1 if which == "a" else b1)[j]
+            r2 = (a2 if which == "a" else b2)[j]
+            ls = (als if which == "a" else bls)[j]
+            f1.write(f">p{t}\n{decode_bases(r1).decode()}\n")
+            f2.write(f">p{t}\n{decode_bases(r2).decode()}\n")
+            truth.append((int(ls), len(r1)))
+    cli.main(["align", str(path), "m1.fa", "-2", "m2.fa",
+              "--insert-min", "60", "--insert-max", "200",
+              "-o", str(tmp_path / "mp.sam")])
+    body = [l.split("\t") for l in (tmp_path / "mp.sam").read_text()
+            .splitlines() if not l.startswith("@")]
+    qnames = []
+    for f in body:
+        if f[0] not in qnames:
+            qnames.append(f[0])
+    assert qnames == [f"p{t}" for t in range(6)]  # input order kept
+    text = codes.tobytes()
+    for t, (ls, L) in enumerate(truth):
+        recs = [f for f in body if f[0] == f"p{t}"]
+        assert recs and all(int(f[1]) & 1 for f in recs)
+        # the leftmost mate of some reported pair sits at the planted start
+        assert any(int(f[3]) - 1 == ls and not int(f[1]) & 0x100
+                   for f in recs), (t, ls, recs)
+        for f in recs:
+            if not int(f[1]) & 4 and "M" == f[5][-1] and f[5][:-1].isdigit():
+                Lr = int(f[5][:-1])
+                if not int(f[1]) & 0x10:
+                    # plus-strand record: SEQ must match the reference
+                    seq = f[9]
+                    p = int(f[3]) - 1
+                    assert decode_bases(
+                        np.frombuffer(text[p : p + Lr], np.uint8)
+                    ).decode() == seq
+
+
+def test_cli_align_mixed_paired_approx_needs_equal_mates(
+    tmp_path, ref, monkeypatch
+):
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "x1.fa").write_text(">a\nACGTACGTACGTACGTACGTACGT\n")
+    (tmp_path / "x2.fa").write_text(">a\nACGTACGTACGTACGTACGTACGTACGTAC\n")
+    with pytest.raises(SystemExit, match="equal mate lengths"):
+        cli.main(["align", str(path), str(tmp_path / "x1.fa"),
+                  "-2", str(tmp_path / "x2.fa"), "--mismatches", "1"])

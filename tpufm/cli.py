@@ -1180,12 +1180,7 @@ def cmd_align(args):
 
     qmin, qlen, nreads = _sniff_reads(args.reads)
     mixed = qmin != qlen
-    if mixed and args.paired:
-        sys.exit(
-            f"{args.reads} mixes read lengths ({qmin}-{qlen} bp): "
-            "mixed-length sets align single-end (exact, --mismatches, "
-            "or --edits); trim mates to one length for --paired"
-        )
+    # (mixed + --paired is grouped per (L1, L2) below; no rejection)
     if args.from_store:
         meta_path = os.path.join(f"{args.from_store}.search.tpufm", "meta.json")
         try:
@@ -1203,6 +1198,16 @@ def cmd_align(args):
         # length, but the aligner always has the k=1 tail (loc.lf1), so
         # the measured-best k=3 applies at ANY length.
         k, d = 3, rec["d"]
+    pair_mixed = False
+    if args.paired:
+        qmin2, qlen2, nreads2 = _sniff_reads(args.paired)
+        if nreads2 != nreads:
+            sys.exit(
+                f"mate files disagree: {args.reads} has {nreads} reads,"
+                f" {args.paired} has {nreads2}"
+            )
+        pair_mixed = mixed or qmin2 != qlen2 or qlen2 != qlen
+        qmin = min(qmin, qmin2)  # the LUT must fit the shortest mate
     if args.lut is not None:
         lut = args.lut
     elif qmin >= 24:
@@ -1219,15 +1224,6 @@ def cmd_align(args):
         )
     else:
         lut = 0
-    if args.paired:
-        qmin2, qlen2, nreads2 = _sniff_reads(args.paired)
-        if qmin2 != qlen2:
-            sys.exit(f"{args.paired} mixes read lengths; trim mates first")
-        if qlen2 != qlen or nreads2 != nreads:
-            sys.exit(
-                f"mate files disagree: {args.reads} has {nreads} x {qlen} bp,"
-                f" {args.paired} has {nreads2} x {qlen2} bp"
-            )
     print(
         f"align: {nreads} x "
         + (f"{qmin}-{qlen}" if mixed else f"{qlen}")
@@ -1265,6 +1261,80 @@ def cmd_align(args):
         contigs=False,
         output=args.output,
     )
+    if args.paired and pair_mixed:
+        # Mixed-length PAIRED alignment: per-(L1, L2) grouping — each
+        # distinct mate-length combination runs the ordinary fixed-shape
+        # paired pipeline over the shared tables, records merged back in
+        # input order (same contract as the single-end grouping below).
+        from tpufm.engine.paired import PairedEndEngine
+        from tpufm.engine.xla import VARLEN_PAD
+        from tpufm.io.contigs import read_contigs
+        from tpufm.io.fasta import load_queries_varlen, load_query_names
+        from tpufm.io.sam import sam_header, sam_paired_records
+
+        need_text = bool(args.mismatches or args.edits)
+        index, loc, codes = _locate_tables(ns)
+        if need_text and codes is None:
+            codes = read_reference(args.reference, refsize or None)
+        b1 = load_queries_varlen(args.reads, nreads)
+        b2 = load_queries_varlen(args.paired, nreads)
+        l1 = (b1 != VARLEN_PAD).sum(axis=1)
+        l2 = (b2 != VARLEN_PAD).sum(axis=1)
+        if need_text and (l1 != l2).any():
+            sys.exit(
+                "--paired with --mismatches/--edits needs equal mate "
+                "lengths within each pair (the approximate paired engine "
+                "batches both mates in one fixed-shape pass); found "
+                f"{int((l1 != l2).sum())} pairs with different lengths"
+            )
+        names = load_query_names(args.reads, nreads)
+        cmap = read_contigs(args.reference, refsize or None)
+        mesh = None
+        if args.mesh is not None:
+            from tpufm.parallel import make_mesh
+
+            mesh = make_mesh(args.mesh or None)
+        blocks = [None] * nreads
+        paired_total = 0
+        ov_total = 0
+        combos = sorted({(int(a), int(b)) for a, b in zip(l1, l2)})
+        for L1, L2 in combos:
+            sel = np.flatnonzero((l1 == L1) & (l2 == L2))
+            r1g = np.ascontiguousarray(b1[sel, b1.shape[1] - L1 :])
+            r2g = np.ascontiguousarray(b2[sel, b2.shape[1] - L2 :])
+            gnames = [names[i] for i in sel]
+            pairs, strand, counts, ov = PairedEndEngine(
+                index, loc, args.insert_min, args.insert_max,
+                max_hits=args.max_hits, max_pairs=args.max_pairs,
+                mesh=mesh, lut_m=lut, mismatches=args.mismatches,
+                edits=args.edits, seed_hits=args.seed_hits,
+                text=codes if (args.mismatches >= 2 or args.edits)
+                else None,
+            ).pair(r1g, r2g)
+            bl = sam_paired_records(
+                gnames, r1g, r2g, pairs, strand, cmap,
+                codes=codes if need_text else None, edits=args.edits,
+                return_blocks=True,
+            )
+            for j, i in enumerate(sel):
+                blocks[i] = bl[j]
+            paired_total += int((counts > 0).sum())
+            ov_total += int(np.asarray(ov).sum())
+        out = args.output or f"{args.reads}." + ("bam" if args.bam
+                                                 else "sam")
+        text = sam_header(
+            cmap, extra_pg="tpufm align --paired (mixed-length)"
+        ) + "\n".join(line for blk in blocks for line in blk) + "\n"
+        _write_sam_or_bam(out, text, args.bam)
+        if ov_total:
+            print(f"warning: {ov_total} read pairs have a mate in a "
+                  f"repeat wider than max-hits={args.max_hits}; their "
+                  "pair lists are lower bounds")
+        print(f"{nreads} mixed-length read pairs "
+              f"({len(combos)} length combos), {paired_total} properly "
+              f"paired (insert [{args.insert_min}, {args.insert_max}])")
+        print(f"wrote {out}")
+        return
     if mixed and (args.mismatches or args.edits):
         # Mixed-length approximate alignment: per-length grouping. The
         # seed/edit engines are fixed-L programs (seed spans and Myers

@@ -239,16 +239,18 @@ def sam_paired_records(names, r1, r2, pairs, strand, cmap, codes=None,
     cends = np.append(cmap.starts[1:], cmap.total)
     clen_l = (cends - cmap.starts)[np.maximum(idx_l, 0)]
     clen_r = (cends - cmap.starts)[np.maximum(idx_r, 0)]
-    # mate content in forward-reference orientation at each end
-    # (left mate is R1 on strand 0, R2 on 1; the right mate is the rc)
     valid = (pairs[..., 0] != _SENT) & (idx_l >= 0) & (idx_l == idx_r)
     vi, vj = np.nonzero(valid)
-    left_mat = np.where(
-        (strand[vi, vj] == 0)[:, None], r1[vi], r2[vi]
-    ).astype(np.uint8)
-    right_mat = np.where(
-        (strand[vi, vj] == 0)[:, None], r2r[vi], r1r[vi]
-    ).astype(np.uint8)
+    if codes is not None and len(vi):
+        # mate content at each fragment end, needed only for NM/CIGAR
+        # re-evaluation (the exact path never builds these — mate lengths
+        # may differ there, so r1/r2 rows cannot be where()-mixed)
+        left_mat = np.where(
+            (strand[vi, vj] == 0)[:, None], r1[vi], r2[vi]
+        ).astype(np.uint8)
+        right_mat = np.where(
+            (strand[vi, vj] == 0)[:, None], r2r[vi], r1r[vi]
+        ).astype(np.uint8)
     len_left = np.where(strand == 0, L1, L2)
     len_right = np.where(strand == 0, L2, L1)
     span_l = len_left.astype(np.int64)
