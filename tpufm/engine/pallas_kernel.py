@@ -2,13 +2,21 @@
 
 Division of labor (measured honestly on v5e, see docs/PERF.md):
   * the data-dependent entry gather is left to XLA — its gather runtime has
-    a fast path a hand-rolled per-row DMA pipeline did not match, and this
-    engine lands within 3% of the pure-XLA one;
+    a fast path a hand-rolled per-row DMA pipeline did not match;
   * the per-round rank computation (boundary masks, plane select/complement,
     AND-reduce, popcount, counter select, '$' corrections, interval update)
     is fused into ONE VPU kernel over the gathered rows — the tpufm
     counterpart of the reference's per-thread bit kernel
     (reference src/fmIndexGPU-Task-2Step.cu:103-122 / fmIndexCPUBaseline.c:230-256).
+
+Honest standing (probes 83/84, docs/PERF.md "The Mosaic round body,
+closed"): this engine measures ~0.5x the XLA engine at the d=192
+flagship (1.07M vs 2.22M reads/s). The custom-call boundary forces the
+gathered rows ([2B, W] — 800 MB/round at 1M-read waves) to MATERIALIZE
+in HBM between the XLA gather and the kernel, traffic the pure-XLA
+path's gather+consumer fusion never pays; no kernel-side win can buy
+that back. It stays as the measured alternative formulation and the
+only engine whose round body is hand-schedulable.
 
 The kernel is layout-static (k, d baked at trace time, like everything else
 in tpufm) and grid-tiled over the flattened 2B interval ends.
@@ -68,13 +76,17 @@ def _lf_round_kernel(
         jax.lax.population_count(matched).astype(jnp.int32), axis=1
     ).astype(_U32)
 
-    # Counter select via one-hot reduce (no dynamic lane gather on the VPU).
-    cnt_cols = rows_ref[:, bmw : bmw + ncounters].astype(jnp.int32)
-    col = jax.lax.broadcasted_iota(jnp.int32, cnt_cols.shape, 1)
-    cnt = jnp.sum(
-        jnp.where(col == code.astype(jnp.int32)[:, None], cnt_cols, 0),
-        axis=1,
-    ).astype(_U32)
+    # Counter select via the binary-tree halving of static slices — the
+    # same formulation that won the XLA-side shootout (probe63,
+    # docs/PERF.md "The counter pick, solved"): one code bit per level,
+    # no iota compares, no lane reduction.
+    cnt_cols = rows_ref[:, bmw : bmw + ncounters]
+    bits = ncounters.bit_length() - 1
+    for bit in reversed(range(bits)):
+        half = cnt_cols.shape[1] // 2
+        hi = ((code >> _U32(bit)) & _U32(1))[:, None] != 0
+        cnt_cols = jnp.where(hi, cnt_cols[:, half:], cnt_cols[:, :half])
+    cnt = cnt_cols[:, 0]
 
     # '$' corrections: scalar metadata from SMEM, k static.
     for i in range(k):
@@ -218,6 +230,16 @@ class PallasEngine:
             self.tables["lut"] = build_prefix_lut(
                 self.tables, self.bwtsize, self.config.k, self.config.d, lut_m
             )
+        # The [2B, 1]-shaped carries + kernel output land in scoped vmem
+        # inside the while body and blow the default 16M limit at 1M-read
+        # waves (probe83: 20.97M needed at tile 2048); the documented
+        # budget flag lifts it. Mosaic-only — interpret/CPU runs reject
+        # unknown compiler options.
+        opts = (
+            {"xla_tpu_scoped_vmem_limit_kib": 65536}
+            if not interpret
+            else None
+        )
         self._search = jax.jit(
             make_pallas_search_fn(
                 self.config.k,
@@ -225,7 +247,8 @@ class PallasEngine:
                 tile=tile,
                 interpret=interpret,
                 lut_m=lut_m,
-            )
+            ),
+            compiler_options=opts,
         )
 
     #: reads per device wave (same rationale as XLAEngine.WAVE)
