@@ -198,3 +198,34 @@ def test_cli_paired_bam_matches_sam(tmp_path, ref, monkeypatch):
     mapped = [r for r in records if not int(r[1]) & 4]
     assert mapped and all(int(r[1]) & 1 for r in mapped)
     assert all(r[6] == "=" for r in mapped)
+
+
+def test_cli_fastq_quals_survive_bam(tmp_path, ref, monkeypatch):
+    """FASTQ QUAL strings survive the BAM round trip byte-for-byte
+    (including the minus-strand reversal done at the SAM layer)."""
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    from tpufm.utils.encoding import decode_bases, reverse_complement
+
+    rng = np.random.default_rng(3)
+    L = 24
+    sp, sm = 100, 2000
+    reads = [codes[sp : sp + L],
+             reverse_complement(codes[sm : sm + L][None])[0]]
+    quals = ["".join(chr(33 + ((7 * j + i) % 60)) for j in range(L))
+             for i in range(2)]
+    with open("q.fastq", "w") as fp:
+        for i, r in enumerate(reads):
+            fp.write(f"@f{i}\n{decode_bases(r).decode()}\n+\n{quals[i]}\n")
+    common = ["locate", str(path), str(n), "q.fastq", str(L), "2",
+              "--k", "2", "--d", "64", "--sample-rate", "8", "--sam"]
+    cli.main(common + ["--output", "out.sam"])
+    cli.main(common + ["--bam", "--output", "out.bam"])
+    sam_recs = [l.split("\t") for l in
+                open("out.sam").read().splitlines()
+                if not l.startswith("@")]
+    _, bam_recs = read_bam("out.bam")
+    assert bam_recs == sam_recs
+    by = {r[0]: r for r in bam_recs}
+    assert by["f0"][10] == quals[0]
+    assert by["f1"][10] == quals[1][::-1]

@@ -459,3 +459,118 @@ def test_sam_paired_edit_cigars(tmp_path, rng, monkeypatch):
     assert second["cigar"] == f"{L}M" and "NM:i:0" in second["tags"]
     # TLEN from the exact right mate's span
     assert first["tlen"] == r + L - l == -second["tlen"]
+
+
+def _phred(L, seed):
+    """An asymmetric Phred+33 string (q[0] != q[-1]) so reversal shows."""
+    return "".join(chr(33 + ((seed + 3 * j) % 60)) for j in range(L))
+
+
+def test_sam_fastq_quals(tmp_path, rng, monkeypatch):
+    """FASTQ input: QUAL rides into the SAM records — as sequenced on
+    plus-strand and unmapped records, REVERSED on minus-strand (FLAG
+    0x10) records, matching SEQ's forward-reference orientation."""
+    monkeypatch.chdir(tmp_path)
+    n, L = 5000, 24
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    _write_two_contig_ref(codes, "g.fa")
+    sp = int(rng.integers(0, 2600 - L))
+    sm = int(rng.integers(2600, n - L))
+    reads = np.stack([
+        codes[sp : sp + L],
+        reverse_complement(codes[sm : sm + L][None])[0],
+        rng.integers(0, 4, size=L, dtype=np.uint8),
+    ])
+    quals = [_phred(L, s) for s in (0, 7, 21)]
+    with open("q.fastq", "w") as fp:
+        for i in range(3):
+            fp.write(f"@x{i}\n{decode_bases(reads[i]).decode()}\n+\n"
+                     f"{quals[i]}\n")
+    cli.main(["locate", "g.fa", str(n), "q.fastq", str(L), "3",
+              "--k", "2", "--d", "64", "--sample-rate", "8",
+              "--sam", "--output", "o.sam"])
+    _, recs = _parse("o.sam")
+    by = {r["qname"]: r for r in recs}
+    assert by["x0"]["flag"] == 0 and by["x0"]["qual"] == quals[0]
+    assert by["x1"]["flag"] == 16 and by["x1"]["qual"] == quals[1][::-1]
+    assert by["x2"]["flag"] == 4 and by["x2"]["qual"] == quals[2]
+    # FASTA input of the same reads keeps QUAL '*'
+    with open("q.qry", "wb") as fp:
+        for i in range(3):
+            fp.write(b"> x%d\n%s\n" % (i, decode_bases(reads[i])))
+    cli.main(["locate", "g.fa", str(n), "q.qry", str(L), "3",
+              "--k", "2", "--d", "64", "--sample-rate", "8",
+              "--sam", "--output", "o2.sam"])
+    _, recs2 = _parse("o2.sam")
+    assert all(r["qual"] == "*" for r in recs2)
+
+
+def test_sam_fastq_quals_paired_and_edits(tmp_path, rng, monkeypatch):
+    """Paired FASTQ: each mate's QUAL rides its own records, reversed on
+    the reverse-complemented mate; same under --edits re-alignment."""
+    monkeypatch.chdir(tmp_path)
+    n, L = 6000, 24
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    with open("g.fa", "wb") as fp:
+        fp.write(b">c\n" + decode_bases(codes) + b"\n")
+    f0, frag = 900, 300
+    r1_read = codes[f0 : f0 + L]
+    r2_read = reverse_complement(codes[f0 + frag - L : f0 + frag][None])[0]
+    q1, q2 = _phred(L, 1), _phred(L, 11)
+    for name, read, q in (("a.fastq", r1_read, q1),
+                          ("b.fastq", r2_read, q2)):
+        with open(name, "w") as fp:
+            fp.write(f"@p0\n{decode_bases(read).decode()}\n+\n{q}\n")
+    for extra, out in ((["--edits", "1"], "oe.sam"), ([], "o.sam")):
+        cli.main(["locate", "g.fa", str(n), "a.fastq", str(L), "1",
+                  "--k", "2", "--d", "64", "--sample-rate", "8",
+                  "--paired", "b.fastq", "--insert-min", "250",
+                  "--insert-max", "400", "--sam", "--output", out]
+                 + extra)
+        _, recs = _parse(out)
+        first = next(r for r in recs if r["flag"] & 0x40)
+        second = next(r for r in recs if r["flag"] & 0x80)
+        assert first["flag"] == 0x63 and first["qual"] == q1
+        assert second["flag"] == 0x93 and second["qual"] == q2[::-1]
+
+
+def test_sam_fastq_quals_mixed_length(tmp_path, rng, monkeypatch):
+    """Mixed-length FASTQ through `tpufm align` (the grouped paths):
+    every read keeps its own-length QUAL."""
+    monkeypatch.chdir(tmp_path)
+    n = 4000
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    with open("g.fa", "wb") as fp:
+        fp.write(b">c\n" + decode_bases(codes) + b"\n")
+    lens = [24, 30, 24]
+    starts = [100, 700, 1900]
+    quals = [_phred(L, 5 * i) for i, L in enumerate(lens)]
+    with open("q.fastq", "w") as fp:
+        for i, (s, L) in enumerate(zip(starts, lens)):
+            fp.write(f"@m{i}\n{decode_bases(codes[s : s + L]).decode()}"
+                     f"\n+\n{quals[i]}\n")
+    for extra, out in (([], "o.sam"), (["--mismatches", "1"], "om.sam")):
+        cli.main(["align", "g.fa", "q.fastq", "--sample-rate", "8",
+                  "--output", out] + extra)
+        _, recs = _parse(out)
+        by = {r["qname"]: r for r in recs if not r["flag"] & 0x100}
+        for i, (s, L) in enumerate(zip(starts, lens)):
+            r = by[f"m{i}"]
+            assert r["pos"] == s + 1 and len(r["qual"]) == L
+            assert r["qual"] == quals[i]
+
+
+def test_load_query_quals_guards(tmp_path):
+    """FASTA -> None; malformed per-read qual length -> that read None;
+    empty-sequence FASTQ records skipped (mirrors load_queries)."""
+    from tpufm.io.fasta import load_query_quals
+
+    fa = tmp_path / "a.fa"
+    fa.write_text(">r0\nACGT\n")
+    assert load_query_quals(str(fa)) is None
+    fq = tmp_path / "a.fastq"
+    fq.write_text("@r0\nACGT\n+\nIIII\n"
+                  "@empty\n\n+\n\n"
+                  "@r1\nACGT\n+\nIII\n"      # truncated qual
+                  "@r2\nACGT\n+\n!!II\n")
+    assert load_query_quals(str(fq)) == ["IIII", None, "!!II"]

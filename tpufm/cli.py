@@ -831,9 +831,10 @@ def _locate_body(args, index, loc, codes, queries, nq):
             codes = read_reference(args.reference, args.refsize or None)
         pos, s_overflow = _single_end_positions(args, index, loc, codes,
                                                 queries)
-        from tpufm.io.fasta import load_query_names
+        from tpufm.io.fasta import load_query_names, load_query_quals
 
         names = load_query_names(args.queries, nq)
+        quals = load_query_quals(args.queries, nq)
         out = args.output or f"{args.queries}." + ("bam" if args.bam
                                                    else "sam")
         text = sam_header(cmap, extra_pg="tpufm locate --sam")
@@ -842,12 +843,12 @@ def _locate_body(args, index, loc, codes, queries, nq):
 
             text += sam_edit_records(
                 names, queries, pos[:nq], pos[nq:], cmap, codes,
-                args.edits,
+                args.edits, quals=quals,
             )
         else:
             text += sam_single_records(
                 names, queries, pos[:nq], pos[nq:], cmap,
-                codes=codes if args.mismatches else None,
+                codes=codes if args.mismatches else None, quals=quals,
             )
         _write_sam_or_bam(out, text, args.bam)
         if s_overflow is not None and s_overflow.any():
@@ -900,7 +901,7 @@ def _locate_body(args, index, loc, codes, queries, nq):
                 "pair lists are lower bounds"
             )
         if args.sam:
-            from tpufm.io.fasta import load_query_names
+            from tpufm.io.fasta import load_query_names, load_query_quals
             from tpufm.io.sam import sam_header, sam_paired_records
 
             names = load_query_names(args.queries, nq)
@@ -913,6 +914,8 @@ def _locate_body(args, index, loc, codes, queries, nq):
                 codes=(codes if (args.mismatches or args.edits)
                        else None),
                 edits=args.edits,
+                quals1=load_query_quals(args.queries, nq),
+                quals2=load_query_quals(args.paired, nq),
             )
             _write_sam_or_bam(out, text, args.bam)
             print(
@@ -1269,7 +1272,11 @@ def cmd_align(args):
         from tpufm.engine.paired import PairedEndEngine
         from tpufm.engine.xla import VARLEN_PAD
         from tpufm.io.contigs import read_contigs
-        from tpufm.io.fasta import load_queries_varlen, load_query_names
+        from tpufm.io.fasta import (
+            load_queries_varlen,
+            load_query_names,
+            load_query_quals,
+        )
         from tpufm.io.sam import sam_header, sam_paired_records
 
         need_text = bool(args.mismatches or args.edits)
@@ -1288,6 +1295,8 @@ def cmd_align(args):
                 f"{int((l1 != l2).sum())} pairs with different lengths"
             )
         names = load_query_names(args.reads, nreads)
+        quals1 = load_query_quals(args.reads, nreads)
+        quals2 = load_query_quals(args.paired, nreads)
         cmap = read_contigs(args.reference, refsize or None)
         mesh = None
         if args.mesh is not None:
@@ -1315,6 +1324,10 @@ def cmd_align(args):
                 gnames, r1g, r2g, pairs, strand, cmap,
                 codes=codes if need_text else None, edits=args.edits,
                 return_blocks=True,
+                quals1=None if quals1 is None
+                else [quals1[i] for i in sel],
+                quals2=None if quals2 is None
+                else [quals2[i] for i in sel],
             )
             for j, i in enumerate(sel):
                 blocks[i] = bl[j]
@@ -1346,7 +1359,11 @@ def cmd_align(args):
         # pathological 1-length-per-read inputs.
         from tpufm.engine.xla import VARLEN_PAD
         from tpufm.io.contigs import read_contigs
-        from tpufm.io.fasta import load_queries_varlen, load_query_names
+        from tpufm.io.fasta import (
+            load_queries_varlen,
+            load_query_names,
+            load_query_quals,
+        )
         from tpufm.io.sam import (
             sam_edit_records,
             sam_header,
@@ -1359,6 +1376,7 @@ def cmd_align(args):
         batch = load_queries_varlen(args.reads, nreads)
         lengths = (batch != VARLEN_PAD).sum(axis=1)
         names = load_query_names(args.reads, nreads)
+        quals = load_query_quals(args.reads, nreads)
         cmap = read_contigs(args.reference, refsize or None)
         blocks = [None] * nreads
         overflow_total = 0
@@ -1367,18 +1385,19 @@ def cmd_align(args):
             sel = np.flatnonzero(lengths == L)
             qL = np.ascontiguousarray(batch[sel, batch.shape[1] - L :])
             gnames = [names[i] for i in sel]
+            gquals = None if quals is None else [quals[i] for i in sel]
             pos, ov = _single_end_positions(ns, index, loc, codes, qL,
                                             dp=dp)
             nL = sel.size
             if args.edits:
                 b = sam_edit_records(
                     gnames, qL, pos[:nL], pos[nL:], cmap, codes,
-                    args.edits, return_blocks=True,
+                    args.edits, return_blocks=True, quals=gquals,
                 )
             else:
                 b = sam_single_records(
                     gnames, qL, pos[:nL], pos[nL:], cmap, codes=codes,
-                    return_blocks=True,
+                    return_blocks=True, quals=gquals,
                 )
             for j, i in enumerate(sel):
                 blocks[i] = b[j]
@@ -1405,7 +1424,11 @@ def cmd_align(args):
         # locate walk (length-independent), per-read-length SAM records.
         from tpufm.engine.xla import VARLEN_PAD, LocateEngine, XLAEngine
         from tpufm.io.contigs import read_contigs
-        from tpufm.io.fasta import load_queries_varlen, load_query_names
+        from tpufm.io.fasta import (
+            load_queries_varlen,
+            load_query_names,
+            load_query_quals,
+        )
         from tpufm.io.sam import sam_header, sam_single_records
         from tpufm.utils.encoding import reverse_complement_varlen
 
@@ -1441,7 +1464,7 @@ def cmd_align(args):
             cmap, extra_pg="tpufm align (mixed-length)"
         ) + sam_single_records(
             names, batch, pos[:nreads], pos[nreads:], cmap,
-            lengths=lengths,
+            lengths=lengths, quals=load_query_quals(args.reads, nreads),
         )
         _write_sam_or_bam(out, text, args.bam)
         print(f"{nreads} mixed-length reads, both strands")

@@ -3,6 +3,8 @@ from tpufm.io.fasta import (
     write_reference,
     load_queries,
     load_queries_varlen,
+    load_query_names,
+    load_query_quals,
 )
 from tpufm.io.results import write_results, load_results
 from tpufm.io.genreads import generate_reads
@@ -17,6 +19,8 @@ __all__ = [
     "write_reference",
     "load_queries",
     "load_queries_varlen",
+    "load_query_names",
+    "load_query_quals",
     "write_results",
     "load_results",
     "generate_reads",

@@ -146,6 +146,39 @@ def load_queries_varlen(path, num_queries: int | None = None) -> np.ndarray:
     return out
 
 
+def load_query_quals(path, num_queries: int | None = None):
+    """Per-read Phred+33 quality strings from a FASTQ(.gz) query file —
+    for the SAM/BAM QUAL column — or None for FASTA/.qry input (no
+    qualities exist; the writers then emit '*'). Record iteration mirrors
+    load_queries exactly (empty-sequence records skipped), so quals[i]
+    always labels reads[i]. A record whose quality length disagrees with
+    its sequence length is carried as None (that one read gets '*')."""
+    quals: list[str | None] = []
+    with open_maybe_gzip(path) as fp:
+        if fp.read(1) != b"@":
+            return None
+        fp.seek(0)
+        while True:
+            header = fp.readline()
+            if not header:
+                break
+            seq = fp.readline().strip()
+            fp.readline()  # '+'
+            qual = fp.readline().strip()
+            if not seq:
+                continue
+            quals.append(
+                qual.decode("ascii", "replace")
+                if len(qual) == len(seq)
+                else None
+            )
+            if num_queries is not None and len(quals) == num_queries:
+                break
+    if num_queries is not None and len(quals) < num_queries:
+        quals += [None] * (num_queries - len(quals))
+    return quals
+
+
 def load_query_names(path, num_queries: int | None = None) -> list[str]:
     """Read one name per READ (not per header) from a .qry/FASTA/FASTQ
     query file — for SAM QNAMEs. Iteration mirrors load_queries exactly

@@ -15,7 +15,9 @@ Conventions implemented (SAM spec v1.6):
 - SEQ is the forward-reference orientation: for a minus-strand alignment
   (FLAG 0x10) the reverse complement of the read as sequenced.
 - One primary record per mapped read; further sites repeat as secondary
-  (FLAG 0x100) records. QUAL '*'.
+  (FLAG 0x100) records. QUAL is the read's Phred+33 string when the
+  input was FASTQ (reversed on minus-strand records, matching SEQ's
+  orientation), '*' otherwise.
 - MAPQ is the standard uniqueness heuristic: 60 when the lowest-NM site
   is unique among the reported sites, 0 when tied (multi-mapper).
   Caveat: sites beyond max_hits are not seen, so a read whose best site
@@ -37,6 +39,15 @@ import numpy as np
 from tpufm.utils.encoding import decode_bases, reverse_complement
 
 _SENT = np.uint32(0xFFFFFFFF)
+
+
+def _qual2(quals, i):
+    """(forward, reversed) QUAL strings for read i — '*' when no
+    qualities exist (FASTA input) or this read's were malformed. QUAL is
+    stored in the record's SEQ orientation, so minus-strand (FLAG 0x10)
+    records take the reversed string (SAM spec v1.6 section 1.4)."""
+    q = None if quals is None else quals[i]
+    return (q, q[::-1]) if q else ("*", "*")
 
 
 def _mapq(nms) -> int:
@@ -73,7 +84,7 @@ def _emit(blocks, return_blocks: bool):
 
 def sam_single_records(
     names, reads, pos_fwd, pos_rc, cmap, codes=None, lengths=None,
-    return_blocks: bool = False,
+    return_blocks: bool = False, quals=None,
 ):
     """One SAM block per read: primary + secondary records over both
     strands' hits, or one unmapped record. The PRIMARY record is the
@@ -88,7 +99,9 @@ def sam_single_records(
     --mismatches output exactly); when None the sites are exact and
     NM:i:0. lengths: per-read true lengths for a RIGHT-ALIGNED
     0xFF-padded variable-length batch (search_varlen contract) — CIGARs,
-    NM windows, and contig span checks all use each read's own length."""
+    NM windows, and contig span checks all use each read's own length.
+    quals: per-read Phred+33 strings as sequenced (io.fasta
+    load_query_quals) or None — minus-strand records reverse them."""
     B, Lmax = reads.shape
     Ls = (
         np.full(B, Lmax, dtype=np.int64)
@@ -126,19 +139,20 @@ def sam_single_records(
                 order += 1
         sites.sort(key=lambda s: (s[0], s[1]))
         mapq = _mapq([s[0] for s in sites])
+        qf, qr = _qual2(quals, i)
         for emitted, (nm, _, flag, rname, pos1, seq) in enumerate(sites):
             f = flag | (0x100 if emitted else 0)
             out.append(
                 f"{name}\t{f}\t{rname}\t{pos1}\t{mapq}\t{L}M\t*\t0\t0\t"
-                f"{seq}\t*\tNM:i:{nm}"
+                f"{seq}\t{qr if flag & 0x10 else qf}\tNM:i:{nm}"
             )
         if not sites:
-            out.append(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq_f}\t*")
+            out.append(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq_f}\t{qf}")
     return _emit(blocks, return_blocks)
 
 
 def sam_edit_records(names, reads, pos_fwd, pos_rc, cmap, codes,
-                     edits: int, return_blocks: bool = False):
+                     edits: int, return_blocks: bool = False, quals=None):
     """Edit-distance SAM records with REAL CIGARs: every reported site is
     re-aligned on the host (utils/align.edit_alignments — start-anchored
     free-end DP with traceback, batched over the hit list), yielding
@@ -196,20 +210,22 @@ def sam_edit_records(names, reads, pos_fwd, pos_rc, cmap, codes,
         seq_f = decode_bases(reads[i]).decode()
         seq_r = decode_bases(rcs[i]).decode()
         mapq = _mapq([r[0] for r in rows])
+        qf, qr = _qual2(quals, i)
         for emitted, (nm_j, _, flag, rname, pos1, cigar) in enumerate(rows):
             f = flag | (0x100 if emitted else 0)
             seq = seq_r if flag & 0x10 else seq_f
             out.append(
                 f"{name}\t{f}\t{rname}\t{pos1}\t{mapq}\t{cigar}\t*\t0\t0\t"
-                f"{seq}\t*\tNM:i:{nm_j}"
+                f"{seq}\t{qr if flag & 0x10 else qf}\tNM:i:{nm_j}"
             )
         if not rows:
-            out.append(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq_f}\t*")
+            out.append(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq_f}\t{qf}")
     return _emit(blocks, return_blocks)
 
 
 def sam_paired_records(names, r1, r2, pairs, strand, cmap, codes=None,
-                       edits: int = 0, return_blocks: bool = False):
+                       edits: int = 0, return_blocks: bool = False,
+                       quals1=None, quals2=None):
     """Two SAM records per read pair: the primary proper pair — the
     lowest combined-NM placement (ties: engine order) — with additional
     pairs as secondary record pairs, or the standard both-unmapped pair.
@@ -306,6 +322,8 @@ def sam_paired_records(names, r1, r2, pairs, strand, cmap, codes=None,
         seq1r = decode_bases(r1r[i]).decode()
         seq2f = decode_bases(r2[i]).decode()
         seq2r = decode_bases(r2r[i]).decode()
+        q1f, q1r = _qual2(quals1, i)
+        q2f, q2r = _qual2(quals2, i)
         rows = sorted(
             (int(nm_l[i, j] + nm_r[i, j]), j)
             for j in range(P)
@@ -320,23 +338,27 @@ def sam_paired_records(names, r1, r2, pairs, strand, cmap, codes=None,
             c_r = cig_r[i, j] or f"{int(len_right[i, j])}M"
             if strand[i, j] == 0:
                 # R1 forward at left, rc(R2) at right
-                p1, f1, s1, c1, n1 = lpos1, 0x63, seq1f, c_l, nm_l[i, j]
-                p2, f2, s2, c2, n2 = rpos1, 0x93, seq2r, c_r, nm_r[i, j]
+                p1, f1, s1, c1, n1, q1 = (
+                    lpos1, 0x63, seq1f, c_l, nm_l[i, j], q1f)
+                p2, f2, s2, c2, n2, q2 = (
+                    rpos1, 0x93, seq2r, c_r, nm_r[i, j], q2r)
             else:
                 # R2 forward at left, rc(R1) at right
-                p1, f1, s1, c1, n1 = rpos1, 0x53, seq1r, c_r, nm_r[i, j]
-                p2, f2, s2, c2, n2 = lpos1, 0xA3, seq2f, c_l, nm_l[i, j]
+                p1, f1, s1, c1, n1, q1 = (
+                    rpos1, 0x53, seq1r, c_r, nm_r[i, j], q1r)
+                p2, f2, s2, c2, n2, q2 = (
+                    lpos1, 0xA3, seq2f, c_l, nm_l[i, j], q2f)
             sec = 0x100 if emitted else 0
             t1 = frag if p1 <= p2 else -frag
             out.append(
                 f"{name}\t{f1 | sec}\t{rname}\t{p1}\t{mapq}\t{c1}\t=\t"
-                f"{p2}\t{t1}\t{s1}\t*\tNM:i:{int(n1)}"
+                f"{p2}\t{t1}\t{s1}\t{q1}\tNM:i:{int(n1)}"
             )
             out.append(
                 f"{name}\t{f2 | sec}\t{rname}\t{p2}\t{mapq}\t{c2}\t=\t"
-                f"{p1}\t{-t1}\t{s2}\t*\tNM:i:{int(n2)}"
+                f"{p1}\t{-t1}\t{s2}\t{q2}\tNM:i:{int(n2)}"
             )
         if not rows:
-            out.append(f"{name}\t77\t*\t0\t0\t*\t*\t0\t0\t{seq1f}\t*")
-            out.append(f"{name}\t141\t*\t0\t0\t*\t*\t0\t0\t{seq2f}\t*")
+            out.append(f"{name}\t77\t*\t0\t0\t*\t*\t0\t0\t{seq1f}\t{q1f}")
+            out.append(f"{name}\t141\t*\t0\t0\t*\t*\t0\t0\t{seq2f}\t{q2f}")
     return _emit(blocks, return_blocks)
