@@ -1,0 +1,173 @@
+"""Coordinate sort + BAI index + region query + flagstat
+(tpufm/io/bam_index.py) — tpufm extension beyond the reference suite
+(which stops at interval text, common/searchQueries.c:100-118).
+
+The load-bearing test is differential: every indexed region query must
+return exactly the records a brute-force overlap scan of the full file
+returns, across random regions, multiple contigs, and files large enough
+that records span multiple bgzf members."""
+
+import re
+
+import numpy as np
+import pytest
+
+from tpufm import cli
+from tpufm.io.bam import BGZF_STEP, read_bam
+from tpufm.io.bam_index import (
+    IndexedBam,
+    decode_record,
+    flagstat,
+    load_bai,
+    reg2bins,
+    sort_sam_text,
+    write_bam_indexed,
+)
+from tpufm.io.bam import reg2bin
+from tpufm.utils.encoding import decode_bases
+
+
+def _mk_sam(rng, n_reads, contigs, L=24, secondary_every=7):
+    """Synthetic SAM text with shuffled coordinates, a '*' unmapped
+    tail, secondary records, and D-CIGARs (so ref span != L)."""
+    header = ["@HD\tVN:1.6\tSO:unknown"]
+    for name, ln in contigs:
+        header.append(f"@SQ\tSN:{name}\tLN:{ln}")
+    header.append("@PG\tID:tpufm\tPN:tpufm")
+    recs = []
+    for i in range(n_reads):
+        name, ln = contigs[int(rng.integers(len(contigs)))]
+        pos1 = int(rng.integers(1, ln - 2 * L))
+        flag = 0 if rng.integers(2) else 16
+        if i % secondary_every == 0:
+            flag |= 0x100
+        cigar = f"{L}M" if i % 3 else f"{L - 4}M2D{4}M"
+        seq = "ACGT" * (L // 4)
+        recs.append(f"r{i}\t{flag}\t{name}\t{pos1}\t60\t{cigar}\t*\t0\t0"
+                    f"\t{seq}\t*\tNM:i:0")
+    for i in range(4):
+        recs.append(f"u{i}\t4\t*\t0\t0\t*\t*\t0\t0\t{'A' * L}\t*")
+    return "\n".join(header + recs) + "\n"
+
+
+def _span(cigar):
+    return sum(int(n) for n, op in re.findall(r"(\d+)([MIDNSHP=X])", cigar)
+               if op in "MDN=X")
+
+
+def _brute(records, contig, beg, end):
+    out = []
+    for f in records:
+        if f[2] != contig:
+            continue
+        pos0 = int(f[3]) - 1
+        if pos0 < end and pos0 + max(_span(f[5]), 1) > beg:
+            out.append(f)
+    return out
+
+
+def test_sort_sam_text(rng):
+    contigs = [("c1", 100_000), ("c2", 50_000)]
+    text = sort_sam_text(_mk_sam(rng, 200, contigs))
+    lines = text.splitlines()
+    assert lines[0].endswith("SO:coordinate")
+    body = [l.split("\t") for l in lines if not l.startswith("@")]
+    rank = {"c1": 0, "c2": 1}
+    keys = [(0, rank[f[2]], int(f[3])) if f[2] != "*" else (1, 0, 0)
+            for f in body]
+    assert keys == sorted(keys)
+    assert body[-4][0].startswith("u")  # unmapped tail
+
+
+def test_reg2bins_covers_reg2bin():
+    rng = np.random.default_rng(0)
+    for _ in range(500):
+        beg = int(rng.integers(0, 1 << 28))
+        end = beg + int(rng.integers(1, 1 << 16))
+        assert reg2bin(beg, end) in reg2bins(beg, end)
+
+
+def test_bai_query_matches_bruteforce(tmp_path, rng):
+    contigs = [("chrA", 1 << 20), ("chrB", 1 << 18)]
+    text = _mk_sam(rng, 3000, contigs)  # ~3000 records > 3 bgzf members
+    bam = str(tmp_path / "x.bam")
+    write_bam_indexed(bam, text)
+    _, all_recs = read_bam(bam)
+    assert len(open(bam, "rb").read()) > 0
+    # the file must actually span multiple members for this to test
+    # cross-member reads
+    from tpufm.io.bam import bgzf_decompress
+    assert len(bgzf_decompress(open(bam, "rb").read())) > 2 * BGZF_STEP
+    ib = IndexedBam(bam)
+    assert ib.ref_names == ["chrA", "chrB"]
+    for _ in range(40):
+        contig, ln = contigs[int(rng.integers(2))]
+        beg = int(rng.integers(0, ln))
+        end = beg + int(rng.integers(1, ln // 4))
+        got = [decode_record(r, ib.ref_names)
+               for r in ib.query(contig, beg, end)]
+        want = _brute(all_recs, contig, beg, end)
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)), (
+            contig, beg, end, len(got), len(want))
+    # empty region
+    assert ib.query("chrB", (1 << 18) - 2, (1 << 18) - 1) == [] or all(
+        int(decode_record(r, ib.ref_names)[3]) - 1 < (1 << 18)
+        for r in ib.query("chrB", (1 << 18) - 2, (1 << 18) - 1)
+    )
+
+
+def test_bai_loads_and_prunes(tmp_path, rng):
+    contigs = [("c", 1 << 19)]
+    bam = str(tmp_path / "y.bam")
+    write_bam_indexed(bam, _mk_sam(rng, 1500, contigs))
+    bins, linear = load_bai(bam + ".bai")
+    assert len(bins) == 1 and len(linear) == 1
+    assert sum(len(v) for v in bins[0].values()) >= 1
+    # ioffsets are non-decreasing the way we fill gaps
+    lin = linear[0]
+    assert all(lin[i] <= lin[i + 1] or lin[i + 1] == 0
+               for i in range(len(lin) - 1))
+
+
+def test_flagstat_counts(rng):
+    text = _mk_sam(rng, 140, [("c", 1 << 16)])
+    recs = [l.split("\t") for l in text.splitlines()
+            if not l.startswith("@")]
+    c = flagstat(recs)
+    assert c["total"] == 144
+    assert c["secondary"] == 20  # ceil(140/7)
+    assert c["mapped"] == 140 and c["primary"] == 124
+    assert c["primary_mapped"] == 120
+    assert c["paired"] == 0
+
+
+def test_cli_sort_view_flagstat(tmp_path, rng, monkeypatch, capsys):
+    """End-to-end: align reads -> SAM -> tpufm sort -> tpufm view REGION
+    -> the planted read comes back; flagstat counts check out."""
+    monkeypatch.chdir(tmp_path)
+    n, L = 4000, 24
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    with open("g.fa", "wb") as fp:
+        fp.write(b">c\n" + decode_bases(codes) + b"\n")
+    starts = [50, 1200, 3300]
+    with open("q.qry", "wb") as fp:
+        for i, s in enumerate(starts):
+            fp.write(b"> p%d\n%s\n" % (i, decode_bases(codes[s : s + L])))
+    cli.main(["locate", "g.fa", str(n), "q.qry", str(L), "3",
+              "--k", "2", "--d", "64", "--sample-rate", "8",
+              "--sam", "--output", "o.sam"])
+    cli.main(["sort", "o.sam", "--output", "s.bam"])
+    assert (tmp_path / "s.bam.bai").exists()
+    header, recs = read_bam("s.bam")
+    assert "SO:coordinate" in header.splitlines()[0]
+    poss = [int(r[3]) for r in recs if r[2] != "*"]
+    assert poss == sorted(poss)
+    cli.main(["view", "s.bam", "c:1201-1224", "--no-header",
+              "--output", "v.sam"])
+    got = [l.split("\t") for l in open("v.sam").read().splitlines()]
+    assert [g[0] for g in got] == ["p1"] and got[0][3] == "1201"
+    capsys.readouterr()
+    cli.main(["flagstat", "s.bam"])
+    out = capsys.readouterr().out
+    assert out.splitlines()[0].startswith("3 in total")
+    assert "3 mapped" in out

@@ -1486,6 +1486,80 @@ def _write_sam_or_bam(path: str, sam_text: str, as_bam: bool) -> None:
             fp.write(sam_text)
 
 
+def _read_sam_or_bam(path: str) -> str:
+    """SAM text from either serialization (BAM detected by the bgzf
+    magic, not the extension)."""
+    with open(path, "rb") as fp:
+        magic = fp.read(4)
+    if magic == b"\x1f\x8b\x08\x04":
+        from tpufm.io.bam import read_bam
+
+        header, records = read_bam(path)
+        return header + "".join("\t".join(r) + "\n" for r in records)
+    return open(path).read()
+
+
+def cmd_sort(args):
+    """Coordinate-sort alignments and write a query-ready BAM + .bai —
+    the `samtools sort && samtools index` step, in one command
+    (io/bam_index.py; the reference suite has no placement output at
+    all, common/searchQueries.c:100-118)."""
+    from tpufm.io.bam_index import write_bam_indexed
+
+    out = args.output or (args.input.rsplit(".", 1)[0] + ".sorted.bam")
+    write_bam_indexed(out, _read_sam_or_bam(args.input))
+    print(f"wrote {out} + {out}.bai")
+
+
+def cmd_view(args):
+    """Print alignments as SAM text; with a REGION ('chr' or
+    'chr:beg-end', 1-based inclusive like samtools), use the .bai to
+    inflate only the bgzf members holding candidate records."""
+    import sys as _sys
+
+    dest = open(args.output, "w") if args.output else _sys.stdout
+    if args.region:
+        from tpufm.io.bam_index import IndexedBam, decode_record
+
+        ib = IndexedBam(args.input)
+        if ":" in args.region:
+            contig, span = args.region.rsplit(":", 1)
+            b, e = span.split("-")
+            beg, end = int(b) - 1, int(e)
+        else:
+            contig = args.region
+            beg, end = 0, ib.ref_lengths[ib.ref_names.index(contig)]
+        if not args.no_header:
+            dest.write(ib.header_text)
+        for rec in ib.query(contig, beg, end):
+            dest.write("\t".join(decode_record(rec, ib.ref_names)) + "\n")
+    else:
+        text = _read_sam_or_bam(args.input)
+        if args.no_header:
+            text = "".join(l for l in text.splitlines(keepends=True)
+                           if not l.startswith("@"))
+        dest.write(text)
+    if args.output:
+        dest.close()
+
+
+def cmd_flagstat(args):
+    """samtools-flagstat-style counters over a SAM/BAM file."""
+    from tpufm.io.bam_index import flagstat
+
+    records = [l.split("\t") for l in _read_sam_or_bam(args.input).splitlines()
+               if l and not l.startswith("@")]
+    c = flagstat(records)
+    print(f"{c['total']} in total ({c['secondary']} secondary)")
+    print(f"{c['primary']} primary")
+    print(f"{c['mapped']} mapped")
+    print(f"{c['primary_mapped']} primary mapped")
+    print(f"{c['paired']} paired in sequencing")
+    print(f"{c['read1']} read1")
+    print(f"{c['read2']} read2")
+    print(f"{c['proper']} properly paired")
+
+
 def cmd_diff(args):
     """Compare two .res files — formalizes the reference's manual
     cross-implementation diffing (SURVEY.md section 4)."""
@@ -1819,6 +1893,29 @@ def main(argv=None):
                     help="reuse tables built by a previous --store run "
                          "(skips the suffix sort)")
     al.set_defaults(fn=cmd_align)
+
+    so = sub.add_parser(
+        "sort", help="coordinate-sort SAM/BAM -> indexed BAM (+ .bai)"
+    )
+    so.add_argument("input", help="SAM or BAM (detected by magic)")
+    so.add_argument("--output", default=None,
+                    help="output BAM (default <input>.sorted.bam)")
+    so.set_defaults(fn=cmd_sort)
+
+    vw = sub.add_parser(
+        "view", help="print SAM text; REGION uses the .bai index"
+    )
+    vw.add_argument("input", help="SAM or BAM")
+    vw.add_argument("region", nargs="?", default=None,
+                    help="'chr' or 'chr:beg-end' (1-based inclusive); "
+                         "needs <input>.bai from `tpufm sort`")
+    vw.add_argument("--no-header", action="store_true")
+    vw.add_argument("--output", default=None)
+    vw.set_defaults(fn=cmd_view)
+
+    fs = sub.add_parser("flagstat", help="alignment flag counters")
+    fs.add_argument("input", help="SAM or BAM")
+    fs.set_defaults(fn=cmd_flagstat)
 
     de = sub.add_parser("dumpentry", help="print entry counters/bitmaps (debug)")
     de.add_argument("index")

@@ -10,11 +10,21 @@ from tpufm.io.results import write_results, load_results
 from tpufm.io.genreads import generate_reads
 from tpufm.io.contigs import ContigMap, read_contigs
 from tpufm.io.bam import read_bam, sam_to_bam, write_bam
+from tpufm.io.bam_index import (
+    IndexedBam,
+    flagstat,
+    sort_sam_text,
+    write_bam_indexed,
+)
 
 __all__ = [
     "read_bam",
     "sam_to_bam",
     "write_bam",
+    "IndexedBam",
+    "flagstat",
+    "sort_sam_text",
+    "write_bam_indexed",
     "read_reference",
     "write_reference",
     "load_queries",

@@ -48,22 +48,34 @@ def reg2bin(beg: int, end: int) -> int:
     return 0
 
 
-def bgzf_compress(data: bytes) -> bytes:
+#: fixed uncompressed bytes per bgzf member — the virtual-offset math in
+#: bam_index.py depends on every member (except the last) holding exactly
+#: this many uncompressed bytes
+BGZF_STEP = 0xE000
+
+
+def bgzf_compress(data: bytes, member_offsets: list[int] | None = None) -> bytes:
     """bgzf-frame `data`: <=64 KiB-uncompressed gzip members, each with
     the BC extra subfield holding (member length - 1), then the EOF
-    marker member (SAM spec v1.6 4.1)."""
+    marker member (SAM spec v1.6 4.1). When `member_offsets` is given it
+    is filled with each member's COMPRESSED start offset (member i holds
+    uncompressed bytes [i*BGZF_STEP, (i+1)*BGZF_STEP)) — the coffset half
+    of BAI virtual file offsets."""
     out = []
     # keep the COMPRESSED member under 2^16 too: 0xE000 of compressible
     # text deflates far below that, and the header math is checked below
-    step = 0xE000
+    step = BGZF_STEP
+    pos = 0
     for off in range(0, len(data), step) or [0]:
+        if member_offsets is not None:
+            member_offsets.append(pos)
         chunk = data[off : off + step]
         co = zlib.compressobj(6, zlib.DEFLATED, -15)
         payload = co.compress(chunk) + co.flush()
         bsize = len(payload) + 25 + 1  # header(12)+XLEN payload(6)+crc/isize(8)
         if bsize > 0xFFFF:
             raise ValueError("bgzf member overflow (incompressible block)")
-        out.append(
+        member = (
             struct.pack(
                 "<4BI2B2s2sHH",
                 0x1F, 0x8B, 8, 4,  # gzip magic, deflate, FEXTRA
@@ -73,36 +85,45 @@ def bgzf_compress(data: bytes) -> bytes:
             + payload
             + struct.pack("<II", zlib.crc32(chunk), len(chunk) & 0xFFFFFFFF)
         )
+        out.append(member)
+        pos += len(member)
     out.append(_BGZF_EOF)
     return b"".join(out)
+
+
+def bgzf_member_at(blob: bytes, off: int) -> tuple[bytes, int]:
+    """Decode the single bgzf member starting at compressed offset `off`,
+    validating BSIZE/CRC; returns (uncompressed chunk, next member's
+    offset). The random-access primitive behind BAI virtual offsets."""
+    if blob[off : off + 4] != b"\x1f\x8b\x08\x04":
+        raise ValueError(f"not a bgzf member at offset {off}")
+    xlen = struct.unpack_from("<H", blob, off + 10)[0]
+    extra = blob[off + 12 : off + 12 + xlen]
+    bsize = None
+    e = 0
+    while e < len(extra):
+        si1, si2, slen = extra[e], extra[e + 1], struct.unpack_from(
+            "<H", extra, e + 2
+        )[0]
+        if (si1, si2) == (ord("B"), ord("C")):
+            bsize = struct.unpack_from("<H", extra, e + 4)[0] + 1
+        e += 4 + slen
+    if bsize is None:
+        raise ValueError("bgzf member missing BC subfield")
+    payload = blob[off + 12 + xlen : off + bsize - 8]
+    crc, isize = struct.unpack_from("<II", blob, off + bsize - 8)
+    chunk = zlib.decompress(payload, -15)
+    if zlib.crc32(chunk) != crc or len(chunk) & 0xFFFFFFFF != isize:
+        raise ValueError("bgzf member CRC/ISIZE mismatch")
+    return chunk, off + bsize
 
 
 def bgzf_decompress(blob: bytes) -> bytes:
     """Inverse of bgzf_compress, validating per-member BSIZE/CRC."""
     out, off = [], 0
     while off < len(blob):
-        if blob[off : off + 4] != b"\x1f\x8b\x08\x04":
-            raise ValueError(f"not a bgzf member at offset {off}")
-        xlen = struct.unpack_from("<H", blob, off + 10)[0]
-        extra = blob[off + 12 : off + 12 + xlen]
-        bsize = None
-        e = 0
-        while e < len(extra):
-            si1, si2, slen = extra[e], extra[e + 1], struct.unpack_from(
-                "<H", extra, e + 2
-            )[0]
-            if (si1, si2) == (ord("B"), ord("C")):
-                bsize = struct.unpack_from("<H", extra, e + 4)[0] + 1
-            e += 4 + slen
-        if bsize is None:
-            raise ValueError("bgzf member missing BC subfield")
-        payload = blob[off + 12 + xlen : off + bsize - 8]
-        crc, isize = struct.unpack_from("<II", blob, off + bsize - 8)
-        chunk = zlib.decompress(payload, -15)
-        if zlib.crc32(chunk) != crc or len(chunk) & 0xFFFFFFFF != isize:
-            raise ValueError("bgzf member CRC/ISIZE mismatch")
+        chunk, off = bgzf_member_at(blob, off)
         out.append(chunk)
-        off += bsize
     return b"".join(out)
 
 
@@ -187,7 +208,10 @@ def _parse_cigar(cigar: str) -> list[tuple[int, int]]:
     return ops
 
 
-def _encode_record(fields: list[str], ref_ids: dict[str, int]) -> bytes:
+def _encode_record(fields: list[str], ref_ids: dict[str, int]):
+    """-> (record bytes, (ref_id, pos0, ref_end)) — the placement triple
+    feeds the BAI builder (bam_index.py); ref_end is reg2bin's
+    half-open end (pos0 + max(reference span, 1))."""
     (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq,
      qual) = fields[:11]
     flag, pos, mapq = int(flag), int(pos), int(mapq)
@@ -225,13 +249,20 @@ def _encode_record(fields: list[str], ref_ids: dict[str, int]) -> bytes:
     )
     body.extend(_encode_tag(t) for t in fields[11:])
     rec = b"".join(body)
-    return struct.pack("<I", len(rec)) + rec
+    return (
+        struct.pack("<I", len(rec)) + rec,
+        (ref_id, pos0, pos0 + max(ref_span, 1)),
+    )
 
 
-def sam_to_bam(sam_text: str) -> bytes:
+def sam_to_bam(sam_text: str, record_meta: list | None = None) -> bytes:
     """Encode full SAM text (header + alignment lines) to an
     UNCOMPRESSED BAM stream (magic + header + records); wrap with
-    bgzf_compress / write via write_bam for the on-disk format."""
+    bgzf_compress / write via write_bam for the on-disk format.
+
+    When `record_meta` is given it is filled with one
+    (ustart, uend, ref_id, pos0, ref_end) tuple per record — uncompressed
+    byte extent plus placement — for the BAI builder (bam_index.py)."""
     header_lines = []
     refs: list[tuple[str, int]] = []
     records = []
@@ -255,7 +286,13 @@ def sam_to_bam(sam_text: str) -> bytes:
     for name, ln in refs:
         nz = name.encode() + b"\x00"
         out.append(struct.pack("<i", len(nz)) + nz + struct.pack("<i", ln))
-    out.extend(_encode_record(f, ref_ids) for f in records)
+    upos = sum(len(b) for b in out)
+    for f in records:
+        rec, place = _encode_record(f, ref_ids)
+        if record_meta is not None:
+            record_meta.append((upos, upos + len(rec)) + place)
+        upos += len(rec)
+        out.append(rec)
     return b"".join(out)
 
 

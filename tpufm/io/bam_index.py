@@ -1,0 +1,358 @@
+"""Coordinate sort + BAI index + indexed region query + flagstat — the
+post-alignment toolkit, so tpufm output feeds straight into
+IGV/pysam-style region access without samtools in the loop.
+
+The reference suite stops at (L, R) interval text
+(common/searchQueries.c:100-118); tpufm's aligner surface (align/locate
+--sam/--bam) added placements, and this module finishes the standard
+pipeline: `tpufm sort` (coordinate order, @HD SO:coordinate),
+`tpufm bamindex` (the .bai companion), `tpufm view file.bam chr:beg-end`
+(index-driven: only the bgzf members holding candidate records are
+inflated), `tpufm flagstat`.
+
+Formats per SAM spec v1.6: section 5.2 (UCSC binning: reg2bin/reg2bins),
+5.3 (BAI layout: per-ref bin R-tree of virtual-offset chunks + 16 KiB
+linear index). Virtual offsets pack (compressed member start << 16 |
+offset inside the inflated member); our bgzf writer emits fixed
+BGZF_STEP-byte uncompressed members, so uncompressed offset u maps to
+member u // BGZF_STEP at in-member offset u % BGZF_STEP.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from tpufm.io.bam import (
+    BGZF_STEP,
+    _BGZF_EOF,
+    bgzf_compress,
+    bgzf_member_at,
+    reg2bin,
+    sam_to_bam,
+)
+
+_BAI_MAGIC = b"BAI\x01"
+_LIN_SHIFT = 14  # 16 KiB linear-index windows (SAM spec v1.6 5.1.1)
+
+
+def reg2bins(beg: int, end: int) -> list[int]:
+    """All bins that MAY hold records overlapping [beg, end) — the query
+    side of reg2bin (SAM spec v1.6 5.3 C example)."""
+    end -= 1
+    bins = [0]
+    for shift, off in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(off + (beg >> shift), off + (end >> shift) + 1))
+    return bins
+
+
+def sort_sam_text(sam_text: str) -> str:
+    """Coordinate-sort SAM text: records ordered by (@SQ rank, POS),
+    unmapped (RNAME '*') last, ties stable; @HD gains SO:coordinate."""
+    header, records = [], []
+    sq_rank: dict[str, int] = {}
+    for line in sam_text.split("\n"):
+        if not line:
+            continue
+        if line.startswith("@"):
+            if line.startswith("@SQ"):
+                f = dict(kv.split(":", 1) for kv in line.split("\t")[1:])
+                sq_rank[f["SN"]] = len(sq_rank)
+            header.append(line)
+        else:
+            records.append(line)
+    for i, line in enumerate(header):
+        if line.startswith("@HD"):
+            parts = [p for p in line.split("\t") if not p.startswith("SO:")]
+            header[i] = "\t".join(parts) + "\tSO:coordinate"
+            break
+    else:
+        header.insert(0, "@HD\tVN:1.6\tSO:coordinate")
+
+    def key(line: str):
+        f = line.split("\t", 4)
+        if f[2] == "*":
+            return (1, 0, 0)
+        return (0, sq_rank[f[2]], int(f[3]))
+
+    records.sort(key=key)
+    return "\n".join(header + records) + "\n"
+
+
+def _voffset(u: int, member_offsets: list[int]) -> int:
+    """Uncompressed stream offset -> BAI virtual offset, exploiting the
+    writer's fixed BGZF_STEP-byte members."""
+    i = u // BGZF_STEP
+    if i >= len(member_offsets):
+        # one past the final byte: address the EOF member at offset 0
+        return (member_offsets[-1] << 16) if member_offsets else 0
+    return (member_offsets[i] << 16) | (u % BGZF_STEP)
+
+
+def build_bai(record_meta, member_offsets, n_ref: int) -> bytes:
+    """Serialize a BAI index (SAM spec v1.6 5.3) from sam_to_bam's
+    record_meta [(ustart, uend, ref_id, pos0, ref_end)] and
+    bgzf_compress's member_offsets. Records must already be in
+    coordinate order (build after sort_sam_text; enforced here)."""
+    bins: list[dict[int, list[list[int]]]] = [dict() for _ in range(n_ref)]
+    linear: list[dict[int, int]] = [dict() for _ in range(n_ref)]
+    prev = (-1, -1)
+    for ustart, uend, ref_id, pos0, ref_end in record_meta:
+        if ref_id < 0:
+            continue
+        if (ref_id, pos0) < prev:
+            raise ValueError("build_bai needs coordinate-sorted records "
+                             "(run sort_sam_text first)")
+        prev = (ref_id, pos0)
+        vs = _voffset(ustart, member_offsets)
+        ve = _voffset(uend, member_offsets)
+        b = reg2bin(pos0, ref_end)
+        chunks = bins[ref_id].setdefault(b, [])
+        if chunks and chunks[-1][1] == vs:
+            chunks[-1][1] = ve  # merge back-to-back chunks
+        else:
+            chunks.append([vs, ve])
+        lin = linear[ref_id]
+        last_w = max(ref_end - 1, pos0) >> _LIN_SHIFT
+        for w in range(pos0 >> _LIN_SHIFT, last_w + 1):
+            if w not in lin or vs < lin[w]:
+                lin[w] = vs
+    out = [_BAI_MAGIC, struct.pack("<i", n_ref)]
+    for r in range(n_ref):
+        out.append(struct.pack("<i", len(bins[r])))
+        for b in sorted(bins[r]):
+            chunks = bins[r][b]
+            out.append(struct.pack("<Ii", b, len(chunks)))
+            for vs, ve in chunks:
+                out.append(struct.pack("<QQ", vs, ve))
+        n_intv = max(linear[r]) + 1 if linear[r] else 0
+        out.append(struct.pack("<i", n_intv))
+        ioff = 0
+        for w in range(n_intv):
+            # spec: windows with no earlier record inherit the previous
+            # window's offset (0 before the first covered window)
+            ioff = linear[r].get(w, ioff)
+            out.append(struct.pack("<Q", linear[r].get(w, ioff)))
+        # (htslib fills gaps with the last seen offset; 0 also validates)
+    return b"".join(out)
+
+
+def write_bam_indexed(path: str, sam_text: str) -> None:
+    """Coordinate-sort `sam_text`, write `path` (bgzf BAM) and
+    `path`.bai. One call = a sorted, indexed, query-ready BAM."""
+    text = sort_sam_text(sam_text)
+    meta: list = []
+    raw = sam_to_bam(text, record_meta=meta)
+    n_ref = struct.unpack_from(
+        "<i", raw, 8 + struct.unpack_from("<i", raw, 4)[0]
+    )[0]
+    member_offsets: list[int] = []
+    blob = bgzf_compress(raw, member_offsets)
+    with open(path, "wb") as fp:
+        fp.write(blob)
+    with open(path + ".bai", "wb") as fp:
+        fp.write(build_bai(meta, member_offsets, n_ref))
+
+
+def load_bai(path: str):
+    """-> (bins, linear): bins[ref][bin] = [(vbeg, vend), ...],
+    linear[ref] = [ioffset per 16 KiB window]."""
+    raw = open(path, "rb").read()
+    if raw[:4] != _BAI_MAGIC:
+        raise ValueError("bad BAI magic")
+    (n_ref,) = struct.unpack_from("<i", raw, 4)
+    off = 8
+    bins, linear = [], []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", raw, off)
+        off += 4
+        bd = {}
+        for _ in range(n_bin):
+            b, n_chunk = struct.unpack_from("<Ii", raw, off)
+            off += 8
+            bd[b] = [
+                struct.unpack_from("<QQ", raw, off + 16 * c)
+                for c in range(n_chunk)
+            ]
+            off += 16 * n_chunk
+        (n_intv,) = struct.unpack_from("<i", raw, off)
+        off += 4
+        linear.append(
+            list(struct.unpack_from(f"<{n_intv}Q", raw, off))
+        )
+        off += 8 * n_intv
+        bins.append(bd)
+    return bins, linear
+
+
+class IndexedBam:
+    """Random-access reader over a (sorted, indexed) BAM: inflates ONLY
+    the bgzf members a query's chunk list touches."""
+
+    def __init__(self, bam_path: str, bai_path: str | None = None):
+        self.blob = open(bam_path, "rb").read()
+        self.bins, self.linear = load_bai(bai_path or bam_path + ".bai")
+        # inflate members until the whole header block (text + ref dir,
+        # possibly spanning members for many-contig references) is in
+        head, coff = bgzf_member_at(self.blob, 0)
+
+        def need(n):
+            nonlocal head, coff
+            while len(head) < n:
+                chunk, coff = bgzf_member_at(self.blob, coff)
+                if not chunk:
+                    raise ValueError("truncated BAM header")
+                head += chunk
+            return n
+
+        need(12)
+        if head[:4] != b"BAM\x01":
+            raise ValueError("bad BAM magic")
+        (l_text,) = struct.unpack_from("<i", head, 4)
+        need(8 + l_text + 4)
+        self.header_text = head[8 : 8 + l_text].decode()
+        off = 8 + l_text
+        (n_ref,) = struct.unpack_from("<i", head, off)
+        off += 4
+        self.ref_names = []
+        self.ref_lengths = []
+        for _ in range(n_ref):
+            need(off + 4)
+            (l_name,) = struct.unpack_from("<i", head, off)
+            need(off + 8 + l_name)
+            self.ref_names.append(
+                head[off + 4 : off + 4 + l_name - 1].decode()
+            )
+            (ln,) = struct.unpack_from("<i", head, off + 4 + l_name)
+            self.ref_lengths.append(ln)
+            off += 8 + l_name
+        self._members: dict[int, tuple[bytes, int]] = {}
+
+    def _member(self, coff: int) -> tuple[bytes, int]:
+        """(inflated member at compressed offset coff, next member's
+        offset) — cached, so chunk walks inflate each member once."""
+        got = self._members.get(coff)
+        if got is None:
+            got = bgzf_member_at(self.blob, coff)
+            self._members[coff] = got
+        return got
+
+    def _read_at(self, voff: int, n: int) -> bytes:
+        """n uncompressed bytes starting at virtual offset voff,
+        crossing members as needed (fixed BGZF_STEP stride)."""
+        coff, within = voff >> 16, voff & 0xFFFF
+        out = b""
+        while len(out) < n:
+            chunk, nxt = self._member(coff)
+            out += chunk[within : within + n - len(out)]
+            if len(out) < n:
+                coff, within = nxt, 0
+                if self.blob[coff : coff + len(_BGZF_EOF)] == _BGZF_EOF:
+                    raise ValueError("truncated BAM record")
+        return out
+
+    def _record_at(self, voff: int):
+        """-> (raw record incl. length prefix, next record's voffset)."""
+        head = self._read_at(voff, 4)
+        (block,) = struct.unpack("<I", head)
+        rec = self._read_at(voff, 4 + block)
+        coff, within = voff >> 16, (voff & 0xFFFF) + 4 + block
+        while within >= BGZF_STEP:
+            coff = self._member(coff)[1]
+            within -= BGZF_STEP
+        return rec, (coff << 16) | within
+
+    def query(self, contig: str, beg: int, end: int):
+        """All records overlapping [beg, end) (0-based, half-open) of
+        `contig`, as raw BAM record blocks (decode with
+        tpufm.io.bam.decode_record). Uses bins + linear index, then a
+        final exact overlap filter."""
+        ref_id = self.ref_names.index(contig)
+        bd = self.bins[ref_id]
+        chunks = []
+        for b in reg2bins(beg, end):
+            chunks.extend(bd.get(b, ()))
+        # linear-index pruning: no record overlapping [beg, ...) starts
+        # before loff, so chunks wholly before it are skipped and chunk
+        # starts clamp up to it (loff is a record-aligned voffset)
+        lin = self.linear[ref_id]
+        w = beg >> _LIN_SHIFT
+        loff = lin[w] if w < len(lin) else (lin[-1] if lin else 0)
+        chunks = sorted(c for c in chunks if c[1] > loff)
+        hits = []
+        for vs, ve in chunks:
+            v = max(vs, loff)
+            while v < ve:
+                rec, nxt = self._record_at(v)
+                r_ref, r_pos = struct.unpack_from("<ii", rec, 4)
+                n_cig = struct.unpack_from("<H", rec, 4 + 12 + 0)[0]
+                # ref span from the CIGAR (M/D/N/=/X consume reference)
+                l_name = rec[4 + 8]
+                cig_off = 4 + 32 + l_name
+                span = 0
+                for c in struct.unpack_from(f"<{n_cig}I", rec, cig_off):
+                    if (c & 0xF) in (0, 2, 3, 7, 8):
+                        span += c >> 4
+                r_end = r_pos + max(span, 1)
+                if r_ref == ref_id and r_pos < end and r_end > beg:
+                    hits.append(rec)
+                v = nxt
+        # de-duplicate records reachable through multiple chunks while
+        # keeping file order (dict preserves insertion order)
+        return list({bytes(r): r for r in hits}.values())
+
+
+def decode_record(rec: bytes, ref_names: list[str]) -> list[str]:
+    """One raw BAM record block (with length prefix) -> SAM field list —
+    mirrors read_bam's per-record decoding for query results."""
+    from tpufm.io.bam import _CIGAR_OPS, _SEQ_CHAR, _decode_tags
+
+    (ref_id, pos0, l_name, mapq, _bin, n_cig, flag, l_seq, next_ref,
+     pnext0, tlen) = struct.unpack_from("<iiBBHHHiiii", rec, 4)
+    p = 36
+    qname = rec[p : p + l_name - 1].decode()
+    p += l_name
+    cig = struct.unpack_from(f"<{n_cig}I", rec, p)
+    p += 4 * n_cig
+    cigar = ("".join(f"{c >> 4}{_CIGAR_OPS[c & 0xF]}" for c in cig)
+             if n_cig else "*")
+    nib = rec[p : p + (l_seq + 1) // 2]
+    p += (l_seq + 1) // 2
+    seq = "".join(
+        _SEQ_CHAR[(nib[i // 2] >> (4 if i % 2 == 0 else 0)) & 0xF]
+        for i in range(l_seq)
+    ) or "*"
+    quals = rec[p : p + l_seq]
+    p += l_seq
+    qual = ("*" if not l_seq or all(q == 0xFF for q in quals)
+            else "".join(chr(q + 33) for q in quals))
+    return [
+        qname, str(flag),
+        ref_names[ref_id] if ref_id >= 0 else "*", str(pos0 + 1),
+        str(mapq), cigar,
+        ("=" if next_ref == ref_id and ref_id >= 0 else
+         ref_names[next_ref] if next_ref >= 0 else "*"),
+        str(pnext0 + 1), str(tlen), seq, qual,
+    ] + _decode_tags(rec[p:])
+
+
+def flagstat(records) -> dict[str, int]:
+    """samtools-flagstat-style counters over SAM field lists."""
+    c = dict(total=0, secondary=0, mapped=0, paired=0, proper=0,
+             read1=0, read2=0, primary=0, primary_mapped=0)
+    for f in records:
+        flag = int(f[1])
+        c["total"] += 1
+        sec = bool(flag & 0x100)
+        c["secondary"] += sec
+        if not sec:
+            c["primary"] += 1
+        if not flag & 0x4:
+            c["mapped"] += 1
+            if not sec:
+                c["primary_mapped"] += 1
+        if flag & 0x1:
+            c["paired"] += 1
+            c["proper"] += bool(flag & 0x2)
+            c["read1"] += bool(flag & 0x40)
+            c["read2"] += bool(flag & 0x80)
+    return c
