@@ -48,3 +48,42 @@ def test_fasta_queries_unchanged(tmp_path, rng):
         for i, r in enumerate(reads):
             fp.write(b"> r%d\n%s\n" % (i, decode_bases(r)))
     np.testing.assert_array_equal(load_queries(qry, 24, 8), reads)
+
+
+def test_vectorized_loader_edges(tmp_path):
+    """The numpy line scan (_seq_extents) matches the loader contract on
+    edge inputs: missing final newline, CRLF endings, blank lines,
+    FASTQ empty-sequence records, gzip, and the num_queries guards."""
+    import gzip
+
+    import numpy as np
+    import pytest
+
+    from tpufm.io.fasta import (
+        load_queries,
+        load_queries_varlen,
+        sniff_reads,
+    )
+    from tpufm.utils.encoding import encode_bases
+
+    fa = tmp_path / "e.qry"
+    fa.write_bytes(b"> a\r\nACGT\r\n\r\n> b\nTTTT")  # CRLF, blank, no EOL
+    got = load_queries(str(fa), 4)
+    np.testing.assert_array_equal(got, encode_bases(b"ACGTTTTT").reshape(2, 4))
+    assert sniff_reads(str(fa)) == (4, 4, 2)
+    fq = tmp_path / "e.fastq"
+    fq.write_bytes(b"@a\nACGT\n+\nIIII\n@skip\n\n+\n\n@b\nGGTTAA\n+\nIIIIII")
+    v = load_queries_varlen(str(fq))
+    assert v.shape == (2, 6)
+    np.testing.assert_array_equal(v[0], [0xFF, 0xFF] + list(encode_bases(b"ACGT")))
+    np.testing.assert_array_equal(v[1], encode_bases(b"GGTTAA"))
+    gz = tmp_path / "e.fastq.gz"
+    gz.write_bytes(gzip.compress(fq.read_bytes()))
+    np.testing.assert_array_equal(load_queries_varlen(str(gz)), v)
+    with pytest.raises(ValueError, match="only 2 reads"):
+        load_queries_varlen(str(fq), 3)
+    with pytest.raises(ValueError, match="expected 4"):
+        load_queries(str(fq), 4)  # the 6-mer read
+    with pytest.raises(ValueError, match="no reads"):
+        (tmp_path / "empty.qry").write_bytes(b"> only header\n")
+        load_queries_varlen(str(tmp_path / "empty.qry"))

@@ -1149,20 +1149,11 @@ def _fasta_num_bases(path) -> int:
 
 def _sniff_reads(path):
     """(min_length, max_length, read_count) of a FASTA/FASTQ(.gz) read
-    file, from the same record iteration load_queries uses. min != max
+    file, from the same record contract load_queries uses. min != max
     means a mixed-length set (the variable-length align path)."""
-    from tpufm.io.fasta import _seq_lines, open_maybe_gzip
+    from tpufm.io.fasta import sniff_reads
 
-    lmin, lmax, count = None, 0, 0
-    with open_maybe_gzip(path) as fp:
-        fastq = fp.read(1) == b"@"
-        fp.seek(0)
-        for seq in _seq_lines(fp, fastq):
-            if seq:
-                n = len(seq)
-                lmin = n if lmin is None else min(lmin, n)
-                lmax = max(lmax, n)
-                count += 1
+    lmin, lmax, count = sniff_reads(path)
     if not count:
         sys.exit(f"{path}: no reads found")
     return lmin, lmax, count
