@@ -663,13 +663,73 @@ def test_cli_align_mixed_paired(tmp_path, ref, monkeypatch):
                     ).decode() == seq
 
 
-def test_cli_align_mixed_paired_approx_needs_equal_mates(
+def test_cli_align_paired_unequal_mates_mismatches(
     tmp_path, ref, monkeypatch
 ):
+    """Unequal mate lengths + --mismatches: the per-(L1, L2) grouping
+    plus the strand-partitioned SAM NM re-evaluation place every planted
+    pair with per-mate NM — the former 'equal mate lengths' rejection,
+    removed."""
+    from tpufm.utils.encoding import reverse_complement
+
     path, n, codes = ref
     monkeypatch.chdir(tmp_path)
-    (tmp_path / "x1.fa").write_text(">a\nACGTACGTACGTACGTACGTACGT\n")
-    (tmp_path / "x2.fa").write_text(">a\nACGTACGTACGTACGTACGTACGTACGTAC\n")
-    with pytest.raises(SystemExit, match="equal mate lengths"):
-        cli.main(["align", str(path), str(tmp_path / "x1.fa"),
-                  "-2", str(tmp_path / "x2.fa"), "--mismatches", "1"])
+    rng2 = np.random.default_rng(11)
+    L1, L2 = 24, 30
+    truth = []
+    with open("u1.fa", "w") as f1, open("u2.fa", "w") as f2:
+        for t in range(4):
+            l = int(rng2.integers(0, n - 400))
+            frag = int(rng2.integers(150, 200))
+            r = l + frag - L2
+            r1 = codes[l : l + L1].copy()
+            r1[5] = (r1[5] + 1) % 4  # one substitution in R1
+            r2 = reverse_complement(codes[r : r + L2][None])[0]
+            f1.write(f">q{t}\n{decode_bases(r1).decode()}\n")
+            f2.write(f">q{t}\n{decode_bases(r2).decode()}\n")
+            truth.append((l, r, frag))
+    cli.main(["align", str(path), "u1.fa", "-2", "u2.fa",
+              "--mismatches", "1", "--insert-min", "120",
+              "--insert-max", "260", "-o", str(tmp_path / "u.sam")])
+    body = [l_.split("\t") for l_ in (tmp_path / "u.sam").read_text()
+            .splitlines() if not l_.startswith("@")]
+    for t, (l, r, frag) in enumerate(truth):
+        recs = [f for f in body
+                if f[0] == f"q{t}" and not int(f[1]) & 0x100]
+        first = next(f for f in recs if int(f[1]) & 0x40)
+        second = next(f for f in recs if int(f[1]) & 0x80)
+        assert int(first[1]) == 0x63 and int(first[3]) - 1 == l
+        assert first[5] == f"{L1}M" and "NM:i:1" in first[11:]
+        assert int(second[1]) == 0x93 and int(second[3]) - 1 == r
+        assert second[5] == f"{L2}M" and "NM:i:0" in second[11:]
+        assert int(first[8]) == frag == -int(second[8])
+
+
+def test_cli_align_paired_unequal_mates_edits(tmp_path, ref, monkeypatch):
+    """Unequal mate lengths + --edits: strand-partitioned re-alignment
+    yields a real deletion CIGAR on the indel-carrying mate while the
+    other mate (different length) stays <L>M, TLEN from actual spans."""
+    from tpufm.utils.encoding import reverse_complement
+
+    path, n, codes = ref
+    monkeypatch.chdir(tmp_path)
+    L1, L2 = 24, 30
+    l, r = 700, 960
+    # R1 carries one deletion (consumes L1+1 reference bases)
+    r1 = np.concatenate([codes[l : l + 9],
+                         codes[l + 10 : l + L1 + 1]]).astype(np.uint8)
+    r2 = reverse_complement(codes[r : r + L2][None])[0]
+    (tmp_path / "e1.fa").write_text(f">e0\n{decode_bases(r1).decode()}\n")
+    (tmp_path / "e2.fa").write_text(f">e0\n{decode_bases(r2).decode()}\n")
+    cli.main(["align", str(path), "e1.fa", "-2", "e2.fa",
+              "--edits", "1", "--insert-min", "200",
+              "--insert-max", "400", "-o", str(tmp_path / "e.sam")])
+    body = [l_.split("\t") for l_ in (tmp_path / "e.sam").read_text()
+            .splitlines() if not l_.startswith("@")]
+    first = next(f for f in body if int(f[1]) & 0x40)
+    second = next(f for f in body if int(f[1]) & 0x80)
+    assert int(first[1]) == 0x63 and int(first[3]) - 1 == l
+    assert "D" in first[5] and "NM:i:1" in first[11:]
+    assert int(second[1]) == 0x93 and int(second[3]) - 1 == r
+    assert second[5] == f"{L2}M" and "NM:i:0" in second[11:]
+    assert int(first[8]) == r + L2 - l == -int(second[8])

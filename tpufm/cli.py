@@ -1278,13 +1278,6 @@ def cmd_align(args):
         b2 = load_queries_varlen(args.paired, nreads)
         l1 = (b1 != VARLEN_PAD).sum(axis=1)
         l2 = (b2 != VARLEN_PAD).sum(axis=1)
-        if need_text and (l1 != l2).any():
-            sys.exit(
-                "--paired with --mismatches/--edits needs equal mate "
-                "lengths within each pair (the approximate paired engine "
-                "batches both mates in one fixed-shape pass); found "
-                f"{int((l1 != l2).sum())} pairs with different lengths"
-            )
         names = load_query_names(args.reads, nreads)
         quals1 = load_query_quals(args.reads, nreads)
         quals2 = load_query_quals(args.paired, nreads)

@@ -244,10 +244,6 @@ def sam_paired_records(names, r1, r2, pairs, strand, cmap, codes=None,
     blocks = []
     B, P = pairs.shape[:2]
     L1, L2 = r1.shape[1], r2.shape[1]
-    if codes is not None and L1 != L2:
-        raise ValueError("approximate paired SAM assumes equal mate "
-                         "lengths (the paired engine batches both mates "
-                         "in one fixed-shape pass)")
     r1r = reverse_complement(r1)
     r2r = reverse_complement(r2)
     idx_l, off_l, _ = cmap.resolve(pairs[..., 0])
@@ -257,16 +253,6 @@ def sam_paired_records(names, r1, r2, pairs, strand, cmap, codes=None,
     clen_r = (cends - cmap.starts)[np.maximum(idx_r, 0)]
     valid = (pairs[..., 0] != _SENT) & (idx_l >= 0) & (idx_l == idx_r)
     vi, vj = np.nonzero(valid)
-    if codes is not None and len(vi):
-        # mate content at each fragment end, needed only for NM/CIGAR
-        # re-evaluation (the exact path never builds these — mate lengths
-        # may differ there, so r1/r2 rows cannot be where()-mixed)
-        left_mat = np.where(
-            (strand[vi, vj] == 0)[:, None], r1[vi], r2[vi]
-        ).astype(np.uint8)
-        right_mat = np.where(
-            (strand[vi, vj] == 0)[:, None], r2r[vi], r1r[vi]
-        ).astype(np.uint8)
     len_left = np.where(strand == 0, L1, L2)
     len_right = np.where(strand == 0, L2, L1)
     span_l = len_left.astype(np.int64)
@@ -275,19 +261,27 @@ def sam_paired_records(names, r1, r2, pairs, strand, cmap, codes=None,
     nm_r = np.zeros((B, P), np.int64)
     cig_l = np.empty((B, P), object)
     cig_r = np.empty((B, P), object)
-    if edits and len(vi):
+    # NM/CIGAR re-evaluation partitions the accepted pair sites BY
+    # STRAND so the two mates never share a matrix — that is what lets
+    # mate lengths differ (strand 0: R1 fwd left / rc(R2) right;
+    # strand 1: R2 fwd left / rc(R1) right).
+    parts = []
+    if codes is not None and len(vi):
+        plus = strand[vi, vj] == 0
+        parts = [
+            # (pair row selector, left-end mate rows, right-end mate rows)
+            (plus, r1, r2r),
+            (~plus, r2, r1r),
+        ]
+    if edits:
         # re-align the ACCEPTED pair sites (not the candidate grid) for
         # real M/I/D CIGARs — cost proportional to the pair list;
         # chunked because the DP pointer tensor is [chunk, L, L+E] int8
         from tpufm.utils.align import edit_alignments
 
-        for mat, col, nm_a, sp_a, cg_a in (
-            (left_mat, 0, nm_l, span_l.copy(), cig_l),
-            (right_mat, 1, nm_r, span_r.copy(), cig_r),
-        ):
-            starts = pairs[vi, vj, col].astype(np.int64)
+        def realign(mat, starts):
             cigs, nms, spans = [], [], []
-            for lo in range(0, len(vi), 1 << 16):
+            for lo in range(0, len(starts), 1 << 16):
                 c_, n_, s_ = edit_alignments(
                     codes, mat[lo : lo + (1 << 16)],
                     starts[lo : lo + (1 << 16)], edits,
@@ -295,24 +289,42 @@ def sam_paired_records(names, r1, r2, pairs, strand, cmap, codes=None,
                 cigs.extend(c_)
                 nms.append(n_)
                 spans.append(s_)
-            nm_a[vi, vj] = np.concatenate(nms)
-            sp_a[vi, vj] = np.concatenate(spans)
-            for t, c in enumerate(cigs):
-                cg_a[vi[t], vj[t]] = c
-            if col == 0:
-                span_l = sp_a
-            else:
-                span_r = sp_a
-    elif codes is not None and len(vi):
-        lw = pairs[vi, vj, 0].astype(np.int64)[:, None] + np.arange(L1)
-        rw = pairs[vi, vj, 1].astype(np.int64)[:, None] + np.arange(L1)
+            return cigs, np.concatenate(nms), np.concatenate(spans)
+
+        span_l = np.broadcast_to(span_l, (B, P)).copy()
+        span_r = np.broadcast_to(span_r, (B, P)).copy()
+        for sel, left_rows, right_rows in parts:
+            si, sj = vi[sel], vj[sel]
+            if not len(si):
+                continue
+            for rows, col, nm_a, sp_a, cg_a in (
+                (left_rows, 0, nm_l, span_l, cig_l),
+                (right_rows, 1, nm_r, span_r, cig_r),
+            ):
+                cigs, nms, spans = realign(
+                    rows[si], pairs[si, sj, col].astype(np.int64)
+                )
+                nm_a[si, sj] = nms
+                sp_a[si, sj] = spans
+                for t, c in enumerate(cigs):
+                    cg_a[si[t], sj[t]] = c
+    elif parts:
         n = codes.shape[0]
-        nm_l[vi, vj] = (
-            np.where(lw < n, codes[np.minimum(lw, n - 1)], 255) != left_mat
-        ).sum(1)
-        nm_r[vi, vj] = (
-            np.where(rw < n, codes[np.minimum(rw, n - 1)], 255) != right_mat
-        ).sum(1)
+
+        def ham(mat, starts):
+            w = starts[:, None] + np.arange(mat.shape[1])
+            return (
+                np.where(w < n, codes[np.minimum(w, n - 1)], 255) != mat
+            ).sum(1)
+
+        for sel, left_rows, right_rows in parts:
+            si, sj = vi[sel], vj[sel]
+            if not len(si):
+                continue
+            nm_l[si, sj] = ham(left_rows[si],
+                               pairs[si, sj, 0].astype(np.int64))
+            nm_r[si, sj] = ham(right_rows[si],
+                               pairs[si, sj, 1].astype(np.int64))
     sp_l = off_l + span_l > clen_l
     sp_r = off_r + span_r > clen_r
     for i, name in enumerate(names):
