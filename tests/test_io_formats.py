@@ -87,3 +87,43 @@ def test_vectorized_loader_edges(tmp_path):
     with pytest.raises(ValueError, match="no reads"):
         (tmp_path / "empty.qry").write_bytes(b"> only header\n")
         load_queries_varlen(str(tmp_path / "empty.qry"))
+
+
+def test_packed_loaders_match_list_loaders(tmp_path):
+    """load_query_names_packed / load_query_quals_packed are vectorized
+    twins of the list loaders: identical per-read values across FASTQ,
+    multi-line FASTA with header inheritance, headerless reads, '> x'
+    leading-blank headers, nameless headers, malformed quals, CRLF, and
+    the num_queries pad."""
+    from tpufm.io.fasta import (
+        load_query_names,
+        load_query_names_packed,
+        load_query_quals,
+        load_query_quals_packed,
+    )
+
+    fq = tmp_path / "a.fastq"
+    fq.write_bytes(
+        b"@r0 extra words\nACGT\n+\nIIII\n"
+        b"@skip\n\n+\n\n"
+        b"@r1\r\nACGTA\r\n+\r\nIIIII\r\n"
+        b"@\nGG\n+\nII\n"          # nameless header
+        b"@r3\nACGT\n+\nIII\n"     # malformed qual
+    )
+    for n in (None, 3, 7):
+        assert list(load_query_names_packed(str(fq), n)) == \
+            load_query_names(str(fq), n)
+        pq = load_query_quals_packed(str(fq), n)
+        lq = load_query_quals(str(fq), n)
+        assert [q or None for q in pq] == lq
+    fa = tmp_path / "a.fa"
+    fa.write_bytes(
+        b"ORPHAN\n"                 # read before any header
+        b"> x0\nAAAA\nCCCC\n"       # two reads inherit x0
+        b">\nGGGG\n"                # nameless header
+        b">y1 desc\nTTTT"           # no trailing newline
+    )
+    for n in (None, 2, 8):
+        assert list(load_query_names_packed(str(fa), n)) == \
+            load_query_names(str(fa), n)
+        assert load_query_quals_packed(str(fa), n) is None

@@ -831,10 +831,13 @@ def _locate_body(args, index, loc, codes, queries, nq):
             codes = read_reference(args.reference, args.refsize or None)
         pos, s_overflow = _single_end_positions(args, index, loc, codes,
                                                 queries)
-        from tpufm.io.fasta import load_query_names, load_query_quals
+        from tpufm.io.fasta import (
+            load_query_names_packed,
+            load_query_quals_packed,
+        )
 
-        names = load_query_names(args.queries, nq)
-        quals = load_query_quals(args.queries, nq)
+        names = load_query_names_packed(args.queries, nq)
+        quals = load_query_quals_packed(args.queries, nq)
         out = args.output or f"{args.queries}." + ("bam" if args.bam
                                                    else "sam")
         text = sam_header(cmap, extra_pg="tpufm locate --sam")
@@ -1410,8 +1413,8 @@ def cmd_align(args):
         from tpufm.io.contigs import read_contigs
         from tpufm.io.fasta import (
             load_queries_varlen,
-            load_query_names,
-            load_query_quals,
+            load_query_names_packed,
+            load_query_quals_packed,
         )
         from tpufm.io.sam import sam_header, sam_single_records
         from tpufm.utils.encoding import reverse_complement_varlen
@@ -1441,14 +1444,15 @@ def cmd_align(args):
                 eng.search_varlen(q2), max_hits=args.max_hits
             )
         cmap = read_contigs(args.reference, refsize or None)
-        names = load_query_names(args.reads, nreads)
+        names = load_query_names_packed(args.reads, nreads)
         out = args.output or f"{args.reads}." + ("bam" if args.bam
                                                  else "sam")
         text = sam_header(
             cmap, extra_pg="tpufm align (mixed-length)"
         ) + sam_single_records(
             names, batch, pos[:nreads], pos[nreads:], cmap,
-            lengths=lengths, quals=load_query_quals(args.reads, nreads),
+            lengths=lengths,
+            quals=load_query_quals_packed(args.reads, nreads),
         )
         _write_sam_or_bam(out, text, args.bam)
         print(f"{nreads} mixed-length reads, both strands")

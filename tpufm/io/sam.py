@@ -191,9 +191,14 @@ def sam_single_records(
                 ).sum(1)
     lib = _get_emitter()
     if lib is not None and 2 * H <= 512:  # C site buffer bound
-        names_buf, names_off = _concat_offsets(names)
+        if hasattr(names, "off"):  # PackedStrs: zero-copy from the loader
+            names_buf, names_off = names.buf, names.off
+        else:
+            names_buf, names_off = _concat_offsets(names)
         if quals is None:
             quals_buf, quals_off = b"", None
+        elif hasattr(quals, "off"):
+            quals_buf, quals_off = quals.buf, quals.off
         else:
             quals_buf, quals_off = _concat_offsets(
                 [q or "" for q in quals]
