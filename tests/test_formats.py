@@ -104,8 +104,12 @@ def test_recommend_config():
     assert r == {"k": 3, "d": 192, "lut_m": 12}  # round-4 ladder, probe79
     r = recommend_config(60_000_000)
     assert r == {"k": 3, "d": 320, "lut_m": 12}
-    r = recommend_config(3_000_000_000)
+    r = recommend_config(2_000_000_000)
     assert r == {"k": 3, "d": 192, "lut_m": 12}
+    # genome scale: d=192's doubled gather pre-copy cannot fit one chip
+    # (probe85 OOM at 16.7M rows); d=320's one-tile rows do (probe86)
+    r = recommend_config(3_200_000_000)
+    assert r == {"k": 3, "d": 320, "lut_m": 12}
     # k must divide the query length
     assert recommend_config(10_000_000, query_len=8)["k"] == 2
     assert recommend_config(10_000_000, query_len=100)["lut_m"] == 12

@@ -116,6 +116,14 @@ class IndexConfig:
 #: so the rule is entries <= ~210K AND row words <= 128.
 VMEM_FAST_ENTRIES = 210_000
 
+#: Largest reference (bases) whose d=192 HBM program fits one v5e chip
+#: (probe85/86): the gather emitter's windowed table pre-copy doubles
+#: the 1.28x lane-padded entries (100 -> 128 words), so
+#: 2 x (bases/192) x 512 B + ~2.5 GB of loop temps must stay under
+#: 15.75 GB of HBM; past this, d=320's one-tile rows halve the
+#: per-base cost and a 3.2 Gbase genome runs single-chip.
+HBM_MAX_D192_BASES = 2_400_000_000
+
 
 def recommend_config(refsize: int, query_len: int = 120) -> dict:
     """Measured-best single-chip configuration for a reference of `refsize`
@@ -130,9 +138,18 @@ def recommend_config(refsize: int, query_len: int = 120) -> dict:
     is 192 (refs <= ~40 Mbase), then 320 (<= ~67 Mbase); d=128/256 are
     never optimal. d > 320 would exceed 128 row words, doubling the
     physical footprint (tile padding) and losing VMEM residency. Beyond
-    ~69 Mbase no d fits and throughput is ~940K reads/s flat to at least
-    6.25 GB (tree-pick HBM regime, probe74/75); d=192 is kept there (the
-    sharded-mode layout convention). A 12-mer prefix LUT removes lut_m/k
+    ~69 Mbase no d fits and throughput is ~940-970K reads/s flat to at
+    least 8M rows / 3.2 GB of entries (tree-pick HBM regime,
+    probes 74/75/85); d=192 is kept there (the sharded-mode layout
+    convention) — up to ~2.4 Gbase. Past that, d=192 cannot FIT one
+    chip: XLA's gather emitter materializes a windowed pre-copy of the
+    whole entries table (probe85/86: copy.28, 1.3x lane-padded, so
+    2 x 1.28 x table bytes + ~2.4 GB of loop temps against 15.75 GB of
+    HBM — OOM at 16.7M rows). d=320's 124-word rows fill one lane tile
+    (1.03x padding), halving the per-base footprint: a full 3.2 Gbase
+    genome runs single-chip at 886K reads/s (probe86, bracketed), so
+    the last rung is d=320 (fits to ~4 Gbase; beyond that, shard over a
+    mesh — parallel/search.py). A 12-mer prefix LUT removes lut_m/k
     rounds whenever the query length permits.
 
     Returns {'k', 'd', 'lut_m'} kwargs for IndexConfig / XLAEngine.
@@ -144,7 +161,7 @@ def recommend_config(refsize: int, query_len: int = 120) -> dict:
     d = next(
         (dd for dd in (192, 320)
          if -(-bwtsize // dd) <= VMEM_FAST_ENTRIES),
-        192,
+        192 if bwtsize <= HBM_MAX_D192_BASES else 320,
     )
     lut_m = 0
     if query_len >= 24:
