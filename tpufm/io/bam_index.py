@@ -304,7 +304,14 @@ class IndexedBam:
 def decode_record(rec: bytes, ref_names: list[str]) -> list[str]:
     """One raw BAM record block (with length prefix) -> SAM field list —
     mirrors read_bam's per-record decoding for query results."""
-    from tpufm.io.bam import _CIGAR_OPS, _SEQ_CHAR, _decode_tags
+    import numpy as np
+
+    from tpufm.io.bam import (
+        _CIGAR_OPS,
+        _NIB_PAIR,
+        _QUAL_TBL_INV,
+        _decode_tags,
+    )
 
     (ref_id, pos0, l_name, mapq, _bin, n_cig, flag, l_seq, next_ref,
      pnext0, tlen) = struct.unpack_from("<iiBBHHHiiii", rec, 4)
@@ -317,14 +324,14 @@ def decode_record(rec: bytes, ref_names: list[str]) -> list[str]:
              if n_cig else "*")
     nib = rec[p : p + (l_seq + 1) // 2]
     p += (l_seq + 1) // 2
-    seq = "".join(
-        _SEQ_CHAR[(nib[i // 2] >> (4 if i % 2 == 0 else 0)) & 0xF]
-        for i in range(l_seq)
-    ) or "*"
+    seq = (
+        _NIB_PAIR[np.frombuffer(nib, np.uint8)].tobytes()[:l_seq].decode()
+        if l_seq else "*"
+    )
     quals = rec[p : p + l_seq]
     p += l_seq
-    qual = ("*" if not l_seq or all(q == 0xFF for q in quals)
-            else "".join(chr(q + 33) for q in quals))
+    qual = ("*" if not l_seq or quals.count(0xFF) == l_seq
+            else quals.translate(_QUAL_TBL_INV).decode("latin-1"))
     return [
         qname, str(flag),
         ref_names[ref_id] if ref_id >= 0 else "*", str(pos0 + 1),
