@@ -171,3 +171,32 @@ def test_cli_sort_view_flagstat(tmp_path, rng, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert out.splitlines()[0].startswith("3 in total")
     assert "3 mapped" in out
+
+
+def test_view_cli_errors(tmp_path, rng, monkeypatch, capsys):
+    """Region queries without a .bai, bad region syntax, and unknown
+    contigs exit with actionable messages instead of tracebacks."""
+    contigs = [("c", 1 << 16)]
+    text = _mk_sam(rng, 20, contigs)
+    from tpufm.io.bam import write_bam
+
+    monkeypatch.chdir(tmp_path)
+    write_bam("plain.bam", text)
+    with pytest.raises(SystemExit, match="tpufm sort"):
+        cli.main(["view", "plain.bam", "c:1-100"])
+    write_bam_indexed("idx.bam", text)
+    with pytest.raises(SystemExit, match="not a contig"):
+        cli.main(["view", "idx.bam", "chrX:1-100"])
+    with pytest.raises(SystemExit, match="bad region"):
+        cli.main(["view", "idx.bam", "c:1:100"])
+
+
+def test_bgzf_level_knob(monkeypatch):
+    from tpufm.io.bam import bgzf_compress, bgzf_decompress
+
+    data = bytes(range(256)) * 2000
+    fast = bgzf_compress(data, level=1)
+    slow = bgzf_compress(data, level=9)
+    assert bgzf_decompress(fast) == data == bgzf_decompress(slow)
+    monkeypatch.setenv("TPUFM_BGZF_LEVEL", "1")
+    assert bgzf_compress(data) == fast

@@ -1507,16 +1507,35 @@ def cmd_view(args):
 
     dest = open(args.output, "w") if args.output else _sys.stdout
     if args.region:
+        import os
+
         from tpufm.io.bam_index import IndexedBam, decode_record
 
+        if not os.path.exists(args.input + ".bai"):
+            sys.exit(
+                f"{args.input}.bai not found — region queries need the "
+                "index; create it with `tpufm sort`"
+            )
         ib = IndexedBam(args.input)
         if ":" in args.region:
             contig, span = args.region.rsplit(":", 1)
-            b, e = span.split("-")
-            beg, end = int(b) - 1, int(e)
+            try:
+                b, e = span.split("-")
+                beg, end = int(b) - 1, int(e)
+            except ValueError:
+                sys.exit(f"bad region {args.region!r}; use chr:beg-end "
+                         "(1-based inclusive)")
         else:
             contig = args.region
+            if contig not in ib.ref_names:
+                sys.exit(f"{contig!r} is not a contig of {args.input} "
+                         f"(has: {', '.join(ib.ref_names[:8])}"
+                         + ("..." if len(ib.ref_names) > 8 else "") + ")")
             beg, end = 0, ib.ref_lengths[ib.ref_names.index(contig)]
+        if contig not in ib.ref_names:
+            sys.exit(f"{contig!r} is not a contig of {args.input} "
+                     f"(has: {', '.join(ib.ref_names[:8])}"
+                     + ("..." if len(ib.ref_names) > 8 else "") + ")")
         if not args.no_header:
             dest.write(ib.header_text)
         for rec in ib.query(contig, beg, end):

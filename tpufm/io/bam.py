@@ -71,13 +71,25 @@ def reg2bin(beg: int, end: int) -> int:
 BGZF_STEP = 0xE000
 
 
-def bgzf_compress(data: bytes, member_offsets: list[int] | None = None) -> bytes:
+def bgzf_compress(
+    data: bytes,
+    member_offsets: list[int] | None = None,
+    level: int | None = None,
+) -> bytes:
     """bgzf-frame `data`: <=64 KiB-uncompressed gzip members, each with
     the BC extra subfield holding (member length - 1), then the EOF
     marker member (SAM spec v1.6 4.1). When `member_offsets` is given it
     is filled with each member's COMPRESSED start offset (member i holds
     uncompressed bytes [i*BGZF_STEP, (i+1)*BGZF_STEP)) — the coffset half
-    of BAI virtual file offsets."""
+    of BAI virtual file offsets.
+
+    `level` is the deflate level (default 6, samtools' default; override
+    per-call or process-wide with TPUFM_BGZF_LEVEL — level 1 roughly
+    halves the single-core compression time for ~15% larger files)."""
+    if level is None:
+        import os
+
+        level = int(os.environ.get("TPUFM_BGZF_LEVEL", 6))
     out = []
     # keep the COMPRESSED member under 2^16 too: 0xE000 of compressible
     # text deflates far below that, and the header math is checked below
@@ -87,7 +99,7 @@ def bgzf_compress(data: bytes, member_offsets: list[int] | None = None) -> bytes
         if member_offsets is not None:
             member_offsets.append(pos)
         chunk = data[off : off + step]
-        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        co = zlib.compressobj(level, zlib.DEFLATED, -15)
         payload = co.compress(chunk) + co.flush()
         bsize = len(payload) + 25 + 1  # header(12)+XLEN payload(6)+crc/isize(8)
         if bsize > 0xFFFF:
