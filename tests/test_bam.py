@@ -104,6 +104,36 @@ def test_sam_to_bam_roundtrip(tmp_path):
     assert records == expect
 
 
+def test_sam_to_bam_non_ascii_stays_in_sync(tmp_path):
+    """A stray non-ASCII char in SEQ or QUAL must not desynchronize the
+    record layout: every QUAL char encodes to exactly one byte (latin-1
+    bytes round-trip; anything else degrades to '?'), odd SEQ bases
+    degrade to 'N', and a QUAL whose length disagrees with SEQ raises a
+    clear error instead of writing a corrupt record."""
+    header = "@HD\tVN:1.6\n@SQ\tSN:c\tLN:100\n"
+
+    def rec(seq, qual):
+        return (header
+                + f"r0\t0\tc\t5\t60\t{len(seq)}M\t*\t0\t0\t{seq}\t{qual}\n"
+                + "r1\t0\tc\t9\t60\t4M\t*\t0\t0\tACGT\t*\tNM:i:0\n")
+
+    path = str(tmp_path / "n.bam")
+    # latin-1-encodable qual byte round-trips exactly
+    write_bam(path, rec("ACGT", "II\xe9I"))
+    _, records = read_bam(path)
+    assert records[0][10] == "II\xe9I" and records[1][11] == "NM:i:0"
+    # non-latin-1 (e.g. U+FFFD from a corrupt FASTQ) degrades per-char
+    write_bam(path, rec("ACGT", "II�I"))
+    _, records = read_bam(path)
+    assert len(records[0][10]) == 4 and records[1][11] == "NM:i:0"
+    # non-ASCII base -> 'N', record still parses
+    write_bam(path, rec("AC\xe9T", "IIII"))
+    _, records = read_bam(path)
+    assert records[0][9] == "ACNT" and len(records) == 2
+    with pytest.raises(ValueError, match="QUAL length"):
+        sam_to_bam(rec("ACGT", "II"))
+
+
 def test_bam_binary_fields(tmp_path):
     raw = sam_to_bam(SAM_TEXT)
     assert raw[:4] == b"BAM\x01"

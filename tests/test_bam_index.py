@@ -191,6 +191,99 @@ def test_view_cli_errors(tmp_path, rng, monkeypatch, capsys):
         cli.main(["view", "idx.bam", "c:1:100"])
 
 
+def test_bai_exact_step_boundary(tmp_path):
+    """A BAM whose uncompressed stream length is an exact BGZF_STEP
+    multiple: the final record's chunk end must map to the EOF-member
+    sentinel voffset (not invert), and indexed queries must still find
+    that record (regression for _voffset's one-past-end case)."""
+    import math
+
+    from tpufm.io.bam import sam_to_bam
+
+    header = "@HD\tVN:1.6\n@SQ\tSN:c\tLN:%d\n" % (1 << 18)
+    last = ("zz_last\t0\tc\t200000\t60\t24M\t*\t0\t0\t"
+            + "ACGT" * 6 + "\t*")
+
+    def mk(pads):
+        # fixed-width index so every pad record is exactly rec0 + p bytes
+        recs = [
+            f"p{i:05d}{'x' * p}\t0\tc\t{10 + i}\t60\t4M\t*\t0\t0\tACGT\t*"
+            for i, p in enumerate(pads)
+        ]
+        return header + "\n".join(recs + [last]) + "\n"
+
+    base = len(sam_to_bam(sort_sam_text(mk([]))))
+    rec0 = len(sam_to_bam(sort_sam_text(mk([0])))) - base
+    assert len(sam_to_bam(sort_sam_text(mk([1])))) == base + rec0 + 1
+    # pick pad-record QNAME lengths so the stream is an exact multiple
+    delta = (-base) % BGZF_STEP
+    m = max(1, math.ceil(delta / (rec0 + 200)))
+    while m * rec0 > delta:
+        delta += BGZF_STEP
+        m = max(1, math.ceil(delta / (rec0 + 200)))
+    spare = delta - m * rec0
+    pads = []
+    for _ in range(m):
+        take = min(200, spare)
+        pads.append(take)
+        spare -= take
+    assert spare == 0
+    text = mk(pads)
+    assert len(sam_to_bam(sort_sam_text(text))) % BGZF_STEP == 0
+    bam = str(tmp_path / "edge.bam")
+    write_bam_indexed(bam, text)
+    bins, _ = load_bai(bam + ".bai")
+    for bd in bins:
+        for chunks in bd.values():
+            for vs, ve in chunks:
+                assert ve > vs, (vs, ve)
+    ib = IndexedBam(bam)
+    got = [decode_record(r, ib.ref_names)
+           for r in ib.query("c", 199_999, 200_024)]
+    assert [g[0] for g in got] == ["zz_last"]
+
+
+def test_view_region_begin_zero(tmp_path, monkeypatch):
+    """samtools semantics: a 1-based region begin of 0 clamps to the
+    contig start instead of silently returning nothing, and an empty
+    region (end < beg) is rejected."""
+    monkeypatch.chdir(tmp_path)
+    header = "@HD\tVN:1.6\n@SQ\tSN:c\tLN:%d\n" % (1 << 17)
+    recs = [f"r{i}\t0\tc\t{1 + 7 * i}\t60\t8M\t*\t0\t0\tACGTACGT\t*"
+            for i in range(64)]
+    write_bam_indexed("z.bam", header + "\n".join(recs) + "\n")
+    cli.main(["view", "z.bam", "c:1-64", "--no-header",
+              "--output", "a.sam"])
+    cli.main(["view", "z.bam", "c:0-64", "--no-header",
+              "--output", "b.sam"])
+    a, b = open("a.sam").read(), open("b.sam").read()
+    assert a == b and a  # non-empty thanks to pos>=1 records near start
+    with pytest.raises(SystemExit, match="empty region"):
+        cli.main(["view", "z.bam", "c:5-4"])
+
+
+def test_flagstat_ignores_secondary_for_pairing(rng):
+    """The pairing counters follow samtools: secondary records carry the
+    0x1/0x2/0x40/0x80 bits too but must not inflate paired/proper/
+    read1/read2."""
+    recs = [
+        ["a", "99", "c", "10", "60", "4M", "=", "30", "24", "ACGT", "*"],
+        ["a", "147", "c", "30", "60", "4M", "=", "10", "-24", "ACGT", "*"],
+        ["a", str(0x163), "c", "99", "0", "4M", "=", "30", "0", "ACGT", "*"],
+    ]
+    c = flagstat(recs)
+    assert c["total"] == 3 and c["secondary"] == 1
+    assert c["paired"] == 2 and c["proper"] == 2
+    assert c["read1"] == 1 and c["read2"] == 1
+
+
+def test_sort_undeclared_rname_message(rng):
+    text = ("@HD\tVN:1.6\n@SQ\tSN:c\tLN:100\n"
+            "r0\t0\tchrX\t5\t60\t4M\t*\t0\t0\tACGT\t*\n")
+    with pytest.raises(ValueError, match="@SQ"):
+        sort_sam_text(text)
+
+
 def test_bgzf_level_knob(monkeypatch):
     from tpufm.io.bam import bgzf_compress, bgzf_decompress
 
@@ -200,3 +293,7 @@ def test_bgzf_level_knob(monkeypatch):
     assert bgzf_decompress(fast) == data == bgzf_decompress(slow)
     monkeypatch.setenv("TPUFM_BGZF_LEVEL", "1")
     assert bgzf_compress(data) == fast
+    for bad in ("fast", "99", "-2"):
+        monkeypatch.setenv("TPUFM_BGZF_LEVEL", bad)
+        with pytest.raises(ValueError, match="TPUFM_BGZF_LEVEL"):
+            bgzf_compress(data)

@@ -1495,7 +1495,10 @@ def cmd_sort(args):
     from tpufm.io.bam_index import write_bam_indexed
 
     out = args.output or (args.input.rsplit(".", 1)[0] + ".sorted.bam")
-    write_bam_indexed(out, _read_sam_or_bam(args.input))
+    try:
+        write_bam_indexed(out, _read_sam_or_bam(args.input))
+    except ValueError as e:  # e.g. RNAME without @SQ, QUAL/SEQ mismatch
+        sys.exit(f"cannot sort {args.input}: {e}")
     print(f"wrote {out} + {out}.bai")
 
 
@@ -1525,17 +1528,20 @@ def cmd_view(args):
             except ValueError:
                 sys.exit(f"bad region {args.region!r}; use chr:beg-end "
                          "(1-based inclusive)")
+            # samtools clamps a 1-based beg of 0 to the contig start; a
+            # raw -1 would index the linear index from the wrong end and
+            # silently return nothing
+            beg = max(beg, 0)
+            if end <= beg:
+                sys.exit(f"empty region {args.region!r} (end < beg)")
         else:
-            contig = args.region
-            if contig not in ib.ref_names:
-                sys.exit(f"{contig!r} is not a contig of {args.input} "
-                         f"(has: {', '.join(ib.ref_names[:8])}"
-                         + ("..." if len(ib.ref_names) > 8 else "") + ")")
-            beg, end = 0, ib.ref_lengths[ib.ref_names.index(contig)]
+            contig, beg, end = args.region, 0, None
         if contig not in ib.ref_names:
             sys.exit(f"{contig!r} is not a contig of {args.input} "
                      f"(has: {', '.join(ib.ref_names[:8])}"
                      + ("..." if len(ib.ref_names) > 8 else "") + ")")
+        if end is None:
+            end = ib.ref_lengths[ib.ref_names.index(contig)]
         if not args.no_header:
             dest.write(ib.header_text)
         for rec in ib.query(contig, beg, end):

@@ -81,7 +81,10 @@ def bgzf_compress(
     marker member (SAM spec v1.6 4.1). When `member_offsets` is given it
     is filled with each member's COMPRESSED start offset (member i holds
     uncompressed bytes [i*BGZF_STEP, (i+1)*BGZF_STEP)) — the coffset half
-    of BAI virtual file offsets.
+    of BAI virtual file offsets — plus ONE trailing sentinel entry: the
+    EOF marker member's compressed offset, so an uncompressed offset one
+    past the final byte (a chunk END when the stream length is an exact
+    BGZF_STEP multiple) still maps to a valid, correctly-ordered voffset.
 
     `level` is the deflate level (default 6, samtools' default; override
     per-call or process-wide with TPUFM_BGZF_LEVEL — level 1 roughly
@@ -89,7 +92,15 @@ def bgzf_compress(
     if level is None:
         import os
 
-        level = int(os.environ.get("TPUFM_BGZF_LEVEL", 6))
+        raw = os.environ.get("TPUFM_BGZF_LEVEL", "6")
+        try:
+            level = int(raw)
+        except ValueError:
+            level = -1
+        if not 0 <= level <= 9:
+            raise ValueError(
+                f"TPUFM_BGZF_LEVEL must be an integer 0-9, got {raw!r}"
+            )
     out = []
     # keep the COMPRESSED member under 2^16 too: 0xE000 of compressible
     # text deflates far below that, and the header math is checked below
@@ -116,6 +127,8 @@ def bgzf_compress(
         )
         out.append(member)
         pos += len(member)
+    if member_offsets is not None:
+        member_offsets.append(pos)  # the EOF member's offset (sentinel)
     out.append(_BGZF_EOF)
     return b"".join(out)
 
@@ -268,17 +281,25 @@ def _encode_record(fields: list[str], ref_ids: dict[str, int]):
         b"".join(struct.pack("<I", (n << 4) | op) for n, op in ops),
     ]
     if l_seq:
+        # latin-1 + replace keeps one byte per char for ANY str (a stray
+        # non-ASCII base becomes '?' -> nibble 15 = 'N', like the old
+        # per-char dict lookup), so the record layout can't desync
         nib = np.frombuffer(
-            seq.encode().translate(_NIB_TBL), np.uint8
+            seq.encode("latin-1", "replace").translate(_NIB_TBL), np.uint8
         )
         if l_seq % 2:
             nib = np.append(nib, np.uint8(0))
         body.append(((nib[0::2] << 4) | nib[1::2]).tobytes())
     else:
         body.append(b"")
+    if qual != "*" and len(qual) != l_seq:
+        raise ValueError(
+            f"QUAL length {len(qual)} != SEQ length {l_seq} for read "
+            f"{qname!r} — the BAM record layout requires them equal"
+        )
     body.append(
         b"\xff" * l_seq if qual == "*"
-        else qual.encode().translate(_QUAL_TBL)
+        else qual.encode("latin-1", "replace").translate(_QUAL_TBL)
     )
     body.extend(_encode_tag(t) for t in fields[11:])
     rec = b"".join(body)

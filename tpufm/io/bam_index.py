@@ -72,7 +72,13 @@ def sort_sam_text(sam_text: str) -> str:
         f = line.split("\t", 4)
         if f[2] == "*":
             return (1, 0, 0)
-        return (0, sq_rank[f[2]], int(f[3]))
+        try:
+            rank = sq_rank[f[2]]
+        except KeyError:
+            raise ValueError(
+                f"RNAME {f[2]!r} is not declared in any @SQ header line"
+            ) from None
+        return (0, rank, int(f[3]))
 
     records.sort(key=key)
     return "\n".join(header + records) + "\n"
@@ -80,11 +86,18 @@ def sort_sam_text(sam_text: str) -> str:
 
 def _voffset(u: int, member_offsets: list[int]) -> int:
     """Uncompressed stream offset -> BAI virtual offset, exploiting the
-    writer's fixed BGZF_STEP-byte members."""
+    writer's fixed BGZF_STEP-byte members. `member_offsets` comes from
+    bgzf_compress and carries a trailing sentinel (the EOF member's
+    offset), so u == stream length lands on the EOF member at in-member
+    offset 0 even when the length is an exact BGZF_STEP multiple —
+    without the sentinel that case produced an inverted (end < start)
+    chunk that dropped the final record from indexed queries."""
     i = u // BGZF_STEP
     if i >= len(member_offsets):
-        # one past the final byte: address the EOF member at offset 0
-        return (member_offsets[-1] << 16) if member_offsets else 0
+        raise ValueError(
+            f"uncompressed offset {u} beyond the bgzf stream "
+            f"({len(member_offsets) - 1} data members)"
+        )
     return (member_offsets[i] << 16) | (u % BGZF_STEP)
 
 
@@ -131,7 +144,7 @@ def build_bai(record_meta, member_offsets, n_ref: int) -> bytes:
             # spec: windows with no earlier record inherit the previous
             # window's offset (0 before the first covered window)
             ioff = linear[r].get(w, ioff)
-            out.append(struct.pack("<Q", linear[r].get(w, ioff)))
+            out.append(struct.pack("<Q", ioff))
         # (htslib fills gaps with the last seen offset; 0 also validates)
     return b"".join(out)
 
@@ -357,7 +370,9 @@ def flagstat(records) -> dict[str, int]:
             c["mapped"] += 1
             if not sec:
                 c["primary_mapped"] += 1
-        if flag & 0x1:
+        # samtools computes the pairing counters over PRIMARY records
+        # only (secondary/supplementary lines would double-count mates)
+        if flag & 0x1 and not sec:
             c["paired"] += 1
             c["proper"] += bool(flag & 0x2)
             c["read1"] += bool(flag & 0x40)

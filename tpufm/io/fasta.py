@@ -281,7 +281,10 @@ def load_query_quals(path, num_queries: int | None = None):
             if not seq:
                 continue
             quals.append(
-                qual.decode("ascii", "replace")
+                # latin-1: every byte 0-255 round-trips losslessly into
+                # the BAM qual encoder (ascii+'replace' injected U+FFFD,
+                # which desynced downstream byte-length assumptions)
+                qual.decode("latin-1")
                 if len(qual) == len(seq)
                 else None
             )
