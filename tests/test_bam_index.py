@@ -277,6 +277,35 @@ def test_flagstat_ignores_secondary_for_pairing(rng):
     assert c["read1"] == 1 and c["read2"] == 1
 
 
+def test_idxstats(tmp_path, rng, monkeypatch, capsys):
+    """Per-contig rows match a hand count; '*' and unmapped-with-RNAME
+    records land in the right columns; CLI output is tab-separated."""
+    from tpufm.io.bam_index import idxstats
+
+    contigs = [("c1", 1 << 16), ("c2", 1 << 15)]
+    text = _mk_sam(rng, 100, contigs)
+    # one placed-but-unmapped record (unmapped mate carrying RNAME)
+    text += "pm\t4\tc1\t77\t0\t*\t*\t0\t0\tACGT\t*\n"
+    header = "".join(l for l in text.splitlines(keepends=True)
+                     if l.startswith("@"))
+    recs = [l.split("\t") for l in text.splitlines()
+            if l and not l.startswith("@")]
+    rows = idxstats(header, recs)
+    assert [r[0] for r in rows] == ["c1", "c2", "*"]
+    assert rows[0][1] == 1 << 16 and rows[1][1] == 1 << 15
+    n_c1 = sum(1 for f in recs if f[2] == "c1" and not int(f[1]) & 4)
+    assert rows[0][2] == n_c1 and rows[0][3] == 1
+    assert rows[2] == ("*", 0, 0, 4)  # the _mk_sam unmapped tail
+    assert sum(r[2] + r[3] for r in rows) == len(recs)
+    # CLI over a BAM
+    monkeypatch.chdir(tmp_path)
+    write_bam_indexed("i.bam", text)
+    capsys.readouterr()
+    cli.main(["idxstats", "i.bam"])
+    out = capsys.readouterr().out.splitlines()
+    assert out[0].split("\t")[0] == "c1" and out[-1].startswith("*\t0\t0\t")
+
+
 def test_sort_undeclared_rname_message(rng):
     text = ("@HD\tVN:1.6\n@SQ\tSN:c\tLN:100\n"
             "r0\t0\tchrX\t5\t60\t4M\t*\t0\t0\tACGT\t*\n")

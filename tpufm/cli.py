@@ -1573,6 +1573,21 @@ def cmd_flagstat(args):
     print(f"{c['proper']} properly paired")
 
 
+def cmd_idxstats(args):
+    """samtools-idxstats-style per-contig counts over a SAM/BAM file:
+    one 'name\\tlength\\t#mapped\\t#unmapped' row per @SQ contig plus the
+    trailing '*' row for unplaced reads."""
+    from tpufm.io.bam_index import idxstats
+
+    text = _read_sam_or_bam(args.input)
+    header = "".join(l for l in text.splitlines(keepends=True)
+                     if l.startswith("@"))
+    records = [l.split("\t") for l in text.splitlines()
+               if l and not l.startswith("@")]
+    for name, length, n_mapped, n_unmapped in idxstats(header, records):
+        print(f"{name}\t{length}\t{n_mapped}\t{n_unmapped}")
+
+
 def cmd_diff(args):
     """Compare two .res files — formalizes the reference's manual
     cross-implementation diffing (SURVEY.md section 4)."""
@@ -1929,6 +1944,12 @@ def main(argv=None):
     fs = sub.add_parser("flagstat", help="alignment flag counters")
     fs.add_argument("input", help="SAM or BAM")
     fs.set_defaults(fn=cmd_flagstat)
+
+    ix = sub.add_parser(
+        "idxstats", help="per-contig mapped/unmapped counts (SAM or BAM)"
+    )
+    ix.add_argument("input", help="SAM or BAM")
+    ix.set_defaults(fn=cmd_idxstats)
 
     de = sub.add_parser("dumpentry", help="print entry counters/bitmaps (debug)")
     de.add_argument("index")

@@ -355,6 +355,37 @@ def decode_record(rec: bytes, ref_names: list[str]) -> list[str]:
     ] + _decode_tags(rec[p:])
 
 
+def idxstats(header_text: str, records):
+    """samtools-idxstats-style rows over SAM field lists:
+    [(contig, length, n_mapped, n_unmapped)] per @SQ contig in header
+    order, plus the trailing ('*', 0, 0, n) row for unplaced reads.
+    Counts include secondary records, like samtools (which counts every
+    index entry, not just primaries)."""
+    names: list[str] = []
+    lengths: dict[str, int] = {}
+    for line in header_text.split("\n"):
+        if line.startswith("@SQ"):
+            f = dict(kv.split(":", 1) for kv in line.split("\t")[1:])
+            names.append(f["SN"])
+            lengths[f["SN"]] = int(f.get("LN", 0))
+    mapped = {n: 0 for n in names}
+    unmapped = {n: 0 for n in names}
+    unplaced = 0
+    for f in records:
+        rname = f[2]
+        if rname == "*" or rname not in lengths:
+            unplaced += 1
+        elif int(f[1]) & 0x4:
+            # placed but unmapped (e.g. an unmapped mate carrying its
+            # mate's RNAME) counts in the contig's unmapped column
+            unmapped[rname] += 1
+        else:
+            mapped[rname] += 1
+    return [(n, lengths[n], mapped[n], unmapped[n]) for n in names] + [
+        ("*", 0, 0, unplaced)
+    ]
+
+
 def flagstat(records) -> dict[str, int]:
     """samtools-flagstat-style counters over SAM field lists."""
     c = dict(total=0, secondary=0, mapped=0, paired=0, proper=0,
