@@ -112,6 +112,25 @@ def test_xla_lut_cache_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(a.search(queries), search_oracle(index, queries))
 
 
+def test_xla_lut_cache_size_gated(rng, tmp_path, monkeypatch):
+    """LUTs past the persistence ceiling are rebuilt instead of cached
+    (an m=15 serving LUT would write an 8.6 GB npz); the engine is still
+    bit-exact without the cache file."""
+    import os
+
+    from tpufm.engine import xla as xla_mod
+
+    codes, index = _mk(rng, 2, 32, 700)
+    cache = str(tmp_path / "big.npz")
+    monkeypatch.setattr(xla_mod, "LUT_CACHE_MAX_BYTES", 0)
+    eng = XLAEngine(index, lut_m=4, lut_cache=cache)
+    assert not os.path.exists(cache)
+    starts = rng.integers(0, len(codes) - 24, size=32)
+    queries = np.stack([codes[s : s + 24] for s in starts])
+    np.testing.assert_array_equal(eng.search(queries),
+                                  search_oracle(index, queries))
+
+
 def test_xla_search_device_waved(rng):
     import jax.numpy as jnp
 

@@ -152,6 +152,14 @@ def recommend_config(refsize: int, query_len: int = 120) -> dict:
     mesh — parallel/search.py). A 12-mer prefix LUT removes lut_m/k
     rounds whenever the query length permits.
 
+    lut_m=15 (the next rung: m % k == 0 at k=3) measures +2.4% over
+    m=12 at protocol scale (probe87c, 2.31M vs 2.26M reads/s, bracketed)
+    but costs an 8.6 GB HBM-resident table and a minutes-long device
+    build, so it is NOT recommended by default — opt in explicitly
+    (XLAEngine(lut_m=15) / --lut 15) for sustained serving on small
+    references where the HBM headroom exists (entries + 8.6 GB + ~2.4 GB
+    loop temps must fit 15.75 GB: refs up to ~1 Gbase at d=192).
+
     Returns {'k', 'd', 'lut_m'} kwargs for IndexConfig / XLAEngine.
     """
     # k must divide the query length (the per-round fused k-mer contract,

@@ -227,9 +227,9 @@ class PallasEngine:
         if lut_m:
             from tpufm.engine.xla import build_prefix_lut
 
-            self.tables["lut"] = build_prefix_lut(
+            self.tables["lut"] = jax.device_put(build_prefix_lut(
                 self.tables, self.bwtsize, self.config.k, self.config.d, lut_m
-            )
+            ))
         # The [2B, 1]-shaped carries + kernel output land in scoped vmem
         # inside the while body and blow the default 16M limit at 1M-read
         # waves (probe83: 20.97M needed at tile 2048); the documented

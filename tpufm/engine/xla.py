@@ -907,16 +907,20 @@ class XLAEngine:
 
 
 def build_prefix_lut(tables, bwtsize, k: int, d: int, m: int, layout="fused"):
-    """uint32 [4^m, 2]: the SA interval of every m-mer, computed on device
-    with the engine's own tables (bit-exact by construction)."""
+    """uint32 [4^m, 2] (host array): the SA interval of every m-mer,
+    computed on device with the engine's own tables (bit-exact by
+    construction), assembled on host wave-by-wave — a device-side
+    concatenate would transiently double the LUT's footprint, which at
+    m=15 (8.6 GB) is the difference between fitting HBM and OOM."""
     fn = jax.jit(make_search_fn(k, d, False, layout=layout))
     n = 4**m
     wave = min(n, 1 << 20)
-    parts = []
+    out = np.empty((n, 2), dtype=np.uint32)
     for start in range(0, n, wave):
         codes = jnp.arange(start, start + wave, dtype=_U32)
-        parts.append(fn(tables, _U32(bwtsize), decode_prefix_codes(codes, m)))
-    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        part = fn(tables, _U32(bwtsize), decode_prefix_codes(codes, m))
+        out[start : start + wave] = np.asarray(jax.device_get(part))
+    return out
 
 
 def _variants1(queries):
@@ -1414,6 +1418,12 @@ def build_fused_entries(base: KStepFMIndex, pad_words: int | None = None):
     return entries
 
 
+#: largest prefix LUT the npz cache will persist (m<=12 qualifies; the
+#: m=15 serving LUT — 8.6 GB, measured +2.4% at protocol scale, probe87c
+#: — is rebuilt on device instead)
+LUT_CACHE_MAX_BYTES = 512 * 1024 * 1024
+
+
 def lut_with_cache(tables, base: KStepFMIndex, lut_m: int, lut_cache, put,
                    layout: str = "fused"):
     """Load the prefix LUT from a validated cache file or build it on device.
@@ -1455,6 +1465,8 @@ def lut_with_cache(tables, base: KStepFMIndex, lut_m: int, lut_cache, put,
             if "fingerprint" in z and np.array_equal(z["fingerprint"], fp):
                 return put(z["lut"])
     lut = build_prefix_lut(tables, base.bwtsize, cfg.k, cfg.d, lut_m, layout)
-    if lut_cache is not None:
-        np.savez(lut_cache, lut=np.asarray(jax.device_get(lut)), fingerprint=fp)
-    return put(np.asarray(jax.device_get(lut)))
+    # only persist LUTs of sane size (m=12 is 134 MB; m=15 would write
+    # an 8.6 GB npz — cheaper to rebuild on device than to read back)
+    if lut_cache is not None and lut.nbytes <= LUT_CACHE_MAX_BYTES:
+        np.savez(lut_cache, lut=lut, fingerprint=fp)
+    return put(lut)
