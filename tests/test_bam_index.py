@@ -306,6 +306,47 @@ def test_idxstats(tmp_path, rng, monkeypatch, capsys):
     assert out[0].split("\t")[0] == "c1" and out[-1].startswith("*\t0\t0\t")
 
 
+def test_merge(tmp_path, rng, monkeypatch, capsys):
+    """Merging two sorted per-shard BAMs reproduces sorting the union:
+    same records, coordinate order, one deduped header, rejects inputs
+    with a different contig dictionary."""
+    from tpufm.io.bam import write_bam
+
+    monkeypatch.chdir(tmp_path)
+    contigs = [("cA", 1 << 17), ("cB", 1 << 16)]
+    t1 = _mk_sam(rng, 150, contigs)
+    t2 = _mk_sam(rng, 90, contigs)
+    write_bam_indexed("s1.bam", t1)
+    write_bam("u2.bam", t2)  # unsorted BAM input is fine — merge re-sorts
+    capsys.readouterr()
+    cli.main(["merge", "m.bam", "s1.bam", "u2.bam"])
+    assert "248 records from 2 inputs" in capsys.readouterr().out
+    header, recs = read_bam("m.bam")
+    assert header.count("@HD") == 1 and "SO:coordinate" in header
+    assert header.count("@SQ\tSN:cA") == 1  # deduped
+    # records = union of both inputs, in coordinate order
+    want = sorted(
+        (l.split("\t") for t in (t1, t2) for l in t.splitlines()
+         if l and not l.startswith("@")),
+        key=lambda f: (1, 0, 0) if f[2] == "*"
+        else (0, ["cA", "cB"].index(f[2]), int(f[3])),
+    )
+    assert [r[:4] for r in recs] == [w[:4] for w in want]
+    assert (tmp_path / "m.bam.bai").exists()
+    # contig-dictionary mismatch is rejected
+    write_bam("other.bam", _mk_sam(rng, 5, [("cX", 1 << 16)]))
+    with pytest.raises(SystemExit, match="@SQ dictionary"):
+        cli.main(["merge", "n.bam", "s1.bam", "other.bam"])
+    # byte-identical DUPLICATE records (same file merged twice) must all
+    # survive indexed queries — dedup is by file position, not content
+    cli.main(["merge", "dup.bam", "s1.bam", "s1.bam"])
+    ib = IndexedBam("dup.bam")
+    q = ib.query("cA", 0, 1 << 17)
+    n_s1_cA = sum(1 for l in t1.splitlines()
+                  if not l.startswith("@") and l.split("\t")[2] == "cA")
+    assert len(q) == 2 * n_s1_cA
+
+
 def test_sort_undeclared_rname_message(rng):
     text = ("@HD\tVN:1.6\n@SQ\tSN:c\tLN:100\n"
             "r0\t0\tchrX\t5\t60\t4M\t*\t0\t0\tACGT\t*\n")

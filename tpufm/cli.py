@@ -1502,6 +1502,49 @@ def cmd_sort(args):
     print(f"wrote {out} + {out}.bai")
 
 
+def cmd_merge(args):
+    """Merge SAM/BAM files into one coordinate-sorted, indexed BAM —
+    the scatter-gather companion to per-shard alignment (each shard
+    aligns its read slice, merge produces the query-ready whole). All
+    inputs must agree on the @SQ contig dictionary (same names, same
+    order, same lengths); @PG/@RG lines are deduplicated in first-seen
+    order and record order within a coordinate is stable by input."""
+    from tpufm.io.bam_index import write_bam_indexed
+
+    sq_ref: list[str] | None = None
+    header_out: list[str] = []
+    seen_hdr: set[str] = set()
+    records: list[str] = []
+    for path in args.inputs:
+        text = _read_sam_or_bam(path)
+        sq = [l for l in text.splitlines() if l.startswith("@SQ")]
+        if sq_ref is None:
+            sq_ref = sq
+        elif sq != sq_ref:
+            sys.exit(f"{path}: @SQ dictionary differs from {args.inputs[0]}"
+                     " — merge needs identical contigs in identical order")
+        for line in text.splitlines():
+            if not line:
+                continue
+            if line.startswith("@"):
+                # drop @HD: inputs may disagree on SO:, and sort_sam_text
+                # emits a single fresh SO:coordinate one
+                if line not in seen_hdr and not line.startswith("@HD"):
+                    seen_hdr.add(line)
+                    header_out.append(line)
+            else:
+                records.append(line)
+    if sq_ref is None or not args.inputs:
+        sys.exit("merge needs at least one input")
+    text = "\n".join(header_out + records) + "\n"
+    try:
+        write_bam_indexed(args.output, text)
+    except ValueError as e:
+        sys.exit(f"cannot merge: {e}")
+    print(f"wrote {args.output} + {args.output}.bai "
+          f"({len(records)} records from {len(args.inputs)} inputs)")
+
+
 def cmd_view(args):
     """Print alignments as SAM text; with a REGION ('chr' or
     'chr:beg-end', 1-based inclusive like samtools), use the .bai to
@@ -1950,6 +1993,13 @@ def main(argv=None):
     )
     ix.add_argument("input", help="SAM or BAM")
     ix.set_defaults(fn=cmd_idxstats)
+
+    mg = sub.add_parser(
+        "merge", help="merge SAM/BAMs into one sorted, indexed BAM"
+    )
+    mg.add_argument("output", help="output .bam (a .bai is written too)")
+    mg.add_argument("inputs", nargs="+", help="SAM or BAM inputs")
+    mg.set_defaults(fn=cmd_merge)
 
     de = sub.add_parser("dumpentry", help="print entry counters/bitmaps (debug)")
     de.add_argument("index")

@@ -291,7 +291,11 @@ class IndexedBam:
         w = beg >> _LIN_SHIFT
         loff = lin[w] if w < len(lin) else (lin[-1] if lin else 0)
         chunks = sorted(c for c in chunks if c[1] > loff)
-        hits = []
+        # keyed by voffset, NOT content: a record reachable through
+        # multiple chunks dedups, but byte-identical DISTINCT records
+        # (legitimate, e.g. duplicates in a merged pre-markdup BAM) must
+        # all be returned
+        hits: dict[int, bytes] = {}
         for vs, ve in chunks:
             v = max(vs, loff)
             while v < ve:
@@ -306,12 +310,12 @@ class IndexedBam:
                     if (c & 0xF) in (0, 2, 3, 7, 8):
                         span += c >> 4
                 r_end = r_pos + max(span, 1)
-                if r_ref == ref_id and r_pos < end and r_end > beg:
-                    hits.append(rec)
+                if (r_ref == ref_id and r_pos < end and r_end > beg
+                        and v not in hits):
+                    hits[v] = rec
                 v = nxt
-        # de-duplicate records reachable through multiple chunks while
-        # keeping file order (dict preserves insertion order)
-        return list({bytes(r): r for r in hits}.values())
+        # sorted by voffset = file order
+        return [hits[v] for v in sorted(hits)]
 
 
 def decode_record(rec: bytes, ref_names: list[str]) -> list[str]:
