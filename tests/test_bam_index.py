@@ -354,6 +354,102 @@ def test_sort_undeclared_rname_message(rng):
         sort_sam_text(text)
 
 
+def _brute_depth(records, contigs):
+    """Per-base counting by literally walking each CIGAR — the oracle
+    for the vectorized diff-array depth()."""
+    cov = {name: np.zeros(ln, np.int64) for name, ln in contigs}
+    for f in records:
+        if int(f[1]) & (0x4 | 0x100 | 0x200 | 0x400) or f[2] not in cov:
+            continue
+        p = int(f[3]) - 1
+        if f[5] == "*":
+            cov[f[2]][p] += 1
+            continue
+        for n, op in re.findall(r"(\d+)([MIDNSHP=X])", f[5]):
+            n = int(n)
+            if op in "M=X":
+                cov[f[2]][p : p + n] += 1
+                p += n
+            elif op in "DN":
+                p += n
+    return cov
+
+
+def test_depth_matches_bruteforce(rng):
+    """Diff-array depth == per-base CIGAR walk, on records with D-CIGARs,
+    secondary records (skipped), and an unmapped tail; row order is
+    coordinate order and zero positions are omitted by default."""
+    from tpufm.io.bam_index import depth
+
+    contigs = [("c1", 5000), ("c2", 3000)]
+    text = _mk_sam(rng, 400, contigs, L=24)
+    # a duplicate-flagged and a qcfail record: both must be skipped
+    text += ("d0\t1024\tc1\t7\t60\t24M\t*\t0\t0\t" + "ACGT" * 6 + "\t*\n"
+             "q0\t512\tc1\t7\t60\t24M\t*\t0\t0\t" + "ACGT" * 6 + "\t*\n")
+    header = "".join(l for l in text.splitlines(keepends=True)
+                     if l.startswith("@"))
+    recs = [l.split("\t") for l in text.splitlines()
+            if l and not l.startswith("@")]
+    cov = _brute_depth(recs, contigs)
+    rows = list(depth(header, recs))
+    want = [(n, p + 1, int(c[p]))
+            for n, _ in contigs for c in [cov[n]] for p in np.flatnonzero(c)]
+    assert rows == want
+    # deletions do NOT cover: plant an isolated record with a known D
+    lone = [["x", "0", "c1", "1", "60", "4M3D4M", "*", "0", "0",
+             "ACGTACGT", "*"]]
+    assert list(depth(header, lone)) == [
+        ("c1", p, 1) for p in [1, 2, 3, 4, 8, 9, 10, 11]
+    ]
+
+
+def test_depth_region_and_all(rng):
+    from tpufm.io.bam_index import depth
+
+    header = "@SQ\tSN:c\tLN:40\n"
+    recs = [["a", "0", "c", "11", "60", "5M", "*", "0", "0", "ACGTA", "*"]]
+    # region window clips output; all_positions emits the zeros
+    assert list(depth(header, recs, region=("c", 12, 14))) == [
+        ("c", 13, 1), ("c", 14, 1)
+    ]
+    rows = list(depth(header, recs, region=("c", 8, None),
+                      all_positions=True))
+    assert len(rows) == 32 and rows[0] == ("c", 9, 0)
+    assert [r for r in rows if r[2]] == [("c", p, 1) for p in range(11, 16)]
+
+
+def test_cli_depth(tmp_path, rng, monkeypatch, capsys):
+    """CLI over SAM and over an indexed BAM (region -> index-driven
+    fetch) agree with the library depth()."""
+    from tpufm.io.bam_index import depth
+
+    monkeypatch.chdir(tmp_path)
+    contigs = [("cA", 1 << 16), ("cB", 1 << 15)]
+    text = _mk_sam(rng, 300, contigs)
+    with open("a.sam", "w") as fp:
+        fp.write(text)
+    write_bam_indexed("a.bam", text)
+    header = "".join(l for l in text.splitlines(keepends=True)
+                     if l.startswith("@"))
+    recs = [l.split("\t") for l in text.splitlines()
+            if l and not l.startswith("@")]
+    want = [f"{n}\t{p}\t{d}" for n, p, d in depth(header, recs)]
+    capsys.readouterr()
+    cli.main(["depth", "a.sam"])
+    assert capsys.readouterr().out.splitlines() == want
+    # indexed-BAM region query == the same rows windowed (sort reorders
+    # records but depth is order-free)
+    beg, end = 2000, 9000
+    want_w = [f"{n}\t{p}\t{d}" for n, p, d in
+              depth(header, recs, region=("cA", beg - 1, end))]
+    cli.main(["depth", "a.bam", f"cA:{beg}-{end}", "--output", "w.txt"])
+    assert open("w.txt").read().splitlines() == want_w
+    with pytest.raises(SystemExit, match="not a contig"):
+        cli.main(["depth", "a.bam", "chrZ:1-10"])
+    with pytest.raises(SystemExit, match="not a contig"):
+        cli.main(["depth", "a.sam", "chrZ:1-10"])
+
+
 def test_bgzf_level_knob(monkeypatch):
     from tpufm.io.bam import bgzf_compress, bgzf_decompress
 

@@ -1563,22 +1563,7 @@ def cmd_view(args):
                 "index; create it with `tpufm sort`"
             )
         ib = IndexedBam(args.input)
-        if ":" in args.region:
-            contig, span = args.region.rsplit(":", 1)
-            try:
-                b, e = span.split("-")
-                beg, end = int(b) - 1, int(e)
-            except ValueError:
-                sys.exit(f"bad region {args.region!r}; use chr:beg-end "
-                         "(1-based inclusive)")
-            # samtools clamps a 1-based beg of 0 to the contig start; a
-            # raw -1 would index the linear index from the wrong end and
-            # silently return nothing
-            beg = max(beg, 0)
-            if end <= beg:
-                sys.exit(f"empty region {args.region!r} (end < beg)")
-        else:
-            contig, beg, end = args.region, 0, None
+        contig, beg, end = _parse_region(args.region)
         if contig not in ib.ref_names:
             sys.exit(f"{contig!r} is not a contig of {args.input} "
                      f"(has: {', '.join(ib.ref_names[:8])}"
@@ -1629,6 +1614,63 @@ def cmd_idxstats(args):
                if l and not l.startswith("@")]
     for name, length, n_mapped, n_unmapped in idxstats(header, records):
         print(f"{name}\t{length}\t{n_mapped}\t{n_unmapped}")
+
+
+def _parse_region(region: str):
+    """'chr' or 'chr:beg-end' (1-based inclusive, samtools style) ->
+    (contig, beg0, end_or_None) half-open."""
+    if ":" not in region:
+        return region, 0, None
+    contig, span = region.rsplit(":", 1)
+    try:
+        b, e = span.split("-")
+        beg, end = int(b) - 1, int(e)
+    except ValueError:
+        sys.exit(f"bad region {region!r}; use chr:beg-end "
+                 "(1-based inclusive)")
+    beg = max(beg, 0)  # samtools clamps a 1-based beg of 0
+    if end <= beg:
+        sys.exit(f"empty region {region!r} (end < beg)")
+    return contig, beg, end
+
+
+def cmd_depth(args):
+    """Per-position coverage, samtools-depth semantics (skip unmapped/
+    secondary/qcfail/dup; only M/=/X cover). With a REGION and an
+    indexed BAM, only the bgzf members holding candidate records are
+    inflated; otherwise the whole file is scanned."""
+    import os
+
+    from tpufm.io.bam_index import IndexedBam, decode_record, depth
+
+    region = _parse_region(args.region) if args.region else None
+    with open(args.input, "rb") as fp:
+        is_bam = fp.read(4) == b"\x1f\x8b\x08\x04"
+    if region and is_bam and os.path.exists(args.input + ".bai"):
+        ib = IndexedBam(args.input)
+        contig, beg, end = region
+        if contig not in ib.ref_names:
+            sys.exit(f"{contig!r} is not a contig of {args.input}")
+        if end is None:
+            end = ib.ref_lengths[ib.ref_names.index(contig)]
+        region = (contig, beg, end)
+        header = ib.header_text
+        records = [decode_record(r, ib.ref_names)
+                   for r in ib.query(contig, beg, end)]
+    else:
+        text = _read_sam_or_bam(args.input)
+        header = "".join(l for l in text.splitlines(keepends=True)
+                         if l.startswith("@"))
+        records = [l.split("\t") for l in text.splitlines()
+                   if l and not l.startswith("@")]
+        if region and f"SN:{region[0]}" not in header:
+            sys.exit(f"{region[0]!r} is not a contig of {args.input}")
+    dest = open(args.output, "w") if args.output else sys.stdout
+    for name, pos1, d in depth(header, records, region=region,
+                               all_positions=args.all):
+        dest.write(f"{name}\t{pos1}\t{d}\n")
+    if args.output:
+        dest.close()
 
 
 def cmd_diff(args):
@@ -1993,6 +2035,19 @@ def main(argv=None):
     )
     ix.add_argument("input", help="SAM or BAM")
     ix.set_defaults(fn=cmd_idxstats)
+
+    dp = sub.add_parser(
+        "depth", help="per-position coverage (samtools depth semantics)"
+    )
+    dp.add_argument("input", help="SAM or BAM")
+    dp.add_argument("region", nargs="?", default=None,
+                    help="'chr' or 'chr:beg-end' (1-based inclusive); "
+                         "with <input>.bai, only candidate bgzf members "
+                         "are inflated")
+    dp.add_argument("-a", "--all", action="store_true",
+                    help="also print zero-depth positions")
+    dp.add_argument("--output", default=None)
+    dp.set_defaults(fn=cmd_depth)
 
     mg = sub.add_parser(
         "merge", help="merge SAM/BAMs into one sorted, indexed BAM"

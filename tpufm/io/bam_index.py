@@ -390,6 +390,97 @@ def idxstats(header_text: str, records):
     ]
 
 
+_CIG_RE = None  # compiled lazily; regex import stays off the module path
+
+
+def _cigar_cover(cigar: str, pos0: int):
+    """Reference intervals [(beg, end)) that a record's aligned bases
+    COVER, walking the CIGAR from pos0: M/=/X cover and consume, D/N
+    consume without covering (samtools depth likewise skips deletions
+    and introns), I/S/H/P consume nothing. '*' covers one position —
+    the mapped-no-CIGAR degenerate the spec allows."""
+    global _CIG_RE
+    if cigar == "*":
+        return [(pos0, pos0 + 1)]
+    if _CIG_RE is None:
+        import re
+
+        _CIG_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+    spans = []
+    p = pos0
+    for n, op in _CIG_RE.findall(cigar):
+        n = int(n)
+        if op in "M=X":
+            spans.append((p, p + n))
+            p += n
+        elif op in "DN":
+            p += n
+    return spans
+
+
+_DEPTH_SKIP = 0x4 | 0x100 | 0x200 | 0x400  # unmapped/secondary/qcfail/dup
+
+
+def depth(header_text: str, records, region=None, all_positions=False):
+    """samtools-depth-style per-position coverage over SAM field lists:
+    yields (contig, pos1, depth) rows in coordinate order. Counting
+    matches samtools depth defaults: records flagged unmapped /
+    secondary / QC-fail / duplicate are skipped, and only CIGAR ops
+    that align a base to the reference (M/=/X) cover — deletions and
+    introns consume reference without covering it.
+
+    Vectorized as a per-contig difference array: +1 at each covered
+    interval's start, -1 at its end, then cumsum — one O(L) pass per
+    contig instead of per-base loops (the reference suite has no
+    coverage tooling at all; its output stops at intervals,
+    common/searchQueries.c:100-118).
+
+    region: optional (contig, beg0, end0) half-open window restricting
+    the OUTPUT rows (records must already be pre-filtered to candidates
+    overlapping it, e.g. via IndexedBam.query or a full scan); end0 of
+    None means the contig's full @SQ length.
+    all_positions: also emit zero-depth rows (samtools depth -a).
+    """
+    import numpy as np
+
+    names: list[str] = []
+    lengths: dict[str, int] = {}
+    for line in header_text.split("\n"):
+        if line.startswith("@SQ"):
+            f = dict(kv.split(":", 1) for kv in line.split("\t")[1:])
+            names.append(f["SN"])
+            lengths[f["SN"]] = int(f.get("LN", 0))
+    if region is not None:
+        names = [region[0]]
+    starts: dict[str, list[int]] = {n: [] for n in names}
+    ends: dict[str, list[int]] = {n: [] for n in names}
+    for f in records:
+        if int(f[1]) & _DEPTH_SKIP or f[2] not in starts:
+            continue
+        for b, e in _cigar_cover(f[5], int(f[3]) - 1):
+            starts[f[2]].append(b)
+            ends[f[2]].append(e)
+    for name in names:
+        length = lengths[name]
+        lo, hi = (0, length) if region is None else (
+            region[1], length if region[2] is None else min(region[2], length)
+        )
+        if hi <= lo:
+            continue
+        if not starts[name] and not all_positions:
+            continue
+        diff = np.zeros(length + 1, np.int64)
+        if starts[name]:
+            np.add.at(diff, np.clip(np.asarray(starts[name]), 0, length), 1)
+            np.add.at(diff, np.clip(np.asarray(ends[name]), 0, length), -1)
+        cov = np.cumsum(diff[:-1])[lo:hi]
+        pos = (np.arange(lo, hi) if all_positions
+               else lo + np.flatnonzero(cov))
+        vals = cov if all_positions else cov[cov > 0]
+        for p, d in zip(pos.tolist(), vals.tolist()):
+            yield name, p + 1, d
+
+
 def flagstat(records) -> dict[str, int]:
     """samtools-flagstat-style counters over SAM field lists."""
     c = dict(total=0, secondary=0, mapped=0, paired=0, proper=0,
