@@ -1673,6 +1673,42 @@ def cmd_depth(args):
         dest.close()
 
 
+def cmd_faidx(args):
+    """Index a FASTA (writes <input>.fai, the samtools faidx format);
+    with REGIONs, print the requested subsequences as FASTA instead
+    (building the .fai on demand)."""
+    from tpufm.io.faidx import build_fai, fetch, load_fai
+
+    if not args.regions:
+        try:
+            rows = build_fai(args.input)
+        except ValueError as e:
+            sys.exit(str(e))
+        print(f"wrote {args.input}.fai ({len(rows)} sequences)")
+        return
+    import os
+
+    try:
+        if not os.path.exists(args.input + ".fai"):
+            build_fai(args.input)
+        fai = load_fai(args.input)
+    except ValueError as e:
+        sys.exit(str(e))
+    dest = open(args.output, "w") if args.output else sys.stdout
+    for region in args.regions:
+        contig, beg, end = _parse_region(region)
+        try:
+            seq = fetch(args.input, contig, beg, end, fai=fai)
+        except KeyError as e:
+            sys.exit(str(e.args[0]))
+        # samtools echoes the region as the header and wraps at 60
+        dest.write(f">{region}\n")
+        for off in range(0, len(seq), 60):
+            dest.write(seq[off : off + 60].decode("latin-1") + "\n")
+    if args.output:
+        dest.close()
+
+
 def cmd_diff(args):
     """Compare two .res files — formalizes the reference's manual
     cross-implementation diffing (SURVEY.md section 4)."""
@@ -2048,6 +2084,16 @@ def main(argv=None):
                     help="also print zero-depth positions")
     dp.add_argument("--output", default=None)
     dp.set_defaults(fn=cmd_depth)
+
+    fa = sub.add_parser(
+        "faidx", help="index a FASTA (.fai) / fetch regions from it"
+    )
+    fa.add_argument("input", help="plain (uncompressed) FASTA")
+    fa.add_argument("regions", nargs="*",
+                    help="'chr' or 'chr:beg-end' (1-based inclusive); "
+                         "prints FASTA instead of writing the index")
+    fa.add_argument("--output", default=None)
+    fa.set_defaults(fn=cmd_faidx)
 
     mg = sub.add_parser(
         "merge", help="merge SAM/BAMs into one sorted, indexed BAM"
