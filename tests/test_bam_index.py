@@ -450,6 +450,85 @@ def test_cli_depth(tmp_path, rng, monkeypatch, capsys):
         cli.main(["depth", "a.sam", "chrZ:1-10"])
 
 
+def test_fastq_records_orientation():
+    """Minus-strand records reverse-complement back to sequencer
+    orientation (QUAL reversed with them); secondary/supplementary
+    records and SEQ-'*' records are skipped; '*' QUAL fills."""
+    from tpufm.io.bam_index import fastq_records
+
+    recs = [
+        ["p", "0", "c", "1", "60", "4M", "*", "0", "0", "ACGT", "IJKL"],
+        ["m", "16", "c", "9", "60", "4M", "*", "0", "0", "ACGT", "IJKL"],
+        ["s", "256", "c", "1", "60", "4M", "*", "0", "0", "ACGT", "IJKL"],
+        ["u", "2048", "c", "1", "60", "4M", "*", "0", "0", "ACGT", "IJKL"],
+        ["n", "0", "c", "1", "60", "4M", "*", "0", "0", "*", "*"],
+        ["q", "4", "*", "0", "0", "*", "*", "0", "0", "ACNGT", "*"],
+    ]
+    got = list(fastq_records(recs))
+    assert got == [
+        ("p", 0, "ACGT", "IJKL"),
+        ("m", 16, "ACGT", "LKJI"),  # RC of RC = original; qual reversed
+        ("q", 4, "ACNGT", "IIIII"),
+    ]
+
+
+def test_cli_fastq_roundtrip(tmp_path, rng, monkeypatch, capsys):
+    """FASTQ in -> tpufm align -> tpufm fastq out: every exported read
+    (both strands) is byte-identical to the sequencer original,
+    including its quality string."""
+    monkeypatch.chdir(tmp_path)
+    n, L = 4000, 36
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    with open("g.fa", "wb") as fp:
+        fp.write(b">c\n" + decode_bases(codes) + b"\n")
+    from tpufm.utils.encoding import reverse_complement
+
+    reads, quals = {}, {}
+    with open("r.fastq", "wb") as fp:
+        for i, s in enumerate([100, 700, 2200, 3300]):
+            sub = codes[s : s + L]
+            if i % 2:  # minus strand: sequencer read = RC of reference
+                sub = reverse_complement(sub)
+            q = "".join(chr(33 + int(x)) for x in rng.integers(0, 40, L))
+            reads[f"p{i}"], quals[f"p{i}"] = decode_bases(sub).decode(), q
+            fp.write(b"@p%d\n%s\n+\n%s\n"
+                     % (i, reads[f"p{i}"].encode(), q.encode()))
+    cli.main(["align", "g.fa", "r.fastq", "-o", "o.sam",
+              "--sample-rate", "8"])
+    capsys.readouterr()
+    cli.main(["fastq", "o.sam", "--output", "back.fastq"])
+    lines = open("back.fastq").read().splitlines()
+    got = {lines[i][1:]: (lines[i + 1], lines[i + 3])
+           for i in range(0, len(lines), 4)}
+    assert set(got) == set(reads)
+    for name in reads:
+        assert got[name] == (reads[name], quals[name]), name
+
+
+def test_cli_fastq_paired_routing(tmp_path, monkeypatch, capsys):
+    """-1/-2 route mates to two files in order; without them mates get
+    /1 //2 suffixes in one stream; -1 without -2 is rejected."""
+    monkeypatch.chdir(tmp_path)
+    sam = ("@HD\tVN:1.6\n@SQ\tSN:c\tLN:1000\n"
+           "a\t99\tc\t10\t60\t4M\t=\t30\t24\tACGT\tIIII\n"
+           "a\t147\tc\t30\t60\t4M\t=\t10\t-24\tTTTT\tJJJJ\n"
+           "b\t0\tc\t50\t60\t4M\t*\t0\t0\tGGGG\tKKKK\n")
+    open("x.sam", "w").write(sam)
+    cli.main(["fastq", "x.sam", "-1", "r1.fq", "-2", "r2.fq",
+              "--output", "un.fq"])
+    assert open("r1.fq").read() == "@a\nACGT\n+\nIIII\n"
+    # 147 = paired+reverse+read2: RC back to sequencer orientation
+    assert open("r2.fq").read() == "@a\nAAAA\n+\nJJJJ\n"
+    assert open("un.fq").read() == "@b\nGGGG\n+\nKKKK\n"
+    capsys.readouterr()
+    cli.main(["fastq", "x.sam", "--output", "all.fq"])
+    names = [l for l in open("all.fq").read().splitlines()
+             if l.startswith("@")]
+    assert names == ["@a/1", "@a/2", "@b"]
+    with pytest.raises(SystemExit, match="together"):
+        cli.main(["fastq", "x.sam", "-1", "only1.fq"])
+
+
 def test_bgzf_level_knob(monkeypatch):
     from tpufm.io.bam import bgzf_compress, bgzf_decompress
 

@@ -1673,6 +1673,39 @@ def cmd_depth(args):
         dest.close()
 
 
+def cmd_fastq(args):
+    """Export reads from SAM/BAM back to FASTQ (sequencer orientation:
+    minus-strand records are reverse-complemented; secondary/
+    supplementary records are skipped). With -1/-2, paired reads route
+    to the two files and unpaired reads to --output/stdout; otherwise
+    everything goes to one stream with /1 //2 name suffixes on mates."""
+    from tpufm.io.bam_index import fastq_records
+
+    records = (l.split("\t") for l in _read_sam_or_bam(args.input).splitlines()
+               if l and not l.startswith("@"))
+    dest = open(args.output, "w") if args.output else sys.stdout
+    f1 = open(args.r1, "w") if args.r1 else None
+    f2 = open(args.r2, "w") if args.r2 else None
+    if (f1 is None) != (f2 is None):
+        sys.exit("-1 and -2 must be given together")
+    n = [0, 0, 0]  # single, read1, read2
+    for name, flag, seq, qual in fastq_records(records):
+        if f1 is not None and flag & 0x1:
+            out, suffix = (f1, "") if flag & 0x40 else (f2, "")
+            n[1 if flag & 0x40 else 2] += 1
+        else:
+            suffix = ("/1" if flag & 0x40 else "/2") if flag & 0x1 else ""
+            out = dest
+            n[0] += flag & 0x1 == 0
+            if flag & 0x1:
+                n[1 if flag & 0x40 else 2] += 1
+        out.write(f"@{name}{suffix}\n{seq}\n+\n{qual}\n")
+    for fp in (f1, f2, dest if args.output else None):
+        if fp:
+            fp.close()
+    print(f"{n[0]} singletons, {n[1]} read1, {n[2]} read2", file=sys.stderr)
+
+
 def cmd_faidx(args):
     """Index a FASTA (writes <input>.fai, the samtools faidx format);
     with REGIONs, print the requested subsequences as FASTA instead
@@ -2084,6 +2117,18 @@ def main(argv=None):
                     help="also print zero-depth positions")
     dp.add_argument("--output", default=None)
     dp.set_defaults(fn=cmd_depth)
+
+    fq = sub.add_parser(
+        "fastq", help="export reads from SAM/BAM back to FASTQ"
+    )
+    fq.add_argument("input", help="SAM or BAM")
+    fq.add_argument("--output", default=None,
+                    help="FASTQ for unpaired reads (default stdout)")
+    fq.add_argument("-1", dest="r1", default=None, metavar="FQ1",
+                    help="route read1 of pairs here (needs -2)")
+    fq.add_argument("-2", dest="r2", default=None, metavar="FQ2",
+                    help="route read2 of pairs here (needs -1)")
+    fq.set_defaults(fn=cmd_fastq)
 
     fa = sub.add_parser(
         "faidx", help="index a FASTA (.fai) / fetch regions from it"

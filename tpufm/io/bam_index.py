@@ -481,6 +481,33 @@ def depth(header_text: str, records, region=None, all_positions=False):
             yield name, p + 1, d
 
 
+_RC_TBL = bytes.maketrans(b"ACGTNacgtn", b"TGCANtgcan")
+
+
+def fastq_records(records, qual_fill: str = "I"):
+    """SAM field lists -> (name, seq, qual) FASTQ tuples, recovering the
+    ORIGINAL reads (samtools fastq semantics): secondary (0x100) and
+    supplementary (0x800) records are skipped so each read emits once,
+    and minus-strand records (0x10) reverse-complement SEQ / reverse
+    QUAL back to sequencer orientation. Records with no stored QUAL
+    ('*') get `qual_fill` at every base (FASTQ requires a quality per
+    base). Paired flags pass through for the caller to route (0x40 ->
+    read1, 0x80 -> read2)."""
+    for f in records:
+        flag = int(f[1])
+        if flag & (0x100 | 0x800):
+            continue
+        seq, qual = f[9], f[10]
+        if seq == "*":
+            continue  # no sequence stored — nothing to export
+        if qual == "*":
+            qual = qual_fill * len(seq)
+        if flag & 0x10:
+            seq = seq.encode("latin-1").translate(_RC_TBL)[::-1].decode()
+            qual = qual[::-1]
+        yield f[0], flag, seq, qual
+
+
 def flagstat(records) -> dict[str, int]:
     """samtools-flagstat-style counters over SAM field lists."""
     c = dict(total=0, secondary=0, mapped=0, paired=0, proper=0,
