@@ -401,6 +401,10 @@ def test_depth_matches_bruteforce(rng):
     assert list(depth(header, lone)) == [
         ("c1", p, 1) for p in [1, 2, 3, 4, 8, 9, 10, 11]
     ]
+    # CIGAR '*' on a mapped record aligns no bases: zero coverage,
+    # matching samtools depth/pileup
+    star = [["y", "0", "c1", "5", "60", "*", "*", "0", "0", "ACGT", "*"]]
+    assert list(depth(header, star)) == []
 
 
 def test_depth_region_and_all(rng):
@@ -416,6 +420,17 @@ def test_depth_region_and_all(rng):
                       all_positions=True))
     assert len(rows) == 32 and rows[0] == ("c", 9, 0)
     assert [r for r in rows if r[2]] == [("c", p, 1) for p in range(11, 16)]
+    # records straddling / outside the window: the windowed diff array
+    # must clip them correctly (straddle keeps in-window cover, outside
+    # contributes nothing)
+    recs2 = recs + [
+        ["b", "0", "c", "9", "60", "10M", "*", "0", "0", "A" * 10, "*"],
+        ["o", "0", "c", "30", "60", "5M", "*", "0", "0", "AAAAA", "*"],
+        ["p", "0", "c", "1", "60", "3M", "*", "0", "0", "AAA", "*"],
+    ]
+    assert list(depth(header, recs2, region=("c", 12, 14))) == [
+        ("c", 13, 2), ("c", 14, 2)
+    ]
 
 
 def test_cli_depth(tmp_path, rng, monkeypatch, capsys):
@@ -448,6 +463,10 @@ def test_cli_depth(tmp_path, rng, monkeypatch, capsys):
         cli.main(["depth", "a.bam", "chrZ:1-10"])
     with pytest.raises(SystemExit, match="not a contig"):
         cli.main(["depth", "a.sam", "chrZ:1-10"])
+    # a PREFIX of a real contig ('c' vs 'cA') must not pass the SAM-path
+    # header check (it used to substring-match the raw header text)
+    with pytest.raises(SystemExit, match="not a contig"):
+        cli.main(["depth", "a.sam", "c:1-10"])
 
 
 def test_fastq_records_orientation():
@@ -525,8 +544,14 @@ def test_cli_fastq_paired_routing(tmp_path, monkeypatch, capsys):
     names = [l for l in open("all.fq").read().splitlines()
              if l.startswith("@")]
     assert names == ["@a/1", "@a/2", "@b"]
+    # -1 without -2 must be rejected BEFORE any output file is opened:
+    # an existing file named by -1 (or --output) survives untouched
+    open("only1.fq", "w").write("precious\n")
+    open("out.fq", "w").write("also precious\n")
     with pytest.raises(SystemExit, match="together"):
-        cli.main(["fastq", "x.sam", "-1", "only1.fq"])
+        cli.main(["fastq", "x.sam", "-1", "only1.fq", "--output", "out.fq"])
+    assert open("only1.fq").read() == "precious\n"
+    assert open("out.fq").read() == "also precious\n"
 
 
 def test_bgzf_level_knob(monkeypatch):

@@ -71,6 +71,23 @@ def test_fai_errors(tmp_path, rng):
     assert build_fai(str(ok))[0][1] == 11
     with pytest.raises(KeyError, match="not a sequence"):
         fetch(str(ok), "chrX")
+    # a blank line INSIDE a sequence breaks the offset arithmetic: must
+    # error, never silently index (fetch would return wrong bases)
+    blank_mid = tmp_path / "bm.fa"
+    blank_mid.write_bytes(b">c\nACGT\n\nACGT\n")
+    with pytest.raises(ValueError, match="differing length"):
+        build_fai(str(blank_mid))
+    # trailing blank lines after the last base are harmless
+    blank_tail = tmp_path / "bt.fa"
+    blank_tail.write_bytes(b">c\nACGT\nAC\n\n\n>d\nGGGG\n")
+    rows = build_fai(str(blank_tail))
+    assert [(r[0], r[1]) for r in rows] == [("c", 6), ("d", 4)]
+    assert fetch(str(blank_tail), "c", 2, 6) == b"GTAC"
+    assert fetch(str(blank_tail), "d") == b"GGGG"
+    # blank line between header and first base: offset must skip it
+    blank_head = tmp_path / "bh.fa"
+    blank_head.write_bytes(b">c\n\nACGT\nAC\n")
+    assert fetch(str(blank_head), "c", 1, 5) == b"CGTA"
 
 
 def test_cli_faidx(tmp_path, rng, monkeypatch, capsys):

@@ -1663,8 +1663,13 @@ def cmd_depth(args):
                          if l.startswith("@"))
         records = [l.split("\t") for l in text.splitlines()
                    if l and not l.startswith("@")]
-        if region and f"SN:{region[0]}" not in header:
-            sys.exit(f"{region[0]!r} is not a contig of {args.input}")
+        if region:
+            # parse @SQ SN values exactly — a substring match would let
+            # any prefix of a real contig name pass (e.g. 'c' vs 'cA')
+            sq_names = {f[3:] for l in header.splitlines() if l.startswith("@SQ")
+                        for f in l.split("\t") if f.startswith("SN:")}
+            if region[0] not in sq_names:
+                sys.exit(f"{region[0]!r} is not a contig of {args.input}")
     dest = open(args.output, "w") if args.output else sys.stdout
     for name, pos1, d in depth(header, records, region=region,
                                all_positions=args.all):
@@ -1681,13 +1686,13 @@ def cmd_fastq(args):
     everything goes to one stream with /1 //2 name suffixes on mates."""
     from tpufm.io.bam_index import fastq_records
 
+    if (args.r1 is None) != (args.r2 is None):
+        sys.exit("-1 and -2 must be given together")  # before opening outputs
     records = (l.split("\t") for l in _read_sam_or_bam(args.input).splitlines()
                if l and not l.startswith("@"))
     dest = open(args.output, "w") if args.output else sys.stdout
     f1 = open(args.r1, "w") if args.r1 else None
     f2 = open(args.r2, "w") if args.r2 else None
-    if (f1 is None) != (f2 is None):
-        sys.exit("-1 and -2 must be given together")
     n = [0, 0, 0]  # single, read1, read2
     for name, flag, seq, qual in fastq_records(records):
         if f1 is not None and flag & 0x1:

@@ -397,11 +397,11 @@ def _cigar_cover(cigar: str, pos0: int):
     """Reference intervals [(beg, end)) that a record's aligned bases
     COVER, walking the CIGAR from pos0: M/=/X cover and consume, D/N
     consume without covering (samtools depth likewise skips deletions
-    and introns), I/S/H/P consume nothing. '*' covers one position —
-    the mapped-no-CIGAR degenerate the spec allows."""
+    and introns), I/S/H/P consume nothing. '*' (mapped-no-CIGAR) covers
+    nothing — samtools depth/pileup gives such records zero coverage."""
     global _CIG_RE
     if cigar == "*":
-        return [(pos0, pos0 + 1)]
+        return []
     if _CIG_RE is None:
         import re
 
@@ -469,11 +469,16 @@ def depth(header_text: str, records, region=None, all_positions=False):
             continue
         if not starts[name] and not all_positions:
             continue
-        diff = np.zeros(length + 1, np.int64)
+        # diff spans only the emitted window [lo, hi]: a region query on
+        # a 250 Mb contig must not allocate (or cumsum) O(contig).
+        # Intervals clipped into the window keep their in-window cover;
+        # ones entirely outside cancel at the edges (or land in the
+        # trailing slot that cumsum(diff[:-1]) drops).
+        diff = np.zeros(hi - lo + 1, np.int64)
         if starts[name]:
-            np.add.at(diff, np.clip(np.asarray(starts[name]), 0, length), 1)
-            np.add.at(diff, np.clip(np.asarray(ends[name]), 0, length), -1)
-        cov = np.cumsum(diff[:-1])[lo:hi]
+            np.add.at(diff, np.clip(np.asarray(starts[name]) - lo, 0, hi - lo), 1)
+            np.add.at(diff, np.clip(np.asarray(ends[name]) - lo, 0, hi - lo), -1)
+        cov = np.cumsum(diff[:-1])
         pos = (np.arange(lo, hi) if all_positions
                else lo + np.flatnonzero(cov))
         vals = cov if all_positions else cov[cov > 0]

@@ -74,6 +74,14 @@ def build_fai(path: str) -> list[tuple[str, int, int, int, int]]:
                         )
                     ragged = True  # short line: legal only as the last line
                 length += len(line)
+            elif name is not None:
+                # blank line: legal as trailing whitespace after a record,
+                # but any later data line would make the offset arithmetic
+                # silently wrong (samtools faidx rejects this layout too)
+                if length > 0:
+                    ragged = True
+                else:
+                    offset = pos_next  # blank between header and first base
             pos = pos_next
     if name is not None:
         rows.append((name, length, offset, linebases, linewidth))
