@@ -127,3 +127,39 @@ def test_packed_loaders_match_list_loaders(tmp_path):
         assert list(load_query_names_packed(str(fa), n)) == \
             load_query_names(str(fa), n)
         assert load_query_quals_packed(str(fa), n) is None
+
+
+def test_write_reads_fasta_matches_loop_oracle(tmp_path, rng):
+    """The vectorized multi-FASTA writer is byte-identical to a per-read
+    loop of '>ridN s-e' + decode_bases lines (the reference's
+    resources/genreads.py:71-76 output shape), across digit-count
+    boundaries, starts=None, chunk-boundary sizes, non-contiguous
+    views, and >2^31 start values (the int64 divmod fallback)."""
+    from tpufm.io.genreads import generate_reads, write_reads_fasta
+
+    def loop_oracle(reads, starts):
+        out = bytearray()
+        for i in range(reads.shape[0]):
+            s = int(starts[i]) if starts is not None else 0
+            out += b">rid%d %d-%d\n" % (i, s, s + reads.shape[1])
+            out += decode_bases(reads[i]) + b"\n"
+        return bytes(out)
+
+    path = str(tmp_path / "q.qry")
+    codes = rng.integers(0, 4, 1 << 16, dtype=np.uint8)
+    for num, length in [(1, 5), (9, 1), (101, 120), (15000, 33)]:
+        reads, starts = generate_reads(codes, length, num, seed=3,
+                                       return_starts=True)
+        for st in (None, starts):
+            write_reads_fasta(path, reads, st)
+            assert open(path, "rb").read() == loop_oracle(reads, st)
+    # non-contiguous view + empty set + huge starts
+    reads, starts = generate_reads(codes, 40, 200, seed=4, return_starts=True)
+    write_reads_fasta(path, reads[::2], starts[::2])
+    assert open(path, "rb").read() == loop_oracle(reads[::2], starts[::2])
+    write_reads_fasta(path, np.zeros((0, 10), np.uint8))
+    assert open(path, "rb").read() == b""
+    big_starts = np.array([0, 2**31 - 1, 2**31, 3_200_000_000], np.int64)
+    reads = rng.integers(0, 4, (4, 8), dtype=np.uint8)
+    write_reads_fasta(path, reads, big_starts)
+    assert open(path, "rb").read() == loop_oracle(reads, big_starts)
