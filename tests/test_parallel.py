@@ -250,3 +250,57 @@ def test_data_parallel_search_locate(rng):
     iv_s, pos_s = ref.search_locate(queries)
     np.testing.assert_array_equal(iv_m, iv_s)
     np.testing.assert_array_equal(pos_m, pos_s)
+
+
+@pytest.mark.parametrize("routing", ["allgather", "ring", "a2a"])
+def test_collective_traffic_model(rng, mesh, routing):
+    """The compiled sharded-search program carries exactly the collective
+    shapes the DISTRIBUTED.md byte model predicts (12 B/end requests,
+    4 B answers, 8 B/read exit merge)."""
+    from tpufm.parallel import assert_collective_model
+
+    codes, index = _mk(rng, 2, 64, n=40000)
+    from tpufm.io.genreads import generate_reads
+
+    q = generate_reads(codes, 24, 512, seed=1)
+    eng = ShardedIndexEngine(index, mesh, routing=routing)
+    r = assert_collective_model(eng, eng.place_queries(q))
+    model = r["model"]
+    D, B = 8, 2 * (512 // 8)
+    if routing == "allgather":
+        assert model["sent"] == 16 * B * (D - 1)
+        assert model["answered_rows"] == D * B
+    elif routing == "ring":
+        assert model["sent"] == 16 * B * D
+    else:
+        assert model["sent"] == 16 * (2 * B // D) * D
+        assert model["answered_rows"] == 2 * B
+
+
+def test_collective_traffic_model_dp(rng, mesh):
+    """Data-parallel search must have NO collectives beyond the result
+    merge — zero communication during the LF rounds."""
+    from tpufm.parallel import assert_collective_model
+
+    codes, index = _mk(rng, 2, 64)
+    from tpufm.io.genreads import generate_reads
+
+    q = generate_reads(codes, 24, 512, seed=1)
+    dp = DataParallelEngine(index, mesh)
+    assert_collective_model(dp, dp.shard_queries(q))
+
+
+def test_collective_model_detects_missing_op():
+    """The HLO-shape checker actually fails when an expected collective is
+    absent (guard against the assertion degenerating into a no-op)."""
+    from tpufm.parallel.traffic import _collective_shapes
+
+    fake = """
+      %all_gather.1 = u32[8,128,3]{2,1,0} all-gather(%x), channel_id=1
+      %psum.2 = u32[8,128]{1,0} all-reduce(%y), channel_id=2
+      %nothing = u32[4]{0} add(%a, %b)
+    """
+    shapes = _collective_shapes(fake)
+    assert ("all-gather", "u32[8,128,3]") in shapes
+    assert ("all-reduce", "u32[8,128]") in shapes
+    assert len(shapes) == 2

@@ -606,6 +606,7 @@ class ShardedIndexEngine:
 
         if routing not in ("allgather", "ring", "a2a"):
             raise ValueError(f"unknown routing {routing!r}")
+        self.routing = routing
         step = {
             "allgather": _sharded_lf_step,
             "ring": _sharded_lf_step_ring,
