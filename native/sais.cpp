@@ -10,6 +10,18 @@
 // gathers (see tpufm/index/builder.py) instead of the reference's serial
 // LF-mapping walk (reference src/genFMindex.c:327-400).
 //
+// The index type is templated and chosen per call by text length:
+// int32 for n+1 <= 2^31-2, uint32 up to 2^32-2 (a full 4 Gbase genome),
+// int64 beyond. The induce scans — the hot loops — are memory-latency
+// bound (one potential cache miss per element on the random bucket
+// writes), so halving the element size roughly doubles the entries per
+// cache line on both the sequential read side and the per-bucket write
+// streams; measured ~1.9x on a 250 Mbase build (docs/PERF.md round 5).
+// This stands in for the reference's OpenMP-parallel sssort
+// (resources/divsufsort.c:95-123) on this 1-core host, where thread
+// parallelism cannot help; the genuinely parallel build path is the
+// on-device builder (tpufm/index/builder_device.py, ~11x at 250 Mbase).
+//
 // Exposed C ABI (used from Python via ctypes):
 //   int tpufm_sais_u8(const uint8_t* text, int64_t n, int64_t* sa)
 //     Computes the suffix array of text[0..n-1] + an implicit sentinel that
@@ -21,15 +33,15 @@
 
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
 
-using sidx = int64_t;
-
 // bkt[c] = start (end=false) or one-past-end (end=true) of bucket for symbol c.
-void get_buckets(const std::vector<sidx>& cnt, std::vector<sidx>& bkt, bool end) {
-  sidx sum = 0;
+template <typename I>
+void get_buckets(const std::vector<I>& cnt, std::vector<I>& bkt, bool end) {
+  I sum = 0;
   for (size_t c = 0; c < cnt.size(); ++c) {
     sum += cnt[c];
     bkt[c] = end ? sum : sum - cnt[c];
@@ -37,9 +49,11 @@ void get_buckets(const std::vector<sidx>& cnt, std::vector<sidx>& bkt, bool end)
 }
 
 // Core SA-IS over an integer string s[0..n-1] with symbols in [0, K) where
-// s[n-1] is the unique smallest symbol (the sentinel).
-template <typename T>
-void sais_rec(const T* s, sidx* SA, sidx n, sidx K) {
+// s[n-1] is the unique smallest symbol (the sentinel). I may be unsigned:
+// the empty-slot marker is max(I), not -1, and every loop is underflow-safe.
+template <typename I, typename T>
+void sais_rec(const T* s, I* SA, I n, I K) {
+  const I EMPTY = std::numeric_limits<I>::max();
   if (n == 1) {
     SA[0] = 0;
     return;
@@ -53,54 +67,54 @@ void sais_rec(const T* s, sidx* SA, sidx n, sidx K) {
   // Classify suffixes: S-type (true) or L-type (false).
   std::vector<bool> stype(n);
   stype[n - 1] = true;
-  for (sidx i = n - 2; i >= 0; --i)
+  for (I i = n - 1; i-- > 0;)
     stype[i] = s[i] < s[i + 1] || (s[i] == s[i + 1] && stype[i + 1]);
-  auto is_lms = [&](sidx i) { return i > 0 && stype[i] && !stype[i - 1]; };
+  auto is_lms = [&](I i) { return i > 0 && stype[i] && !stype[i - 1]; };
 
-  std::vector<sidx> cnt(K, 0), bkt(K);
-  for (sidx i = 0; i < n; ++i) cnt[s[i]]++;
+  std::vector<I> cnt(K, 0), bkt(K);
+  for (I i = 0; i < n; ++i) cnt[s[i]]++;
 
   auto induce = [&]() {
     // Induce L-type suffixes left-to-right from sorted (LMS or S) positions.
     get_buckets(cnt, bkt, /*end=*/false);
-    for (sidx i = 0; i < n; ++i) {
-      sidx j = SA[i];
-      if (j > 0 && !stype[j - 1]) SA[bkt[s[j - 1]]++] = j - 1;
+    for (I i = 0; i < n; ++i) {
+      I j = SA[i];
+      if (j != EMPTY && j > 0 && !stype[j - 1]) SA[bkt[s[j - 1]]++] = j - 1;
     }
     // Induce S-type suffixes right-to-left.
     get_buckets(cnt, bkt, /*end=*/true);
-    for (sidx i = n - 1; i >= 0; --i) {
-      sidx j = SA[i];
-      if (j > 0 && stype[j - 1]) SA[--bkt[s[j - 1]]] = j - 1;
+    for (I i = n; i-- > 0;) {
+      I j = SA[i];
+      if (j != EMPTY && j > 0 && stype[j - 1]) SA[--bkt[s[j - 1]]] = j - 1;
     }
   };
 
   // Stage 1: approximately sort LMS suffixes by induced sorting.
-  std::fill(SA, SA + n, sidx{-1});
+  std::fill(SA, SA + n, EMPTY);
   get_buckets(cnt, bkt, /*end=*/true);
-  for (sidx i = 1; i < n; ++i)
+  for (I i = 1; i < n; ++i)
     if (is_lms(i)) SA[--bkt[s[i]]] = i;
   induce();
 
   // Stage 2: compact the (now sorted-by-LMS-prefix) LMS positions, then name
   // each LMS substring to build the reduced problem.
-  sidx nlms = 0;
-  for (sidx i = 0; i < n; ++i)
-    if (SA[i] > 0 && is_lms(SA[i])) SA[nlms++] = SA[i];
+  I nlms = 0;
+  for (I i = 0; i < n; ++i)
+    if (SA[i] != EMPTY && SA[i] > 0 && is_lms(SA[i])) SA[nlms++] = SA[i];
 
   // Name LMS substrings in SA[0..nlms); store names at SA[nlms + pos/2].
-  std::fill(SA + nlms, SA + n, sidx{-1});
-  sidx name = 0, prev = -1;
-  for (sidx r = 0; r < nlms; ++r) {
-    sidx pos = SA[r];
+  std::fill(SA + nlms, SA + n, EMPTY);
+  I name = 0, prev = EMPTY;
+  for (I r = 0; r < nlms; ++r) {
+    I pos = SA[r];
     bool differ = false;
-    if (prev < 0) {
+    if (prev == EMPTY) {
       differ = true;
     } else {
       // Compare LMS substrings starting at pos and prev (inclusive of the
       // terminating LMS character).
-      for (sidx off = 0;; ++off) {
-        sidx a = pos + off, b = prev + off;
+      for (I off = 0;; ++off) {
+        I a = pos + off, b = prev + off;
         if (a == n || b == n) { differ = (a != b); break; }
         if (s[a] != s[b] || stype[a] != stype[b]) { differ = true; break; }
         if (off > 0 && (is_lms(a) || is_lms(b))) { differ = !(is_lms(a) && is_lms(b)); break; }
@@ -110,33 +124,48 @@ void sais_rec(const T* s, sidx* SA, sidx n, sidx K) {
     SA[nlms + pos / 2] = name - 1;
   }
   // Compact names into s1 (order of appearance in the text).
-  std::vector<sidx> s1(nlms);
-  for (sidx i = n - 1, j = nlms - 1; i >= nlms; --i)
-    if (SA[i] >= 0) s1[j--] = SA[i];
+  std::vector<I> s1(nlms);
+  {
+    I j = nlms;
+    for (I i = n; i-- > nlms;)
+      if (SA[i] != EMPTY) s1[--j] = SA[i];
+  }
 
   // Positions of LMS suffixes in text order.
-  std::vector<sidx> lms_pos(nlms);
-  for (sidx i = 1, j = 0; i < n; ++i)
-    if (is_lms(i)) lms_pos[j++] = i;
+  std::vector<I> lms_pos(nlms);
+  {
+    I j = 0;
+    for (I i = 1; i < n; ++i)
+      if (is_lms(i)) lms_pos[j++] = i;
+  }
 
   // Stage 3: sort LMS suffixes exactly.
   if (name < nlms) {
-    sais_rec<sidx>(s1.data(), SA, nlms, name);
+    sais_rec<I, I>(s1.data(), SA, nlms, name);
   } else {
-    for (sidx i = 0; i < nlms; ++i) SA[s1[i]] = i;
+    for (I i = 0; i < nlms; ++i) SA[s1[i]] = i;
   }
   // SA[0..nlms) is now the suffix array of the reduced string; translate to
   // text positions, in sorted order, stored in s1.
-  for (sidx i = 0; i < nlms; ++i) s1[i] = lms_pos[SA[i]];
+  for (I i = 0; i < nlms; ++i) s1[i] = lms_pos[SA[i]];
 
   // Stage 4: place exactly-sorted LMS suffixes at bucket ends, induce final SA.
-  std::fill(SA, SA + n, sidx{-1});
+  std::fill(SA, SA + n, EMPTY);
   get_buckets(cnt, bkt, /*end=*/true);
-  for (sidx r = nlms - 1; r >= 0; --r) {
-    sidx pos = s1[r];
+  for (I r = nlms; r-- > 0;) {
+    I pos = s1[r];
     SA[--bkt[s[pos]]] = pos;
   }
   induce();
+}
+
+// Run sais_rec at width I over the sentinel-shifted copy of text, widening
+// the result into the caller's int64 buffer.
+template <typename I>
+void sais_narrow(const std::vector<uint8_t>& t, int64_t n1, int64_t* sa) {
+  std::vector<I> sa_narrow(static_cast<size_t>(n1));
+  sais_rec<I, uint8_t>(t.data(), sa_narrow.data(), static_cast<I>(n1), 256);
+  for (int64_t i = 0; i < n1; ++i) sa[i] = static_cast<int64_t>(sa_narrow[i]);
 }
 
 }  // namespace
@@ -161,7 +190,17 @@ int tpufm_sais_u8(const uint8_t* text, int64_t n, int64_t* sa) {
       t[i] = static_cast<uint8_t>(text[i] + 1);
     }
     t[n] = 0;
-    sais_rec<uint8_t>(t.data(), sa, n + 1, 256);
+    const int64_t n1 = n + 1;
+    // Narrowest index type that can hold n1 positions plus the EMPTY
+    // marker (max(I) must stay distinct from any position).
+    if (n1 <= std::numeric_limits<int32_t>::max() - 1) {
+      sais_narrow<int32_t>(t, n1, sa);
+    } else if (static_cast<uint64_t>(n1) <=
+               std::numeric_limits<uint32_t>::max() - 1) {
+      sais_narrow<uint32_t>(t, n1, sa);  // 2-4 Gbase genomes
+    } else {
+      sais_rec<int64_t, uint8_t>(t.data(), sa, n1, 256);
+    }
   } catch (const std::bad_alloc&) {
     return -2;  // keep the C ABI contract: no exception crosses ctypes
   }
