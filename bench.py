@@ -91,6 +91,50 @@ def main():
     best["detail"]["device_degraded"] = (
         best["detail"]["reads_per_s"] < floor
     )
+
+    # Genome-scale second row (the regime the reference protocol actually
+    # swept — slurm_genindexes.sh:42 builds 0.75-3 Gbase references). The
+    # HBM-regime healthy floor is ~940-970K reads/s (docs/PERF.md round 4);
+    # the row is bracketed: the flagship record above is the before-control
+    # and a cheap flagship re-measure after is the after-control, so a
+    # tunnel flip mid-row can never masquerade as an engine regression.
+    genome_on = (
+        os.environ.get("TPUFM_BENCH_GENOME", "1") != "0"
+        and default_cfg
+        and "TPU" in str(best["detail"].get("device", ""))
+    )
+    if genome_on:
+        from tpufm.bench import run_bench_genome
+
+        genome_refsize = int(
+            os.environ.get("TPUFM_BENCH_GENOME_REFSIZE", 250_000_000)
+        )
+        genome = run_bench_genome(refsize=genome_refsize)
+        ctl = run_bench(
+            refsize=kwargs["refsize"],
+            k=kwargs["k"],
+            d=kwargs["d"],
+            num_queries=kwargs["num_queries"],
+            query_len=kwargs["query_len"],
+            iterations=2,
+            engine="xla",
+            lut_m=kwargs["lut_m"],
+            compare_reference=False,
+            full_verify=False,
+        )
+        genome["detail"]["control_before_reads_per_s"] = best["detail"][
+            "reads_per_s"
+        ]
+        genome["detail"]["control_after_reads_per_s"] = ctl["detail"][
+            "reads_per_s"
+        ]
+        brackets_ok = (
+            best["detail"]["reads_per_s"] >= floor
+            and ctl["detail"]["reads_per_s"] >= floor
+        )
+        genome["detail"]["brackets_healthy"] = brackets_ok
+        genome["detail"]["device_degraded"] = not brackets_ok
+        best["detail"]["genome_scale"] = genome
     print(json.dumps(best))
 
 

@@ -32,13 +32,23 @@ def _enable_compile_cache():
         pass
 
 
-def measure_reference_cpu(codes, k, d, queries, workdir, threads: int = 1) -> float | None:
+def measure_reference_cpu(
+    codes, k, d, queries, workdir, threads: int = 1, index=None,
+) -> float | None:
     """Seconds per pass of the reference fmIndexSearchCPU on this host (its
     own mean-of-5 TIME: protocol), or None when the toolchain is unavailable.
 
     threads > 1 runs the binary with that many OpenMP threads — the
     reference protocol's unit was a 24-core OpenMP node (BASELINE.md,
-    scripts/sge_searchcpu_bases_likwid_MEM.sh:45 pins -C 0-23)."""
+    scripts/sge_searchcpu_bases_likwid_MEM.sh:45 pins -C 0-23).
+
+    index: when given, the .fmi the reference binary loads is written as
+    tpufm's byte-exact tag-100 image of THAT index (formats.write_fmi)
+    instead of running the reference builder — at genome scale the
+    reference's own build costs tens of minutes (divsufsort + the serial
+    LF walk, src/genFMindex.c:327-400) while the image write streams in
+    seconds, and feeding the image doubles as a full-scale format-compat
+    proof (docs/PERF.md round 2 did this at 3 Gbase)."""
     sys.path.insert(0, str(Path(__file__).parent.parent / "tests"))
     try:
         from refparity import build_reference_binaries, run
@@ -58,8 +68,13 @@ def measure_reference_cpu(codes, k, d, queries, workdir, threads: int = 1) -> fl
     ref_fa = workdir / "bench_ref.fa"
     fmi = workdir / f"bench_ref.fa.{n}.{d}fmi{k}steps.fmi"
     if not fmi.exists():
-        write_reference(ref_fa, decode_bases(codes))
-        run([bins["builder"], ref_fa, n], cwd=workdir)
+        if index is not None:
+            from tpufm.index.formats import write_fmi
+
+            write_fmi(fmi, index)
+        else:
+            write_reference(ref_fa, decode_bases(codes))
+            run([bins["builder"], ref_fa, n], cwd=workdir)
     qry = workdir / "bench.qry"
     write_reads_fasta(qry, queries)
     out = run(
@@ -71,6 +86,88 @@ def measure_reference_cpu(codes, k, d, queries, workdir, threads: int = 1) -> fl
         if line.startswith("TIME:"):
             return float(line.split()[-1])
     return None
+
+
+def verify_full_cpu(index, queries, host_out) -> bool:
+    """Bit-exactness of the FULL result batch against a CPU-backend twin
+    engine (lut-free fused layout — the (L, R) output contract is layout-
+    and LUT-independent). This is the reference's diffable .res contract
+    (common/common.c:201-220) applied to every read instead of a sample;
+    the independent (different-code-path) oracle still checks a sample."""
+    import jax
+
+    from tpufm.engine.xla import XLAEngine
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        eng = XLAEngine(index, device=cpu, lut_m=0)
+        out = eng.search(np.asarray(queries))
+    return bool(np.array_equal(np.asarray(host_out), np.asarray(out)))
+
+
+def gather_traffic_bytes(eng, num_queries: int, query_len: int) -> int | None:
+    """Payload bytes a fused-layout engine gathers per pass: per round each
+    interval end fetches one entry row, plus one 8 B LUT interval per read.
+    Dividing by the measured pass time gives the achieved random-access HBM
+    payload rate — the automated analog of the reference's likwid MEM
+    region stamp (scripts/sge_searchcpu_bases_likwid_MEM.sh:45), computed
+    from known per-round traffic instead of uncore PMCs."""
+    if getattr(eng, "layout", None) != "fused" or getattr(eng, "tail_d", None):
+        return None
+    rounds = (query_len - eng.lut_m) // eng.config.k
+    row_bytes = 4 * eng.tables["entries"].shape[1]
+    per_read = rounds * 2 * row_bytes + (8 if eng.lut_m else 0)
+    return num_queries * per_read
+
+
+def _time_search(eng, queries, engine: str, iterations: int):
+    """The reference TIME: protocol (mean of `iterations` passes) with a
+    true host-fetch barrier per pass. Returns (seconds_per_pass, results
+    as a host array). Chooses the device-resident waved path when the
+    padded batch fits, matching the engine's production paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpufm.engine.xla import XLAEngine
+    from tpufm.utils.timer import device_sync, timed_device_passes
+
+    num_queries, query_len = queries.shape
+    if num_queries > XLAEngine.WAVE and engine.startswith("xla"):
+        wave = XLAEngine.WAVE
+        pad = -num_queries % wave
+        qpad = (
+            np.concatenate([queries, np.zeros((pad, query_len), np.uint8)])
+            if pad
+            else queries
+        )
+        if qpad.nbytes <= 2 << 30:
+            qd = jax.device_put(jnp.asarray(qpad, jnp.uint8))
+            device_sync(eng.search_device_waved(qd))  # warm/compile
+            t0 = time.perf_counter()
+            for _ in range(iterations):
+                out = eng.search_device_waved(qd)
+                device_sync(out)
+            search_s = (time.perf_counter() - t0) / iterations
+            return search_s, np.asarray(jax.device_get(out[:num_queries]))
+        eng.search(queries[:wave])  # warm/compile
+        t0 = time.perf_counter()
+        for _ in range(iterations):
+            res = eng.search(queries)
+        return (time.perf_counter() - t0) / iterations, np.asarray(res)
+    if num_queries > XLAEngine.WAVE:
+        # Engines without a wave-chunked search (e.g. Pallas) jit the FULL
+        # batch shape — warm with that same shape so the timed passes never
+        # recompile (ADVICE.md round 1).
+        eng.search(queries)  # warm/compile
+        t0 = time.perf_counter()
+        for _ in range(iterations):
+            res = eng.search(queries)
+        return (time.perf_counter() - t0) / iterations, np.asarray(res)
+    qd = jax.device_put(jnp.asarray(queries, jnp.uint8))
+    search_s, _ = timed_device_passes(
+        lambda: eng.search_device(qd), iterations=iterations
+    )
+    return search_s, np.asarray(jax.device_get(eng.search_device(qd)))
 
 
 def run_bench(
@@ -85,6 +182,7 @@ def run_bench(
     lut_m: int = 0,
     pad_words: int | None = None,
     compare_reference: bool = True,
+    full_verify: bool | None = None,
 ) -> dict:
     _enable_compile_cache()
     import jax
@@ -121,73 +219,31 @@ def run_bench(
     else:
         raise ValueError(f"unknown engine {engine!r}")
 
-    from tpufm.utils.timer import timed_device_passes
-
     # NOTE: timing uses a true host-fetch barrier per pass — block_until_ready
     # is unreliable on tunneled device platforms (see utils/timer.device_sync).
-    if num_queries > XLAEngine.WAVE and engine == "xla":
-        # Reference-protocol scale (e.g. 10M reads): device-resident
-        # lax.map over 1M-read waves when the padded batch fits on device,
-        # else the pipelined host-streaming path.
-        wave = XLAEngine.WAVE
-        pad = -num_queries % wave
-        qpad = (
-            np.concatenate([queries, np.zeros((pad, query_len), np.uint8)])
-            if pad
-            else queries
-        )
-        if qpad.nbytes <= 2 << 30:
-            qd = jax.device_put(jnp.asarray(qpad, jnp.uint8))
-            from tpufm.utils.timer import device_sync
+    search_s, host_out = _time_search(eng, queries, engine, iterations)
 
-            device_sync(eng.search_device_waved(qd))  # warm/compile
-            t0 = time.perf_counter()
-            for _ in range(iterations):
-                out = eng.search_device_waved(qd)
-                device_sync(out)
-            search_s = (time.perf_counter() - t0) / iterations
-            out = out[:num_queries]
-        else:
-            eng.search(queries[:wave])  # warm/compile
-            t0 = time.perf_counter()
-            for _ in range(iterations):
-                res = eng.search(queries)
-            search_s = (time.perf_counter() - t0) / iterations
-            out = jnp.asarray(res)
-    elif num_queries > XLAEngine.WAVE:
-        # Engines without a wave-chunked search (e.g. Pallas) jit the FULL
-        # batch shape — warm with that same shape so the timed passes never
-        # recompile (ADVICE.md round 1).
-        eng.search(queries)  # warm/compile
-        t0 = time.perf_counter()
-        for _ in range(iterations):
-            res = eng.search(queries)
-        search_s = (time.perf_counter() - t0) / iterations
-        out = jnp.asarray(res)
-    else:
-        qd = jax.device_put(jnp.asarray(queries, jnp.uint8))
-        search_s, _ = timed_device_passes(
-            lambda: eng.search_device(qd), iterations=iterations
-        )
-        out = eng.search_device(qd)
-
-    # Correctness check against the oracle on a uniform random sample of the
-    # output (>= 64K reads at protocol scale, not just the head — a 10M-read
-    # record is verified on ~0.66% of its reads instead of 0.0026%).
     repair_fraction = None
     if engine == "xla-paired":
         # The timed value is the paired hot path; verification goes through
         # engine.search so wide-interval repair lanes are bit-exact too.
         host_out = eng.search(queries)
         repair_fraction = eng.last_repair_fraction
-    else:
-        host_out = np.asarray(jax.device_get(out))
-    n_verify = min(num_queries, 65536)
+
+    # Correctness, two layers: (1) the independent NumPy oracle on a uniform
+    # random sample, (2) the FULL batch against a CPU-backend twin engine —
+    # every read of the record is verified (verified_reads == num_queries).
+    n_oracle = min(num_queries, 65536)
     vidx = np.sort(
-        np.random.default_rng(seed + 2).choice(num_queries, n_verify, replace=False)
+        np.random.default_rng(seed + 2).choice(num_queries, n_oracle, replace=False)
     )
     expect = search_oracle(index, queries[vidx])
-    exact = bool((host_out[vidx] == expect).all())
+    exact_oracle = bool((host_out[vidx] == expect).all())
+    if full_verify is None:
+        full_verify = os.environ.get("TPUFM_BENCH_FULL_VERIFY", "1") != "0"
+    exact_full = verify_full_cpu(index, queries, host_out) if full_verify else None
+    exact = exact_oracle and exact_full is not False
+    n_verify = num_queries if full_verify else n_oracle
 
     rounds = query_len // k
     steps = num_queries * rounds
@@ -200,6 +256,7 @@ def run_bench(
     hbm_bw = 8.1e11  # v5e ~810 GB/s
     bytes_per_step = 2 * (4 + 4 * index.config.bitmap_words)
     sol_steps_s = hbm_bw / bytes_per_step
+    traffic = gather_traffic_bytes(eng, num_queries, query_len)
 
     # Honest baseline framing: the reference protocol's unit was a 24-core
     # OpenMP node (likwid -C 0-23). We measure single-core always; when this
@@ -249,10 +306,153 @@ def run_bench(
             ),
             "speed_of_light_steps_per_s": round(sol_steps_s),
             "fraction_of_sol": round(steps_s / sol_steps_s, 4),
+            "achieved_hbm_gbps": (
+                round(traffic / search_s / 1e9, 2) if traffic else None
+            ),
+            "gathered_bytes_per_pass": traffic,
             "build_seconds": round(build_s, 1),
             "bit_exact_vs_oracle": exact,
+            "bit_exact_vs_oracle_sample": exact_oracle,
+            "bit_exact_vs_cpu_engine_full": exact_full,
             "verified_reads": n_verify,
+            "verified_reads_oracle": n_oracle,
             "repair_fraction": repair_fraction,
+            "iterations": iterations,
+        },
+    }
+
+
+def run_bench_genome(
+    refsize: int = 250_000_000,
+    k: int = 3,
+    d: int | None = None,
+    num_queries: int = 1 << 20,
+    query_len: int = 120,
+    iterations: int = 5,
+    seed: int = 0,
+    lut_m: int | None = None,
+    compare_reference: bool = True,
+    full_verify: bool | None = None,
+    cache_dir=None,
+) -> dict:
+    """Genome-scale (HBM-gather-regime) record — the regime the reference
+    protocol actually swept (scripts/slurm_genindexes.sh:42 builds 0.75-3
+    Gbase references; sge_searchcpu_bases.sh:28 searches them).
+
+    The flagship 10 Mbase record measures the VMEM-resident fast path;
+    this one measures a REAL >=250 Mbase index whose entries gather from
+    HBM, with the reference fmIndexSearchCPU compared at the SAME size —
+    fed tpufm's byte-exact tag-100 image of this very index, which is
+    simultaneously a full-scale on-disk-format compat proof.
+
+    The built index and its .fmi image cache under .bench/genome so
+    repeat runs skip the build; the cache is validated by (refsize, k, d,
+    seed) in the filename and the engine's LUT fingerprint."""
+    _enable_compile_cache()
+    import jax
+
+    from tpufm.config import IndexConfig, recommend_config
+    from tpufm.engine.oracle import search_oracle
+    from tpufm.engine.xla import XLAEngine
+    from tpufm.index.store import load_store, save_store
+    from tpufm.io.genreads import generate_reads
+
+    rec = recommend_config(refsize, query_len=query_len)
+    d = d or rec["d"]
+    lut_m = rec["lut_m"] if lut_m is None else lut_m
+    cache = Path(cache_dir or Path(__file__).parent.parent / ".bench" / "genome")
+    cache.mkdir(parents=True, exist_ok=True)
+
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=refsize, dtype=np.uint8)
+
+    store = cache / f"idx_{refsize}_k{k}_d{d}_s{seed}.tpufm"
+    cached = store.exists()
+    t0 = time.perf_counter()
+    if cached:
+        index = load_store(store)
+        build_s = 0.0
+    else:
+        if jax.default_backend() != "cpu" and refsize <= 400_000_000:
+            # device build: ~36 s of device work at 250 Mbase vs 412 s for
+            # the single-core host SA-IS (docs/PERF.md "Index construction
+            # on the device"); bit-identical to the host builder
+            from tpufm.index.builder_device import build_index_device
+
+            index = build_index_device(codes, IndexConfig(k=k, d=d))
+        else:
+            from tpufm.index.builder import build_index
+
+            index = build_index(codes, IndexConfig(k=k, d=d))
+        build_s = time.perf_counter() - t0
+        save_store(store, index)
+
+    queries = generate_reads(codes, query_len, num_queries, seed=seed + 1)
+    eng = XLAEngine(
+        index, lut_m=lut_m,
+        lut_cache=str(cache / f"lut_{refsize}_k{k}_d{d}_s{seed}_m{lut_m}"),
+    )
+    search_s, host_out = _time_search(eng, queries, "xla", iterations)
+
+    n_oracle = min(num_queries, 65536)
+    vidx = np.sort(
+        np.random.default_rng(seed + 2).choice(num_queries, n_oracle, replace=False)
+    )
+    exact_oracle = bool((host_out[vidx] == search_oracle(index, queries[vidx])).all())
+    if full_verify is None:
+        full_verify = os.environ.get("TPUFM_BENCH_FULL_VERIFY", "1") != "0"
+    exact_full = verify_full_cpu(index, queries, host_out) if full_verify else None
+    exact = exact_oracle and exact_full is not False
+    n_verify = num_queries if full_verify else n_oracle
+
+    ref_s = None
+    if compare_reference:
+        refdir = cache / "refrun"
+        ref_s = measure_reference_cpu(
+            codes, k, d, queries, refdir, threads=1, index=index
+        )
+
+    rounds = query_len // k
+    reads_s = num_queries / search_s
+    steps_s = num_queries * rounds / search_s
+    hbm_bw = 8.1e11
+    bytes_per_step = 2 * (4 + 4 * index.config.bitmap_words)
+    sol_steps_s = hbm_bw / bytes_per_step
+    traffic = gather_traffic_bytes(eng, num_queries, query_len)
+    vs_baseline = (ref_s / search_s) if ref_s else (steps_s / sol_steps_s)
+
+    return {
+        "metric": f"genome-scale backward-search steps/s/chip (k={k}, d={d}, "
+        f"{num_queries} reads x {query_len} bp, {refsize} bases, HBM regime)",
+        "value": round(steps_s),
+        "unit": "steps/s",
+        "vs_baseline": round(vs_baseline, 4),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "refsize": refsize,
+            "d": d,
+            "lut_m": lut_m,
+            "reads_per_s": round(reads_s),
+            "seconds_per_pass": search_s,
+            "reference_cpu_seconds_per_pass": ref_s,
+            "reference_cpu_cores": 1 if ref_s else None,
+            "vs_baseline_single_core": (
+                round(ref_s / search_s, 4) if ref_s else None
+            ),
+            "reference_fed_tpufm_fmi_image": bool(ref_s),
+            "speed_of_light_steps_per_s": round(sol_steps_s),
+            "fraction_of_sol": round(steps_s / sol_steps_s, 4),
+            "achieved_hbm_gbps": (
+                round(traffic / search_s / 1e9, 2) if traffic else None
+            ),
+            "gathered_bytes_per_pass": traffic,
+            "build_seconds": round(build_s, 1),
+            "index_cached": cached,
+            "bit_exact_vs_oracle": exact,
+            "bit_exact_vs_oracle_sample": exact_oracle,
+            "bit_exact_vs_cpu_engine_full": exact_full,
+            "verified_reads": n_verify,
+            "verified_reads_oracle": n_oracle,
             "iterations": iterations,
         },
     }
