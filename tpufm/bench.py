@@ -132,7 +132,7 @@ def _time_search(eng, queries, engine: str, iterations: int):
     from tpufm.utils.timer import device_sync, timed_device_passes
 
     num_queries, query_len = queries.shape
-    if num_queries > XLAEngine.WAVE and engine.startswith("xla"):
+    if num_queries > XLAEngine.WAVE and engine == "xla":
         wave = XLAEngine.WAVE
         pad = -num_queries % wave
         qpad = (
@@ -167,7 +167,10 @@ def _time_search(eng, queries, engine: str, iterations: int):
     search_s, _ = timed_device_passes(
         lambda: eng.search_device(qd), iterations=iterations
     )
-    return search_s, np.asarray(jax.device_get(eng.search_device(qd)))
+    out = eng.search_device(qd)
+    if isinstance(out, tuple):  # paired layout returns (intervals, ok)
+        out = out[0]
+    return search_s, np.asarray(jax.device_get(out))
 
 
 def run_bench(

@@ -508,6 +508,18 @@ def cmd_count(args):
 def cmd_bench(args):
     if args.mismatches < 0 or args.edits < 0:
         sys.exit("--mismatches/--edits must be >= 0")
+    if getattr(args, "genome", False):
+        from tpufm.bench import run_bench_genome
+
+        print(json.dumps(run_bench_genome(
+            refsize=args.refsize if args.refsize != 10_000_000 else 250_000_000,
+            num_queries=args.numqueries,
+            query_len=args.length,
+            iterations=args.iterations,
+            seed=args.seed,
+            lut_m=args.lut or None,
+        )))
+        return
     if args.edits and args.mismatches:
         sys.exit("--edits (indel-aware) and --mismatches (substitutions "
                  "only) are different distance models; pass one")
@@ -1923,6 +1935,13 @@ def main(argv=None):
                          "(pairs/s, truth-verified; --numqueries = pairs)")
     be.add_argument("--insert-min", type=int, default=250)
     be.add_argument("--insert-max", type=int, default=450)
+    be.add_argument("--genome", action="store_true",
+                    help="the genome-scale (HBM-regime) record: a real "
+                         ">=250 Mbase device-built index (cached under "
+                         ".bench/genome), reference compared at the same "
+                         "size via tpufm's byte-exact .fmi image; k/d/lut "
+                         "from recommend_config (--refsize to override "
+                         "the 250 Mbase default)")
     be.add_argument("--multichip", action="store_true",
                     help="data-parallel over all local devices")
     be.add_argument("--sharded", action="store_true",
