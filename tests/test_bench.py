@@ -61,3 +61,19 @@ def test_run_bench_genome_cache_roundtrip(tmp_path):
     # same index from the store: identical logical record
     assert g1["detail"]["gathered_bytes_per_pass"] == \
         g2["detail"]["gathered_bytes_per_pass"]
+
+
+def test_run_bench_genome_k_follows_recommendation(tmp_path):
+    """query lengths not divisible by 3 must pick recommend_config's k
+    (not crash on a hardcoded k=3), and an explicit lut_m=0 must be
+    honored (the LUT-free path, not silently replaced by the default)."""
+    g = run_bench_genome(refsize=300_000, num_queries=512, query_len=100,
+                         iterations=1, compare_reference=False,
+                         full_verify=False, cache_dir=tmp_path)
+    assert "k=2" in g["metric"] or "k=4" in g["metric"]  # 100 % 3 != 0
+    assert g["detail"]["bit_exact_vs_oracle"]
+    g0 = run_bench_genome(refsize=300_000, num_queries=512, query_len=120,
+                          iterations=1, lut_m=0, compare_reference=False,
+                          full_verify=False, cache_dir=tmp_path)
+    assert g0["detail"]["lut_m"] == 0
+    assert g0["detail"]["bit_exact_vs_oracle"]

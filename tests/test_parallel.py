@@ -277,6 +277,39 @@ def test_collective_traffic_model(rng, mesh, routing):
         assert model["answered_rows"] == 2 * B
 
 
+def test_collective_traffic_model_a2a_ragged_batch(rng, mesh):
+    """D not dividing 2B: the implementation rounds bucket capacity UP
+    (ceil), and the model must match — a 520-read batch on 8 devices
+    compiles u32[1,33,3] buckets, not u32[1,32,3]."""
+    from tpufm.parallel import assert_collective_model
+
+    codes, index = _mk(rng, 2, 64, n=40000)
+    from tpufm.io.genreads import generate_reads
+
+    q = generate_reads(codes, 24, 520, seed=1)
+    eng = ShardedIndexEngine(index, mesh, routing="a2a")
+    assert_collective_model(eng, eng.place_queries(q))
+
+
+def test_collective_model_mesh1_no_collectives(rng):
+    """XLA elides every collective on a 1-device mesh; the contract check
+    must accept that instead of demanding ops that cannot exist."""
+    from tpufm.parallel import assert_collective_model
+
+    codes, index = _mk(rng, 2, 64)
+    from tpufm.io.genreads import generate_reads
+
+    q = generate_reads(codes, 24, 64, seed=1)
+    m1 = make_mesh(1)
+    for eng in (DataParallelEngine(index, m1),
+                ShardedIndexEngine(index, m1, routing="a2a")):
+        assert_collective_model(
+            eng,
+            eng.shard_queries(q) if hasattr(eng, "shard_queries")
+            else eng.place_queries(q),
+        )
+
+
 def test_collective_traffic_model_dp(rng, mesh):
     """Data-parallel search must have NO collectives beyond the result
     merge — zero communication during the LF rounds."""

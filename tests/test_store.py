@@ -190,3 +190,34 @@ def test_cli_store_sharded_flow(tmp_path, rng, monkeypatch):
               "--output", "host.res"])
     np.testing.assert_array_equal(load_results("sh.res"),
                                   load_results("host.res"))
+
+
+def test_store_sharded_roundtrip_one_device(tmp_path, rng):
+    """A 1-device mesh is trivially 'fully replicated' yet a valid
+    single-shard store: save/load/search must work (the driver dryrun
+    supports n_devices=1, and 1-device shards carry full-slice indices
+    whose .start is None)."""
+    import jax
+
+    from tpufm.index.builder_sharded import build_index_sharded
+    from tpufm.index.store import load_store_sharded, save_store_sharded
+    from tpufm.parallel import ShardedIndexEngine
+    from tpufm.parallel.mesh import make_mesh
+
+    mesh1 = make_mesh(1)
+    codes = rng.integers(0, 4, size=5000, dtype=np.uint8)
+    cfg = IndexConfig(k=2, d=64)
+    dev = build_index_sharded(codes, cfg, mesh1, return_host=False)
+    root = save_store_sharded(tmp_path / "sh1", dev)
+    assert [p.name for p in root.glob("occ.shard*.npy")] == ["occ.shard0000.npy"]
+    loaded = load_store_sharded(root, mesh1)
+    host = build_index(codes, cfg)
+    E1 = host.occ.shape[0]
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(loaded.occ))[:E1], host.occ
+    )
+    starts = rng.integers(0, 5000 - 24, size=32)
+    q = np.stack([codes[i : i + 24] for i in starts])
+    np.testing.assert_array_equal(
+        ShardedIndexEngine(loaded, mesh1).search(q), search_oracle(host, q)
+    )

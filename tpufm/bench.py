@@ -173,6 +173,55 @@ def _time_search(eng, queries, engine: str, iterations: int):
     return search_s, np.asarray(jax.device_get(out))
 
 
+def _verify_and_measure(index, eng, queries, host_out, search_s, seed,
+                        full_verify, k: int, query_len: int) -> dict:
+    """The record fields every search benchmark shares: two-layer
+    verification (oracle sample + full-batch CPU twin), rates, analytic
+    SoL, and achieved gather traffic. One implementation so the flagship
+    and genome records cannot drift."""
+    from tpufm.engine.oracle import search_oracle
+
+    num_queries = queries.shape[0]
+    n_oracle = min(num_queries, 65536)
+    vidx = np.sort(
+        np.random.default_rng(seed + 2).choice(num_queries, n_oracle,
+                                               replace=False)
+    )
+    exact_oracle = bool(
+        (host_out[vidx] == search_oracle(index, queries[vidx])).all()
+    )
+    if full_verify is None:
+        full_verify = os.environ.get("TPUFM_BENCH_FULL_VERIFY", "1") != "0"
+    exact_full = (
+        verify_full_cpu(index, queries, host_out) if full_verify else None
+    )
+    rounds = query_len // k
+    steps_s = num_queries * rounds / search_s
+    hbm_bw = 8.1e11  # v5e ~810 GB/s
+    bytes_per_step = 2 * (4 + 4 * index.config.bitmap_words)
+    sol_steps_s = hbm_bw / bytes_per_step
+    traffic = gather_traffic_bytes(eng, num_queries, query_len)
+    return {
+        "steps_per_s": steps_s,
+        "sol_steps_per_s": sol_steps_s,
+        "fields": {
+            "reads_per_s": round(num_queries / search_s),
+            "seconds_per_pass": search_s,
+            "speed_of_light_steps_per_s": round(sol_steps_s),
+            "fraction_of_sol": round(steps_s / sol_steps_s, 4),
+            "achieved_hbm_gbps": (
+                round(traffic / search_s / 1e9, 2) if traffic else None
+            ),
+            "gathered_bytes_per_pass": traffic,
+            "bit_exact_vs_oracle": exact_oracle and exact_full is not False,
+            "bit_exact_vs_oracle_sample": exact_oracle,
+            "bit_exact_vs_cpu_engine_full": exact_full,
+            "verified_reads": num_queries if full_verify else n_oracle,
+            "verified_reads_oracle": n_oracle,
+        },
+    }
+
+
 def run_bench(
     refsize: int = 10_000_000,
     k: int = 2,
@@ -236,30 +285,10 @@ def run_bench(
     # Correctness, two layers: (1) the independent NumPy oracle on a uniform
     # random sample, (2) the FULL batch against a CPU-backend twin engine —
     # every read of the record is verified (verified_reads == num_queries).
-    n_oracle = min(num_queries, 65536)
-    vidx = np.sort(
-        np.random.default_rng(seed + 2).choice(num_queries, n_oracle, replace=False)
-    )
-    expect = search_oracle(index, queries[vidx])
-    exact_oracle = bool((host_out[vidx] == expect).all())
-    if full_verify is None:
-        full_verify = os.environ.get("TPUFM_BENCH_FULL_VERIFY", "1") != "0"
-    exact_full = verify_full_cpu(index, queries, host_out) if full_verify else None
-    exact = exact_oracle and exact_full is not False
-    n_verify = num_queries if full_verify else n_oracle
-
-    rounds = query_len // k
-    steps = num_queries * rounds
-    reads_s = num_queries / search_s
-    steps_s = steps / search_s
-
-    # Analytic speed-of-light: per round each of 2 interval ends gathers one
-    # counter word + one bitmap row (BASELINE.md).
+    vm = _verify_and_measure(index, eng, queries, host_out, search_s, seed,
+                             full_verify, k, query_len)
+    steps_s, sol_steps_s = vm["steps_per_s"], vm["sol_steps_per_s"]
     dev = jax.devices()[0]
-    hbm_bw = 8.1e11  # v5e ~810 GB/s
-    bytes_per_step = 2 * (4 + 4 * index.config.bitmap_words)
-    sol_steps_s = hbm_bw / bytes_per_step
-    traffic = gather_traffic_bytes(eng, num_queries, query_len)
 
     # Honest baseline framing: the reference protocol's unit was a 24-core
     # OpenMP node (likwid -C 0-23). We measure single-core always; when this
@@ -268,7 +297,8 @@ def run_bench(
     ref_s = ref_node_s = None
     n_cores = os.cpu_count() or 1
     if compare_reference:
-        refdir = Path(__file__).parent.parent / ".bench" / "refrun"
+        # seed-scoped: the cached reference .fmi must match THESE codes
+        refdir = Path(__file__).parent.parent / ".bench" / "refrun" / f"s{seed}"
         ref_s = measure_reference_cpu(codes, k, d, queries, refdir, threads=1)
         if ref_s and n_cores > 1:
             ref_node_s = measure_reference_cpu(
@@ -280,54 +310,43 @@ def run_bench(
         (strongest_ref / search_s) if strongest_ref else (steps_s / sol_steps_s)
     )
 
+    detail = {
+        "device": str(dev),
+        "reference_cpu_seconds_per_pass": ref_s,
+        "reference_cpu_seconds_per_pass_node": ref_node_s,
+        "reference_cpu_cores": 1 if ref_s else None,
+        "reference_cpu_cores_node": n_cores if ref_node_s else None,
+        "reference_protocol_node": "24-core OpenMP node (likwid -C 0-23)",
+        "vs_baseline_single_core": (
+            round(ref_s / search_s, 4) if ref_s else None
+        ),
+        "vs_baseline_node": (
+            round(ref_node_s / search_s, 4) if ref_node_s else None
+        ),
+        "node_equivalent_caveat": (
+            f"vs_baseline compares one TPU chip against the reference on "
+            f"{n_cores} core(s) of THIS host; the reference protocol's "
+            "own unit was a 24-core OpenMP node — scale the single-core "
+            "number accordingly (BASELINE.md 'Baseline framing')"
+        ),
+        "build_seconds": round(build_s, 1),
+        "repair_fraction": repair_fraction,
+        "iterations": iterations,
+    }
+    detail.update(vm["fields"])
     return {
         "metric": f"k-step backward-search steps/s/chip (k={k}, d={d}, "
         f"{num_queries} reads x {query_len} bp, engine={engine})",
         "value": round(steps_s),
         "unit": "steps/s",
         "vs_baseline": round(vs_baseline, 4),
-        "detail": {
-            "device": str(dev),
-            "reads_per_s": round(reads_s),
-            "seconds_per_pass": search_s,
-            "reference_cpu_seconds_per_pass": ref_s,
-            "reference_cpu_seconds_per_pass_node": ref_node_s,
-            "reference_cpu_cores": 1 if ref_s else None,
-            "reference_cpu_cores_node": n_cores if ref_node_s else None,
-            "reference_protocol_node": "24-core OpenMP node (likwid -C 0-23)",
-            "vs_baseline_single_core": (
-                round(ref_s / search_s, 4) if ref_s else None
-            ),
-            "vs_baseline_node": (
-                round(ref_node_s / search_s, 4) if ref_node_s else None
-            ),
-            "node_equivalent_caveat": (
-                f"vs_baseline compares one TPU chip against the reference on "
-                f"{n_cores} core(s) of THIS host; the reference protocol's "
-                "own unit was a 24-core OpenMP node — scale the single-core "
-                "number accordingly (BASELINE.md 'Baseline framing')"
-            ),
-            "speed_of_light_steps_per_s": round(sol_steps_s),
-            "fraction_of_sol": round(steps_s / sol_steps_s, 4),
-            "achieved_hbm_gbps": (
-                round(traffic / search_s / 1e9, 2) if traffic else None
-            ),
-            "gathered_bytes_per_pass": traffic,
-            "build_seconds": round(build_s, 1),
-            "bit_exact_vs_oracle": exact,
-            "bit_exact_vs_oracle_sample": exact_oracle,
-            "bit_exact_vs_cpu_engine_full": exact_full,
-            "verified_reads": n_verify,
-            "verified_reads_oracle": n_oracle,
-            "repair_fraction": repair_fraction,
-            "iterations": iterations,
-        },
+        "detail": detail,
     }
 
 
 def run_bench_genome(
     refsize: int = 250_000_000,
-    k: int = 3,
+    k: int | None = None,
     d: int | None = None,
     num_queries: int = 1 << 20,
     query_len: int = 120,
@@ -355,12 +374,12 @@ def run_bench_genome(
     import jax
 
     from tpufm.config import IndexConfig, recommend_config
-    from tpufm.engine.oracle import search_oracle
     from tpufm.engine.xla import XLAEngine
     from tpufm.index.store import load_store, save_store
     from tpufm.io.genreads import generate_reads
 
     rec = recommend_config(refsize, query_len=query_len)
+    k = rec["k"] if k is None else k  # rec's k always divides query_len
     d = d or rec["d"]
     lut_m = rec["lut_m"] if lut_m is None else lut_m
     cache = Path(cache_dir or Path(__file__).parent.parent / ".bench" / "genome")
@@ -397,67 +416,42 @@ def run_bench_genome(
     )
     search_s, host_out = _time_search(eng, queries, "xla", iterations)
 
-    n_oracle = min(num_queries, 65536)
-    vidx = np.sort(
-        np.random.default_rng(seed + 2).choice(num_queries, n_oracle, replace=False)
-    )
-    exact_oracle = bool((host_out[vidx] == search_oracle(index, queries[vidx])).all())
-    if full_verify is None:
-        full_verify = os.environ.get("TPUFM_BENCH_FULL_VERIFY", "1") != "0"
-    exact_full = verify_full_cpu(index, queries, host_out) if full_verify else None
-    exact = exact_oracle and exact_full is not False
-    n_verify = num_queries if full_verify else n_oracle
+    vm = _verify_and_measure(index, eng, queries, host_out, search_s, seed,
+                             full_verify, k, query_len)
+    steps_s, sol_steps_s = vm["steps_per_s"], vm["sol_steps_per_s"]
 
     ref_s = None
     if compare_reference:
-        refdir = cache / "refrun"
+        # seed-scoped: the cached .fmi image must match THESE codes
+        refdir = cache / f"refrun_s{seed}"
         ref_s = measure_reference_cpu(
             codes, k, d, queries, refdir, threads=1, index=index
         )
 
-    rounds = query_len // k
-    reads_s = num_queries / search_s
-    steps_s = num_queries * rounds / search_s
-    hbm_bw = 8.1e11
-    bytes_per_step = 2 * (4 + 4 * index.config.bitmap_words)
-    sol_steps_s = hbm_bw / bytes_per_step
-    traffic = gather_traffic_bytes(eng, num_queries, query_len)
     vs_baseline = (ref_s / search_s) if ref_s else (steps_s / sol_steps_s)
-
+    detail = {
+        "device": str(jax.devices()[0]),
+        "refsize": refsize,
+        "d": d,
+        "lut_m": lut_m,
+        "reference_cpu_seconds_per_pass": ref_s,
+        "reference_cpu_cores": 1 if ref_s else None,
+        "vs_baseline_single_core": (
+            round(ref_s / search_s, 4) if ref_s else None
+        ),
+        "reference_fed_tpufm_fmi_image": bool(ref_s),
+        "build_seconds": round(build_s, 1),
+        "index_cached": cached,
+        "iterations": iterations,
+    }
+    detail.update(vm["fields"])
     return {
         "metric": f"genome-scale backward-search steps/s/chip (k={k}, d={d}, "
         f"{num_queries} reads x {query_len} bp, {refsize} bases, HBM regime)",
         "value": round(steps_s),
         "unit": "steps/s",
         "vs_baseline": round(vs_baseline, 4),
-        "detail": {
-            "device": str(jax.devices()[0]),
-            "refsize": refsize,
-            "d": d,
-            "lut_m": lut_m,
-            "reads_per_s": round(reads_s),
-            "seconds_per_pass": search_s,
-            "reference_cpu_seconds_per_pass": ref_s,
-            "reference_cpu_cores": 1 if ref_s else None,
-            "vs_baseline_single_core": (
-                round(ref_s / search_s, 4) if ref_s else None
-            ),
-            "reference_fed_tpufm_fmi_image": bool(ref_s),
-            "speed_of_light_steps_per_s": round(sol_steps_s),
-            "fraction_of_sol": round(steps_s / sol_steps_s, 4),
-            "achieved_hbm_gbps": (
-                round(traffic / search_s / 1e9, 2) if traffic else None
-            ),
-            "gathered_bytes_per_pass": traffic,
-            "build_seconds": round(build_s, 1),
-            "index_cached": cached,
-            "bit_exact_vs_oracle": exact,
-            "bit_exact_vs_oracle_sample": exact_oracle,
-            "bit_exact_vs_cpu_engine_full": exact_full,
-            "verified_reads": n_verify,
-            "verified_reads_oracle": n_oracle,
-            "iterations": iterations,
-        },
+        "detail": detail,
     }
 
 

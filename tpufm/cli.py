@@ -511,15 +511,20 @@ def cmd_bench(args):
     if getattr(args, "genome", False):
         from tpufm.bench import run_bench_genome
 
+        # None defaults resolve per mode: the genome record defaults to
+        # 250 Mbase and recommend_config's lut; an EXPLICIT --refsize or
+        # --lut (including --lut 0, the LUT-free HBM path) is honored.
         print(json.dumps(run_bench_genome(
-            refsize=args.refsize if args.refsize != 10_000_000 else 250_000_000,
+            refsize=args.refsize if args.refsize is not None else 250_000_000,
             num_queries=args.numqueries,
             query_len=args.length,
             iterations=args.iterations,
             seed=args.seed,
-            lut_m=args.lut or None,
+            lut_m=args.lut,
         )))
         return
+    args.refsize = args.refsize if args.refsize is not None else 10_000_000
+    args.lut = args.lut if args.lut is not None else 0
     if args.edits and args.mismatches:
         sys.exit("--edits (indel-aware) and --mismatches (substitutions "
                  "only) are different distance models; pass one")
@@ -1911,7 +1916,9 @@ def main(argv=None):
     cn.set_defaults(fn=cmd_count)
 
     be = sub.add_parser("bench", help="synthetic benchmark, one JSON line")
-    be.add_argument("--refsize", type=int, default=10_000_000)
+    be.add_argument("--refsize", type=int, default=None,
+                    help="reference bases (default 10 Mbase; 250 Mbase "
+                         "with --genome)")
     be.add_argument("--k", type=int, default=2)
     be.add_argument("--d", type=int, default=64)
     be.add_argument("--numqueries", type=int, default=131072)
@@ -1919,7 +1926,9 @@ def main(argv=None):
     be.add_argument("--iterations", type=int, default=5)
     be.add_argument("--seed", type=int, default=0)
     be.add_argument("--engine", default="xla")
-    be.add_argument("--lut", type=int, default=0)
+    be.add_argument("--lut", type=int, default=None,
+                    help="prefix-LUT m (default: none; with --genome, "
+                         "recommend_config's pick — pass 0 for LUT-free)")
     be.add_argument("--mismatches", type=int, default=0,
                     help="1 = benchmark Hamming<=1 counting (3L+1 on-device "
                          "variants/read); >=2 = pigeonhole seed-and-extend "

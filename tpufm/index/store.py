@@ -121,7 +121,12 @@ def save_store_sharded(path, index) -> Path:
     import jax
 
     occ, bitmaps = index.occ, index.bitmaps
-    if not isinstance(occ, jax.Array) or occ.is_fully_replicated:
+    # a 1-device mesh is trivially "fully replicated" yet perfectly valid
+    # as a single-shard store; the guard targets replicated MULTI-device
+    # tables, where every process would write overlapping whole copies
+    if not isinstance(occ, jax.Array) or (
+        occ.is_fully_replicated and occ.sharding.num_devices > 1
+    ):
         raise TypeError(
             "save_store_sharded expects row-sharded device tables "
             "(build_index_sharded(..., return_host=False)); use "
@@ -137,7 +142,8 @@ def save_store_sharded(path, index) -> Path:
     shard_len = rows // n_shards
     for arr, name in ((occ, "occ"), (bitmaps, "bitmaps")):
         for sh in arr.addressable_shards:
-            sid = sh.index[0].start // shard_len
+            # a 1-device shard's index is a full slice (start None)
+            sid = (sh.index[0].start or 0) // shard_len
             np.save(root / f"{name}.shard{sid:04d}.npy", np.asarray(sh.data))
     if jax.process_index() == 0:
         _save_arrays(
@@ -193,7 +199,8 @@ def load_store_sharded(path, mesh, axis: str | None = None):
         shape = (rows, *tail_shape)
         bufs = []
         for dev, idx in sharding.addressable_devices_indices_map(shape).items():
-            sid = idx[0].start // shard_len
+            # a 1-device mesh's index is a full slice (start None)
+            sid = (idx[0].start or 0) // shard_len
             arr = np.load(root / f"{name}.shard{sid:04d}.npy", mmap_mode="r")
             bufs.append(jax.device_put(arr, dev))
         return jax.make_array_from_single_device_arrays(shape, sharding, bufs)
