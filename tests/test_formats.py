@@ -113,6 +113,14 @@ def test_recommend_config():
     # k must divide the query length
     assert recommend_config(10_000_000, query_len=8)["k"] == 2
     assert recommend_config(10_000_000, query_len=100)["lut_m"] == 12
+    # serving=True opts into lut15 when it fits and divides the length
+    # (probes 87c/93a/94: +2.4-2.7% in both regimes, 8.6 GB HBM)
+    assert recommend_config(10_000_000, serving=True)["lut_m"] == 15
+    assert recommend_config(250_000_000, serving=True)["lut_m"] == 15
+    # capacity bound: no lut15 co-residency past ~1 Gbase
+    assert recommend_config(3_200_000_000, serving=True)["lut_m"] == 12
+    # k=2 cannot use a 15-mer LUT (15 % 2 != 0)
+    assert recommend_config(10_000_000, query_len=100, serving=True)["lut_m"] == 12
 
 
 def test_encoding_matches_reference_bit_tricks():

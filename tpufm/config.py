@@ -124,8 +124,15 @@ VMEM_FAST_ENTRIES = 210_000
 #: per-base cost and a 3.2 Gbase genome runs single-chip.
 HBM_MAX_D192_BASES = 2_400_000_000
 
+#: largest reference the 8.6 GB 15-mer LUT co-resides with: LUT + the
+#: gather emitter's 2x working copy of the entries table + ~2.4 GB of
+#: loop temps against 15.75 GB of v5e HBM (docs/PERF.md "The LUT
+#: ladder's last rung"; probe 93a capacity bound)
+LUT15_MAX_BASES = 1_000_000_000
 
-def recommend_config(refsize: int, query_len: int = 120) -> dict:
+
+def recommend_config(refsize: int, query_len: int = 120,
+                     serving: bool = False) -> dict:
     """Measured-best single-chip configuration for a reference of `refsize`
     bases (TPU v5e numbers, docs/PERF.md).
 
@@ -160,6 +167,11 @@ def recommend_config(refsize: int, query_len: int = 120) -> dict:
     references where the HBM headroom exists (entries + 8.6 GB + ~2.4 GB
     loop temps must fit 15.75 GB: refs up to ~1 Gbase at d=192).
 
+    serving=True: accept the lut15 trade (8.6 GB HBM + a minutes-long
+    one-time device build for +2.4-2.7% sustained throughput — measured
+    in BOTH regimes, probes 87c/93a/94) whenever it fits and divides the
+    query length; otherwise the default ladder is returned unchanged.
+
     Returns {'k', 'd', 'lut_m'} kwargs for IndexConfig / XLAEngine.
     """
     # k must divide the query length (the per-round fused k-mer contract,
@@ -175,4 +187,14 @@ def recommend_config(refsize: int, query_len: int = 120) -> dict:
     if query_len >= 24:
         # largest m <= 12 with m % k == 0 (then (query_len - m) % k == 0 too)
         lut_m = 12 - (12 % k)
+    if (
+        serving
+        and query_len >= 30
+        and 15 % k == 0
+        # co-residency: 8.6 GB LUT + the gather emitter's 2x working copy
+        # of the entries table must fit 15.75 GB HBM (docs/PERF.md "The
+        # LUT ladder's last rung" + probe 93a's capacity bound)
+        and refsize <= LUT15_MAX_BASES
+    ):
+        lut_m = 15
     return {"k": k, "d": d, "lut_m": lut_m}
