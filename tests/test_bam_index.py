@@ -567,3 +567,69 @@ def test_bgzf_level_knob(monkeypatch):
         monkeypatch.setenv("TPUFM_BGZF_LEVEL", bad)
         with pytest.raises(ValueError, match="TPUFM_BGZF_LEVEL"):
             bgzf_compress(data)
+
+
+def test_sam_stats_counters():
+    """sam_stats over a hand-built SAM with known NM/CIGAR/TLEN/QUAL:
+    every SN value, the RL histogram, and the insert stats are exact."""
+    from tpufm.io.bam_index import sam_stats
+
+    recs = [
+        # proper pair, insert 100, NM=1, Q=30 everywhere ('?'), 10M
+        ["a", "99", "c", "10", "60", "10M", "=", "100", "100",
+         "A" * 10, "?" * 10, "NM:i:1"],
+        ["a", "147", "c", "100", "60", "10M", "=", "10", "-100",
+         "A" * 10, "?" * 10, "NM:i:0"],
+        # proper pair, insert 200, one mate soft-clipped (8 aligned)
+        ["b", "99", "c", "20", "60", "8M2S", "=", "210", "200",
+         "C" * 10, "?" * 10, "NM:i:2"],
+        ["b", "147", "c", "210", "60", "10M", "=", "20", "-200",
+         "C" * 10, "?" * 10, "NM:i:0"],
+        # unpaired mapped, MQ0, no NM tag, 6M (shorter read)
+        ["u", "0", "c", "50", "0", "6M", "*", "0", "0", "G" * 6, "?" * 6],
+        # unmapped, duplicate-flagged
+        ["x", "1029", "*", "0", "0", "*", "*", "0", "0", "T" * 10, "*"],
+        # secondary + supplementary: excluded from sequence counters
+        ["s", "256", "c", "9", "60", "10M", "*", "0", "0", "*", "*"],
+        ["p", "2048", "c", "9", "60", "5M", "*", "0", "0", "A" * 5, "*"],
+    ]
+    s = sam_stats(recs)
+    sn = dict(s["sn"])
+    assert sn["raw total sequences"] == 6
+    assert sn["reads mapped"] == 5
+    assert sn["reads unmapped"] == 1
+    assert sn["reads paired"] == 5  # 4 mates + the paired unmapped dup
+    assert sn["reads properly paired"] == 4
+    assert sn["reads mapped and paired"] == 4
+    assert sn["reads duplicated"] == 1
+    assert sn["reads MQ0"] == 1
+    assert sn["non-primary alignments"] == 1
+    assert sn["supplementary alignments"] == 1
+    assert sn["total length"] == 56
+    assert sn["bases mapped (cigar)"] == 10 + 10 + 8 + 10 + 6
+    assert sn["mismatches"] == 3
+    # error rate over NM-carrying records only: 3 / (10+10+8+10)
+    assert sn["error rate"] == round(3 / 38, 6)
+    assert sn["average length"] == round(56 / 6, 1)
+    assert sn["maximum length"] == 10
+    assert sn["average quality"] == 30.0
+    assert sn["insert size average"] == 150.0
+    assert sn["insert size standard deviation"] == 50.0
+    assert s["rl"] == {6: 1, 10: 5}
+    assert s["is"] == {100: 1, 200: 1}
+
+
+def test_cli_stats(tmp_path, rng, monkeypatch, capsys):
+    """CLI over SAM and BAM produce identical SN/RL/IS lines."""
+    monkeypatch.chdir(tmp_path)
+    contigs = [("cA", 1 << 15)]
+    text = _mk_sam(rng, 200, contigs)
+    open("a.sam", "w").write(text)
+    write_bam_indexed("a.bam", text)
+    capsys.readouterr()
+    cli.main(["stats", "a.sam"])
+    out_sam = capsys.readouterr().out
+    assert "SN\traw total sequences:" in out_sam
+    cli.main(["stats", "a.bam", "--output", "b.txt"])
+    # BAM decode round trip preserves every counter
+    assert open("b.txt").read() == out_sam

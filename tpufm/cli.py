@@ -1633,6 +1633,29 @@ def cmd_idxstats(args):
         print(f"{name}\t{length}\t{n_mapped}\t{n_unmapped}")
 
 
+def cmd_stats(args):
+    """samtools-stats-style summary over a SAM/BAM file: the SN section
+    plus RL (read length) and IS (insert size) histograms, in the
+    grep-able 'SN\\tname:\\tvalue' line format downstream QC expects."""
+    from tpufm.io.bam_index import sam_stats
+
+    records = (l.split("\t")
+               for l in _read_sam_or_bam(args.input).splitlines()
+               if l and not l.startswith("@"))
+    s = sam_stats(records)
+    dest = open(args.output, "w") if args.output else sys.stdout
+    print("# subset of `samtools stats`: SN + RL + IS sections; filter "
+          "like `tpufm stats f.bam | grep ^SN | cut -f 2-`", file=dest)
+    for name, value in s["sn"]:
+        print(f"SN\t{name}:\t{value}", file=dest)
+    for length, count in s["rl"].items():
+        print(f"RL\t{length}\t{count}", file=dest)
+    for size, count in s["is"].items():
+        print(f"IS\t{size}\t{count}", file=dest)
+    if args.output:
+        dest.close()
+
+
 def _parse_region(region: str):
     """'chr' or 'chr:beg-end' (1-based inclusive, samtools style) ->
     (contig, beg0, end_or_None) half-open."""
@@ -2137,6 +2160,13 @@ def main(argv=None):
     )
     ix.add_argument("input", help="SAM or BAM")
     ix.set_defaults(fn=cmd_idxstats)
+
+    st = sub.add_parser(
+        "stats", help="samtools-stats-style summary (SN + RL + IS sections)"
+    )
+    st.add_argument("input", help="SAM or BAM")
+    st.add_argument("--output", default=None)
+    st.set_defaults(fn=cmd_stats)
 
     dp = sub.add_parser(
         "depth", help="per-position coverage (samtools depth semantics)"

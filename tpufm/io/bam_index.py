@@ -536,3 +536,118 @@ def flagstat(records) -> dict[str, int]:
             c["read1"] += bool(flag & 0x40)
             c["read2"] += bool(flag & 0x80)
     return c
+
+
+def sam_stats(records):
+    """samtools-stats-style summary over SAM field lists: the SN
+    (summary numbers) section plus the RL (read length) and IS (insert
+    size) histograms — the subset downstream QC tooling consumes most.
+    The reference suite's only output is interval pairs
+    (common/searchQueries.c:100-118); this closes the alignment-QC loop
+    the same way depth/flagstat/idxstats do.
+
+    Semantics follow `samtools stats`: sequence-level counters run over
+    PRIMARY records (secondary 0x100 and supplementary 0x800 excluded,
+    tallied separately); "bases mapped (cigar)" sums M/=/X/I of mapped
+    primaries; error rate = sum(NM)/bases-mapped-cigar over records
+    carrying an NM tag; insert stats run over properly-paired records
+    with TLEN > 0 (each pair counted once, leftmost mate).
+
+    Returns {"sn": [(name, value), ...] in print order,
+             "rl": {length: count}, "is": {size: count}}.
+    """
+    import re
+
+    cig_re = re.compile(r"(\d+)([MIDNSHP=X])")
+    n = dict(raw=0, mapped=0, unmapped=0, paired=0, proper=0,
+             mapped_paired=0, singletons=0, dup=0, mq0=0, qcfail=0,
+             first=0, last=0, secondary=0, supplementary=0)
+    total_len = max_len = 0
+    nm_sum = 0
+    nm_bases = 0  # cigar-mapped bases of records that carried an NM tag
+    bases_cigar = 0
+    qual_sum = 0
+    qual_n = 0
+    rl: dict[int, int] = {}
+    ins: dict[int, int] = {}
+    for f in records:
+        flag = int(f[1])
+        if flag & 0x100:
+            n["secondary"] += 1
+            continue
+        if flag & 0x800:
+            n["supplementary"] += 1
+            continue
+        n["raw"] += 1
+        L = 0 if f[9] == "*" else len(f[9])
+        total_len += L
+        max_len = max(max_len, L)
+        if L:
+            rl[L] = rl.get(L, 0) + 1
+        if f[10] != "*":
+            qual_sum += sum(ord(c) - 33 for c in f[10])
+            qual_n += len(f[10])
+        n["dup"] += bool(flag & 0x400)
+        n["qcfail"] += bool(flag & 0x200)
+        if flag & 0x1:
+            n["paired"] += 1
+            n["first"] += bool(flag & 0x40)
+            n["last"] += bool(flag & 0x80)
+        if flag & 0x4:
+            n["unmapped"] += 1
+            continue
+        n["mapped"] += 1
+        n["mq0"] += f[4] != "*" and int(f[4]) == 0
+        if flag & 0x1:
+            n["mapped_paired"] += 1
+            n["singletons"] += bool(flag & 0x8)
+            if flag & 0x2:
+                n["proper"] += 1
+                tlen = int(f[8])
+                if tlen > 0:
+                    ins[tlen] = ins.get(tlen, 0) + 1
+        cig = 0
+        if f[5] != "*":
+            cig = sum(int(num) for num, op in cig_re.findall(f[5])
+                      if op in "MI=X")
+            bases_cigar += cig
+        for tag in f[11:]:
+            if tag.startswith("NM:i:"):
+                nm_sum += int(tag[5:])
+                nm_bases += cig
+                break
+    total_pairs = sum(ins.values())
+    ins_avg = (sum(s * c for s, c in ins.items()) / total_pairs
+               if total_pairs else 0.0)
+    ins_sd = (
+        (sum(c * (s - ins_avg) ** 2 for s, c in ins.items())
+         / total_pairs) ** 0.5 if total_pairs else 0.0
+    )
+    sn = [
+        ("raw total sequences", n["raw"]),
+        ("filtered sequences", 0),
+        ("sequences", n["raw"]),
+        ("1st fragments", n["first"]),
+        ("last fragments", n["last"]),
+        ("reads mapped", n["mapped"]),
+        ("reads mapped and paired", n["mapped_paired"]),
+        ("reads unmapped", n["unmapped"]),
+        ("reads properly paired", n["proper"]),
+        ("reads paired", n["paired"]),
+        ("reads duplicated", n["dup"]),
+        ("reads MQ0", n["mq0"]),
+        ("reads QC failed", n["qcfail"]),
+        ("non-primary alignments", n["secondary"]),
+        ("supplementary alignments", n["supplementary"]),
+        ("total length", total_len),
+        ("bases mapped (cigar)", bases_cigar),
+        ("mismatches", nm_sum),
+        ("error rate", round(nm_sum / nm_bases, 6) if nm_bases else 0.0),
+        ("average length", round(total_len / n["raw"], 1) if n["raw"] else 0),
+        ("maximum length", max_len),
+        ("average quality", round(qual_sum / qual_n, 1) if qual_n else 0.0),
+        ("insert size average", round(ins_avg, 1)),
+        ("insert size standard deviation", round(ins_sd, 1)),
+    ]
+    return {"sn": sn, "rl": dict(sorted(rl.items())),
+            "is": dict(sorted(ins.items()))}
