@@ -633,3 +633,45 @@ def test_cli_stats(tmp_path, rng, monkeypatch, capsys):
     cli.main(["stats", "a.bam", "--output", "b.txt"])
     # BAM decode round trip preserves every counter
     assert open("b.txt").read() == out_sam
+
+
+def test_bedcov_matches_depth_sum(tmp_path, rng, monkeypatch, capsys):
+    """bedcov == sum of depth() over each region, via both the indexed
+    BAM path and the SAM full-scan path; bad BED and unknown contigs
+    error cleanly."""
+    from tpufm.io.bam_index import bedcov, depth, read_bed
+
+    monkeypatch.chdir(tmp_path)
+    contigs = [("cA", 1 << 16), ("cB", 1 << 15)]
+    text = _mk_sam(rng, 300, contigs)
+    open("a.sam", "w").write(text)
+    write_bam_indexed("a.bam", text)
+    header = "".join(l for l in text.splitlines(keepends=True)
+                     if l.startswith("@"))
+    recs = [l.split("\t") for l in text.splitlines()
+            if l and not l.startswith("@")]
+    regions = [("cA", 100, 5000), ("cA", 0, 1 << 16), ("cB", 4000, 4001),
+               ("cB", 30000, 32000)]
+    open("r.bed", "w").write(
+        "track name=x\n# comment\n"
+        + "".join(f"{c}\t{b}\t{e}\textra\n" for c, b, e in regions))
+    assert read_bed("r.bed") == regions
+    want = [
+        (c, b, e, sum(d for _, _, d in depth(header, recs, region=(c, b, e))))
+        for c, b, e in regions
+    ]
+    got = list(bedcov(header, lambda c, b, e: recs, regions))
+    assert got == want
+    want_lines = [f"{c}\t{b}\t{e}\t{t}" for c, b, e, t in want]
+    capsys.readouterr()
+    cli.main(["bedcov", "a.sam", "r.bed"])
+    assert capsys.readouterr().out.splitlines() == want_lines
+    cli.main(["bedcov", "a.bam", "r.bed", "--output", "o.txt"])
+    assert open("o.txt").read().splitlines() == want_lines
+    open("bad.bed", "w").write("cA\t5\n")
+    with pytest.raises(SystemExit, match="BED needs"):
+        cli.main(["bedcov", "a.sam", "bad.bed"])
+    open("zz.bed", "w").write("chrZ\t0\t10\n")
+    for inp in ("a.sam", "a.bam"):
+        with pytest.raises(SystemExit, match="not a contig"):
+            cli.main(["bedcov", inp, "zz.bed"])

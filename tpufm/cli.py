@@ -1674,6 +1674,51 @@ def _parse_region(region: str):
     return contig, beg, end
 
 
+def cmd_bedcov(args):
+    """samtools-bedcov-style per-region coverage sums: one
+    'contig\\tbeg\\tend\\tsum' row per BED region. Indexed BAMs answer
+    each region from the .bai; SAM/plain BAM fall back to one full scan
+    shared across regions."""
+    import os
+
+    from tpufm.io.bam_index import (IndexedBam, bedcov, decode_record,
+                                    read_bed)
+
+    try:
+        regions = read_bed(args.bed)
+    except ValueError as e:
+        sys.exit(str(e))
+    with open(args.input, "rb") as fp:
+        is_bam = fp.read(4) == b"\x1f\x8b\x08\x04"
+    if is_bam and os.path.exists(args.input + ".bai"):
+        ib = IndexedBam(args.input)
+        names = set(ib.ref_names)
+        header = ib.header_text
+
+        def fetch(contig, beg, end):
+            return [decode_record(r, ib.ref_names)
+                    for r in ib.query(contig, beg, end)]
+    else:
+        text = _read_sam_or_bam(args.input)
+        header = "".join(l for l in text.splitlines(keepends=True)
+                         if l.startswith("@"))
+        all_recs = [l.split("\t") for l in text.splitlines()
+                    if l and not l.startswith("@")]
+        names = {f[3:] for l in header.splitlines() if l.startswith("@SQ")
+                 for f in l.split("\t") if f.startswith("SN:")}
+
+        def fetch(contig, beg, end):
+            return all_recs  # depth() clips to the region window
+    bad = [c for c, _, _ in regions if c not in names]
+    if bad:
+        sys.exit(f"{bad[0]!r} is not a contig of {args.input}")
+    dest = open(args.output, "w") if args.output else sys.stdout
+    for contig, beg, end, total in bedcov(header, fetch, regions):
+        dest.write(f"{contig}\t{beg}\t{end}\t{total}\n")
+    if args.output:
+        dest.close()
+
+
 def cmd_depth(args):
     """Per-position coverage, samtools-depth semantics (skip unmapped/
     secondary/qcfail/dup; only M/=/X cover). With a REGION and an
@@ -2167,6 +2212,14 @@ def main(argv=None):
     st.add_argument("input", help="SAM or BAM")
     st.add_argument("--output", default=None)
     st.set_defaults(fn=cmd_stats)
+
+    bc = sub.add_parser(
+        "bedcov", help="per-BED-region coverage sums (samtools bedcov)"
+    )
+    bc.add_argument("input", help="SAM or BAM")
+    bc.add_argument("bed", help="BED3+ file of regions")
+    bc.add_argument("--output", default=None)
+    bc.set_defaults(fn=cmd_bedcov)
 
     dp = sub.add_parser(
         "depth", help="per-position coverage (samtools depth semantics)"

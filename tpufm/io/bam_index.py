@@ -651,3 +651,35 @@ def sam_stats(records):
     ]
     return {"sn": sn, "rl": dict(sorted(rl.items())),
             "is": dict(sorted(ins.items()))}
+
+
+def bedcov(header_text: str, records_by_region, regions):
+    """samtools-bedcov-style rows: for each BED region (contig, beg0,
+    end0), the SUM of per-base depth over the region (samtools bedcov's
+    default output column). `records_by_region` is a callable
+    (contig, beg0, end0) -> SAM field lists overlapping the region —
+    an IndexedBam query for indexed BAMs, or a full-scan closure for
+    SAM text. Yields (contig, beg0, end0, coverage_sum)."""
+    for contig, beg, end in regions:
+        total = 0
+        recs = records_by_region(contig, beg, end)
+        for _, _, d in depth(header_text, recs, region=(contig, beg, end)):
+            total += d
+        yield contig, beg, end, total
+
+
+def read_bed(path):
+    """Minimal BED3 reader: (contig, beg0, end0) per line; track/browser/
+    comment lines skipped; extra columns ignored."""
+    out = []
+    with open(path) as fp:
+        for ln, line in enumerate(fp, 1):
+            line = line.strip()
+            if (not line or line.startswith("#")
+                    or line.startswith(("track", "browser"))):
+                continue
+            f = line.split("\t") if "\t" in line else line.split()
+            if len(f) < 3:
+                raise ValueError(f"{path}:{ln}: BED needs >=3 columns")
+            out.append((f[0], int(f[1]), int(f[2])))
+    return out
