@@ -675,3 +675,83 @@ def test_bedcov_matches_depth_sum(tmp_path, rng, monkeypatch, capsys):
     for inp in ("a.sam", "a.bam"):
         with pytest.raises(SystemExit, match="not a contig"):
             cli.main(["bedcov", inp, "zz.bed"])
+
+
+def test_unclipped_5p():
+    from tpufm.io.bam_index import _unclipped_5p
+
+    # forward: leading clips subtract from POS
+    assert _unclipped_5p(100, "10M", False) == 100
+    assert _unclipped_5p(100, "5S10M", False) == 95
+    assert _unclipped_5p(100, "3H2S10M", False) == 95
+    # reverse: 5' end is the reference end plus trailing clips
+    assert _unclipped_5p(100, "10M", True) == 109
+    assert _unclipped_5p(100, "10M4S", True) == 113
+    assert _unclipped_5p(100, "2S6M2D4M3S2H", True) == 100 + 12 - 1 + 5
+    # deletions consume reference, insertions do not
+    assert _unclipped_5p(50, "5M2I5M", True) == 59
+
+
+def test_markdup_semantics():
+    """Planted duplicate groups: clipped duplicates share a key, the
+    best-QUAL record survives, pairs mark as templates, secondary /
+    unmapped records pass through untouched."""
+    from tpufm.io.bam_index import markdup
+
+    recs = [
+        # single-end group: same unclipped 5' (95) despite clipping;
+        # r1 has higher QUAL sum and must survive
+        ["r1", "0", "c", "96", "60", "10M", "*", "0", "0", "A" * 10, "I" * 10],
+        ["r2", "0", "c", "101", "60", "5S5M", "*", "0", "0", "A" * 10, "#" * 10],
+        # reverse read at a different 5': NOT in the group
+        ["r3", "16", "c", "96", "60", "10M", "*", "0", "0", "A" * 10, "I" * 10],
+        # paired template duplicated: both mates of the 2nd pair mark
+        ["p1", "99", "c", "10", "60", "10M", "=", "60", "60", "C" * 10, "I" * 10],
+        ["p1", "147", "c", "60", "60", "10M", "=", "10", "-60", "C" * 10, "I" * 10],
+        ["p2", "99", "c", "10", "60", "10M", "=", "60", "60", "C" * 10, "#" * 10],
+        ["p2", "147", "c", "60", "60", "10M", "=", "10", "-60", "C" * 10, "#" * 10],
+        # secondary and unmapped: never marked, never group
+        ["r1", "256", "c", "96", "60", "10M", "*", "0", "0", "*", "*"],
+        ["u1", "4", "*", "0", "0", "*", "*", "0", "0", "T" * 5, "*"],
+    ]
+    out, n = markdup(recs)
+    flags = [int(f[1]) for f in out]
+    assert n == 3
+    assert not flags[0] & 0x400 and flags[1] & 0x400  # best QUAL survives
+    assert not flags[2] & 0x400
+    assert not flags[3] & 0x400 and not flags[4] & 0x400
+    assert flags[5] & 0x400 and flags[6] & 0x400  # whole template marks
+    assert flags[7] == 256 and flags[8] == 4  # untouched
+    # marked duplicates disappear from depth/flagstat/stats automatically
+    from tpufm.io.bam_index import depth, sam_stats
+
+    header = "@SQ\tSN:c\tLN:1000\n"
+    base = [r for r in out if not int(r[1]) & 0x400 and r[2] != "*"
+            and not int(r[1]) & 0x100]
+    assert list(depth(header, out)) == list(depth(header, base))
+    assert dict(sam_stats(iter(out))["sn"])["reads duplicated"] == 3
+
+
+def test_cli_markdup(tmp_path, rng, monkeypatch, capsys):
+    """CLI round trip: duplicate a few records of a synthetic SAM, mark,
+    and check the marked BAM's flagstat-visible duplicate count."""
+    monkeypatch.chdir(tmp_path)
+    text = _mk_sam(rng, 100, [("c", 1 << 16)])
+    lines = text.splitlines()
+    body = [l for l in lines if not l.startswith("@")]
+    # duplicate 5 primary mapped records verbatim (worse name, same QUAL)
+    dups = [l for l in body if not int(l.split("\t")[1]) & (0x100 | 0x4)][:5]
+    open("a.sam", "w").write(
+        "\n".join([l for l in lines if l.startswith("@")] + body + dups) + "\n")
+    capsys.readouterr()
+    cli.main(["markdup", "a.sam", "--output", "m.bam"])
+    assert "5 duplicates marked" in capsys.readouterr().out
+    from tpufm.io.bam import read_bam
+
+    _, recs = read_bam("m.bam")
+    assert sum(bool(int(f[1]) & 0x400) for f in recs) == 5
+    # SAM output path
+    cli.main(["markdup", "a.sam", "--output", "m.sam"])
+    marked = [l for l in open("m.sam").read().splitlines()
+              if not l.startswith("@")]
+    assert sum(bool(int(l.split("\t")[1]) & 0x400) for l in marked) == 5

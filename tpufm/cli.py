@@ -1519,6 +1519,35 @@ def cmd_sort(args):
     print(f"wrote {out} + {out}.bai")
 
 
+def cmd_markdup(args):
+    """Mark PCR/optical duplicates (samtools-markdup-style): primary
+    mapped records sharing a template key — (ref, unclipped 5' pos,
+    strand) plus the mate's (ref, pos, strand) for proper pairs — are
+    grouped; the highest-QUAL record keeps its flags, the rest gain
+    0x400. Output is a sorted, indexed BAM (or SAM with an .sam
+    --output). `tpufm stats`/`depth`/`flagstat` then exclude the marked
+    records automatically."""
+    from tpufm.io.bam_index import markdup, write_bam_indexed
+
+    text = _read_sam_or_bam(args.input)
+    header = [l for l in text.splitlines() if l.startswith("@")]
+    records = [l.split("\t") for l in text.splitlines()
+               if l and not l.startswith("@")]
+    marked, n = markdup(records)
+    out_text = "\n".join(header + ["\t".join(f) for f in marked]) + "\n"
+    out = args.output or (args.input.rsplit(".", 1)[0] + ".markdup.bam")
+    if out.endswith(".sam"):
+        with open(out, "w") as fp:
+            fp.write(out_text)
+        print(f"wrote {out} ({n} duplicates marked)")
+    else:
+        try:
+            write_bam_indexed(out, out_text)
+        except ValueError as e:
+            sys.exit(f"cannot write {out}: {e}")
+        print(f"wrote {out} + {out}.bai ({n} duplicates marked)")
+
+
 def cmd_merge(args):
     """Merge SAM/BAM files into one coordinate-sorted, indexed BAM —
     the scatter-gather companion to per-shard alignment (each shard
@@ -2205,6 +2234,15 @@ def main(argv=None):
     )
     ix.add_argument("input", help="SAM or BAM")
     ix.set_defaults(fn=cmd_idxstats)
+
+    md = sub.add_parser(
+        "markdup", help="mark duplicate templates (samtools markdup)"
+    )
+    md.add_argument("input", help="SAM or BAM")
+    md.add_argument("--output", default=None,
+                    help="output path (.sam for SAM; default "
+                         "<input>.markdup.bam, sorted + indexed)")
+    md.set_defaults(fn=cmd_markdup)
 
     st = sub.add_parser(
         "stats", help="samtools-stats-style summary (SN + RL + IS sections)"

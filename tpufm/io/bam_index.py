@@ -683,3 +683,82 @@ def read_bed(path):
                 raise ValueError(f"{path}:{ln}: BED needs >=3 columns")
             out.append((f[0], int(f[1]), int(f[2])))
     return out
+
+
+def _unclipped_5p(pos0: int, cigar: str, reverse: bool):
+    """Unclipped 5' coordinate of a record (samtools-markdup keying):
+    forward reads subtract leading soft/hard clips from POS; reverse
+    reads take the reference end plus trailing clips (their 5' end is
+    the right edge). Duplicates from the same template get the same
+    key even when clipping differs."""
+    import re
+
+    ops = re.findall(r"(\d+)([MIDNSHP=X])", cigar)
+    if not reverse:
+        lead = 0
+        for n, op in ops:
+            if op in "SH":
+                lead += int(n)
+            else:
+                break
+        return pos0 - lead
+    end = pos0
+    tail = 0
+    seen_aligned = False
+    for n, op in ops:
+        if op in "MDN=X":
+            end += int(n)
+            seen_aligned = True
+            tail = 0
+        elif op in "SH":
+            tail += int(n)
+        # I/P consume nothing on the reference
+    return end - 1 + tail if seen_aligned else pos0
+
+
+def markdup(records):
+    """samtools-markdup-style duplicate flagging over SAM field lists
+    (any order): primary mapped records sharing a template key are
+    grouped; the highest-quality record per group keeps its flags, the
+    rest gain 0x400. Returns (records_with_flags_updated, n_marked).
+
+    Template key, per samtools markdup's model: paired records (both
+    mates mapped) key on (own ref, unclipped 5' pos, own strand,
+    mate ref, mate pos, mate strand) so both mates of a duplicate
+    template mark together; single-end / mate-unmapped records key on
+    (ref, unclipped 5' pos, strand) only. Secondary/supplementary/
+    unmapped records are never marked and never define a group (they
+    pass through untouched); QUAL sum breaks ties (first wins equals),
+    matching the 'best quality original' rule."""
+    groups: dict[tuple, list[int]] = {}
+    for i, f in enumerate(records):
+        flag = int(f[1])
+        if flag & (0x4 | 0x100 | 0x800):
+            continue
+        rev = bool(flag & 0x10)
+        key5 = _unclipped_5p(int(f[3]) - 1, f[5], rev)
+        if flag & 0x1 and not flag & 0x8:
+            mate_ref = f[2] if f[6] == "=" else f[6]
+            key = (f[2], key5, rev, bool(flag & 0x40),
+                   mate_ref, int(f[7]), bool(flag & 0x20))
+        else:
+            key = (f[2], key5, rev)
+        groups.setdefault(key, []).append(i)
+    n_marked = 0
+    out = [list(f) for f in records]
+    for idxs in groups.values():
+        if len(idxs) < 2:
+            continue
+        best = max(
+            idxs,
+            key=lambda i: (
+                sum(ord(c) - 33 for c in records[i][10])
+                if records[i][10] != "*" else 0,
+                -i,  # stable: earliest record wins quality ties
+            ),
+        )
+        for i in idxs:
+            if i != best:
+                out[i][1] = str(int(out[i][1]) | 0x400)
+                n_marked += 1
+    return out, n_marked
