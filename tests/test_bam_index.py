@@ -653,16 +653,20 @@ def test_bedcov_matches_depth_sum(tmp_path, rng, monkeypatch, capsys):
     regions = [("cA", 100, 5000), ("cA", 0, 1 << 16), ("cB", 4000, 4001),
                ("cB", 30000, 32000)]
     open("r.bed", "w").write(
-        "track name=x\n# comment\n"
+        "track name=x\nbrowser position cA:1-100\n# comment\n"
         + "".join(f"{c}\t{b}\t{e}\textra\n" for c, b, e in regions))
-    assert read_bed("r.bed") == regions
+    assert [(c, b, e) for c, b, e, _ in read_bed("r.bed")] == regions
+    # a contig literally named track_1 is DATA, not a directive
+    open("t.bed", "w").write("track_1\t0\t10\n")
+    assert read_bed("t.bed")[0][:3] == ("track_1", 0, 10)
     want = [
         (c, b, e, sum(d for _, _, d in depth(header, recs, region=(c, b, e))))
         for c, b, e in regions
     ]
     got = list(bedcov(header, lambda c, b, e: recs, regions))
     assert got == want
-    want_lines = [f"{c}\t{b}\t{e}\t{t}" for c, b, e, t in want]
+    # CLI echoes every original BED column and appends the sum
+    want_lines = [f"{c}\t{b}\t{e}\textra\t{t}" for c, b, e, t in want]
     capsys.readouterr()
     cli.main(["bedcov", "a.sam", "r.bed"])
     assert capsys.readouterr().out.splitlines() == want_lines
@@ -671,6 +675,9 @@ def test_bedcov_matches_depth_sum(tmp_path, rng, monkeypatch, capsys):
     open("bad.bed", "w").write("cA\t5\n")
     with pytest.raises(SystemExit, match="BED needs"):
         cli.main(["bedcov", "a.sam", "bad.bed"])
+    open("bad2.bed", "w").write("cA\tx\t9\n")
+    with pytest.raises(SystemExit, match="BED needs"):
+        cli.main(["bedcov", "a.sam", "bad2.bed"])
     open("zz.bed", "w").write("chrZ\t0\t10\n")
     for inp in ("a.sam", "a.bam"):
         with pytest.raises(SystemExit, match="not a contig"):
@@ -730,6 +737,56 @@ def test_markdup_semantics():
             and not int(r[1]) & 0x100]
     assert list(depth(header, out)) == list(depth(header, base))
     assert dict(sam_stats(iter(out))["sn"])["reads duplicated"] == 3
+
+
+def test_markdup_template_level():
+    """Duplicate pairs mark as WHOLE templates: the survivor is the pair
+    with the best combined QUAL — never a per-mate mix — and a duplicate
+    whose mate copy is soft-clipped (different PNEXT) still collides via
+    the mates' own unclipped-5' keys."""
+    from tpufm.io.bam_index import markdup
+
+    # p1: r1 QUAL high / r2 low; p2: r1 low / r2 high. Combined sums are
+    # equal-ish but p1 wins (I=40 vs 5 gives p1 400+50, p2 50+400: tie ->
+    # earliest template wins); both p2 mates must mark TOGETHER.
+    recs = [
+        ["p1", "99", "c", "10", "60", "10M", "=", "200", "200", "A" * 10, "I" * 10],
+        ["p1", "147", "c", "200", "60", "10M", "=", "10", "-200", "A" * 10, "#" * 10],
+        ["p2", "99", "c", "10", "60", "10M", "=", "200", "200", "A" * 10, "#" * 10],
+        ["p2", "147", "c", "200", "60", "10M", "=", "10", "-200", "A" * 10, "I" * 10],
+    ]
+    out, n = markdup(recs)
+    flags = [int(f[1]) for f in out]
+    assert n == 2
+    assert not flags[0] & 0x400 and not flags[1] & 0x400
+    assert flags[2] & 0x400 and flags[3] & 0x400
+    # clipped-mate duplicate: U's read2 lost 2 bases at its 3' end (the
+    # reference-left edge of a reverse read), so its POS is 202 and the
+    # read1 copies carry DIFFERENT PNEXTs — but the unclipped 5' (right
+    # edge, 208) matches T's read2, so the template must still fully mark
+    recs2 = [
+        ["T", "99", "c", "100", "60", "10M", "=", "200", "110", "C" * 10, "I" * 10],
+        ["T", "147", "c", "200", "60", "10M", "=", "100", "-110", "C" * 10, "I" * 10],
+        ["U", "99", "c", "100", "60", "10M", "=", "202", "110", "C" * 10, "#" * 10],
+        ["U", "147", "c", "202", "60", "2S8M", "=", "100", "-110", "C" * 10, "#" * 10],
+    ]
+    out2, n2 = markdup(recs2)
+    flags2 = [int(f[1]) for f in out2]
+    assert n2 == 2
+    assert not flags2[0] & 0x400 and not flags2[1] & 0x400
+    assert flags2[2] & 0x400 and flags2[3] & 0x400
+
+
+def test_sam_stats_singleton_not_mapped_and_paired():
+    """A mapped read whose mate is unmapped (flag 0x8) is a singleton:
+    samtools stats does NOT count it in 'reads mapped and paired'."""
+    from tpufm.io.bam_index import sam_stats
+
+    recs = [["s", "73", "c", "10", "60", "5M", "=", "10", "0",
+             "ACGTA", "IIIII"]]
+    sn = dict(sam_stats(recs)["sn"])
+    assert sn["reads mapped"] == 1
+    assert sn["reads mapped and paired"] == 0
 
 
 def test_cli_markdup(tmp_path, rng, monkeypatch, capsys):

@@ -1704,19 +1704,20 @@ def _parse_region(region: str):
 
 
 def cmd_bedcov(args):
-    """samtools-bedcov-style per-region coverage sums: one
-    'contig\\tbeg\\tend\\tsum' row per BED region. Indexed BAMs answer
-    each region from the .bai; SAM/plain BAM fall back to one full scan
-    shared across regions."""
+    """samtools-bedcov-style per-region coverage sums: every original
+    BED column echoed back with the region's coverage sum appended.
+    Indexed BAMs answer each region from the .bai; SAM/plain BAM run ONE
+    full scan, bucketed per contig, shared across all regions."""
     import os
 
     from tpufm.io.bam_index import (IndexedBam, bedcov, decode_record,
                                     read_bed)
 
     try:
-        regions = read_bed(args.bed)
+        rows = read_bed(args.bed)
     except ValueError as e:
         sys.exit(str(e))
+    regions = [(c, b, e) for c, b, e, _ in rows]
     with open(args.input, "rb") as fp:
         is_bam = fp.read(4) == b"\x1f\x8b\x08\x04"
     if is_bam and os.path.exists(args.input + ".bai"):
@@ -1731,19 +1732,25 @@ def cmd_bedcov(args):
         text = _read_sam_or_bam(args.input)
         header = "".join(l for l in text.splitlines(keepends=True)
                          if l.startswith("@"))
-        all_recs = [l.split("\t") for l in text.splitlines()
-                    if l and not l.startswith("@")]
+        by_contig: dict[str, list] = {}
+        for l in text.splitlines():
+            if l and not l.startswith("@"):
+                f = l.split("\t")
+                by_contig.setdefault(f[2], []).append(f)
         names = {f[3:] for l in header.splitlines() if l.startswith("@SQ")
                  for f in l.split("\t") if f.startswith("SN:")}
 
         def fetch(contig, beg, end):
-            return all_recs  # depth() clips to the region window
+            # depth() clips the contig's bucket to the region window
+            return by_contig.get(contig, [])
     bad = [c for c, _, _ in regions if c not in names]
     if bad:
         sys.exit(f"{bad[0]!r} is not a contig of {args.input}")
     dest = open(args.output, "w") if args.output else sys.stdout
-    for contig, beg, end, total in bedcov(header, fetch, regions):
-        dest.write(f"{contig}\t{beg}\t{end}\t{total}\n")
+    for (_, _, _, fields), (_c, _b, _e, total) in zip(
+        rows, bedcov(header, fetch, regions)
+    ):
+        dest.write("\t".join(fields) + f"\t{total}\n")
     if args.output:
         dest.close()
 

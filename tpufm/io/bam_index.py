@@ -393,22 +393,27 @@ def idxstats(header_text: str, records):
 _CIG_RE = None  # compiled lazily; regex import stays off the module path
 
 
+def _cig_ops(cigar: str):
+    """[(count, op), ...] via the shared lazily-compiled CIGAR regex."""
+    global _CIG_RE
+    if _CIG_RE is None:
+        import re
+
+        _CIG_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+    return _CIG_RE.findall(cigar)
+
+
 def _cigar_cover(cigar: str, pos0: int):
     """Reference intervals [(beg, end)) that a record's aligned bases
     COVER, walking the CIGAR from pos0: M/=/X cover and consume, D/N
     consume without covering (samtools depth likewise skips deletions
     and introns), I/S/H/P consume nothing. '*' (mapped-no-CIGAR) covers
     nothing — samtools depth/pileup gives such records zero coverage."""
-    global _CIG_RE
     if cigar == "*":
         return []
-    if _CIG_RE is None:
-        import re
-
-        _CIG_RE = re.compile(r"(\d+)([MIDNSHP=X])")
     spans = []
     p = pos0
-    for n, op in _CIG_RE.findall(cigar):
+    for n, op in _cig_ops(cigar):
         n = int(n)
         if op in "M=X":
             spans.append((p, p + n))
@@ -548,19 +553,18 @@ def sam_stats(records):
 
     Semantics follow `samtools stats`: sequence-level counters run over
     PRIMARY records (secondary 0x100 and supplementary 0x800 excluded,
-    tallied separately); "bases mapped (cigar)" sums M/=/X/I of mapped
-    primaries; error rate = sum(NM)/bases-mapped-cigar over records
-    carrying an NM tag; insert stats run over properly-paired records
-    with TLEN > 0 (each pair counted once, leftmost mate).
+    tallied separately); "reads mapped and paired" requires BOTH mates
+    mapped (a mapped read with an unmapped mate — a singleton — does not
+    count, matching samtools); "bases mapped (cigar)" sums M/=/X/I of
+    mapped primaries; error rate = sum(NM)/bases-mapped-cigar over
+    records carrying an NM tag; insert stats run over properly-paired
+    records with TLEN > 0 (each pair counted once, leftmost mate).
 
     Returns {"sn": [(name, value), ...] in print order,
              "rl": {length: count}, "is": {size: count}}.
     """
-    import re
-
-    cig_re = re.compile(r"(\d+)([MIDNSHP=X])")
     n = dict(raw=0, mapped=0, unmapped=0, paired=0, proper=0,
-             mapped_paired=0, singletons=0, dup=0, mq0=0, qcfail=0,
+             mapped_paired=0, dup=0, mq0=0, qcfail=0,
              first=0, last=0, secondary=0, supplementary=0)
     total_len = max_len = 0
     nm_sum = 0
@@ -599,8 +603,7 @@ def sam_stats(records):
         n["mapped"] += 1
         n["mq0"] += f[4] != "*" and int(f[4]) == 0
         if flag & 0x1:
-            n["mapped_paired"] += 1
-            n["singletons"] += bool(flag & 0x8)
+            n["mapped_paired"] += not flag & 0x8
             if flag & 0x2:
                 n["proper"] += 1
                 tlen = int(f[8])
@@ -608,7 +611,7 @@ def sam_stats(records):
                     ins[tlen] = ins.get(tlen, 0) + 1
         cig = 0
         if f[5] != "*":
-            cig = sum(int(num) for num, op in cig_re.findall(f[5])
+            cig = sum(int(num) for num, op in _cig_ops(f[5])
                       if op in "MI=X")
             bases_cigar += cig
         for tag in f[11:]:
@@ -669,19 +672,30 @@ def bedcov(header_text: str, records_by_region, regions):
 
 
 def read_bed(path):
-    """Minimal BED3 reader: (contig, beg0, end0) per line; track/browser/
-    comment lines skipped; extra columns ignored."""
+    """Minimal BED3+ reader: (contig, beg0, end0, original_fields) per
+    data line, extra columns preserved for echo-through (samtools bedcov
+    prints them back). Comment lines skip; track/browser DIRECTIVE lines
+    skip only when they do not parse as a data row, so a contig actually
+    named 'track_1' (or even 'track') still works."""
     out = []
     with open(path) as fp:
         for ln, line in enumerate(fp, 1):
-            line = line.strip()
-            if (not line or line.startswith("#")
-                    or line.startswith(("track", "browser"))):
+            line = line.rstrip("\n").rstrip("\r")
+            if not line or line.lstrip().startswith("#"):
                 continue
             f = line.split("\t") if "\t" in line else line.split()
-            if len(f) < 3:
-                raise ValueError(f"{path}:{ln}: BED needs >=3 columns")
-            out.append((f[0], int(f[1]), int(f[2])))
+            if len(f) >= 3:
+                try:
+                    out.append((f[0], int(f[1]), int(f[2]), f))
+                    continue
+                except ValueError:
+                    pass
+            if f and f[0] in ("track", "browser"):
+                continue
+            raise ValueError(
+                f"{path}:{ln}: BED needs >=3 columns with integer "
+                "coordinates"
+            )
     return out
 
 
@@ -691,9 +705,7 @@ def _unclipped_5p(pos0: int, cigar: str, reverse: bool):
     reads take the reference end plus trailing clips (their 5' end is
     the right edge). Duplicates from the same template get the same
     key even when clipping differs."""
-    import re
-
-    ops = re.findall(r"(\d+)([MIDNSHP=X])", cigar)
+    ops = _cig_ops(cigar)
     if not reverse:
         lead = 0
         for n, op in ops:
@@ -718,47 +730,68 @@ def _unclipped_5p(pos0: int, cigar: str, reverse: bool):
 
 def markdup(records):
     """samtools-markdup-style duplicate flagging over SAM field lists
-    (any order): primary mapped records sharing a template key are
-    grouped; the highest-quality record per group keeps its flags, the
-    rest gain 0x400. Returns (records_with_flags_updated, n_marked).
+    (any order): TEMPLATES sharing a coordinate key are grouped; every
+    record of the best template keeps its flags, every record of the
+    others gains 0x400. Returns (records_with_flags_updated, n_marked).
 
-    Template key, per samtools markdup's model: paired records (both
-    mates mapped) key on (own ref, unclipped 5' pos, own strand,
-    mate ref, mate pos, mate strand) so both mates of a duplicate
-    template mark together; single-end / mate-unmapped records key on
-    (ref, unclipped 5' pos, strand) only. Secondary/supplementary/
-    unmapped records are never marked and never define a group (they
-    pass through untouched); QUAL sum breaks ties (first wins equals),
-    matching the 'best quality original' rule."""
-    groups: dict[tuple, list[int]] = {}
+    Pairs are deduplicated at the template level: both primary mates are
+    found by QNAME in the batch, the template keys on the UNORDERED pair
+    of the mates' (ref, unclipped 5' pos, strand) — each end computed
+    from that mate's OWN CIGAR, so differently-clipped copies of a
+    template still collide (no reliance on PNEXT, which carries the
+    clipped mate POS) — and the survivor is the template with the
+    highest combined QUAL sum, so mates always mark together (the SAM
+    spec's template-level duplicate flag). Single-end reads, singletons
+    (mate unmapped), and paired records whose mate is absent from the
+    batch key on their own end alone, in a separate namespace from
+    pairs. Secondary/supplementary/unmapped records are never marked
+    and never define a group."""
+    def end_key(f, flag):
+        rev = bool(flag & 0x10)
+        return (f[2], _unclipped_5p(int(f[3]) - 1, f[5], rev), rev)
+
+    def qual_sum(f):
+        return (sum(ord(c) - 33 for c in f[10]) if f[10] != "*" else 0)
+
+    mates: dict[tuple, int] = {}  # (qname, is_read1) -> record index
+    for i, f in enumerate(records):
+        flag = int(f[1])
+        if flag & (0x4 | 0x100 | 0x800) or not flag & 0x1 or flag & 0x8:
+            continue
+        mates[(f[0], bool(flag & 0x40))] = i
+
+    # groups: key -> list of (score, order, [record indices of the unit])
+    groups: dict[tuple, list] = {}
+    seen_pair = set()
     for i, f in enumerate(records):
         flag = int(f[1])
         if flag & (0x4 | 0x100 | 0x800):
             continue
-        rev = bool(flag & 0x10)
-        key5 = _unclipped_5p(int(f[3]) - 1, f[5], rev)
+        unit = [i]
         if flag & 0x1 and not flag & 0x8:
-            mate_ref = f[2] if f[6] == "=" else f[6]
-            key = (f[2], key5, rev, bool(flag & 0x40),
-                   mate_ref, int(f[7]), bool(flag & 0x20))
-        else:
-            key = (f[2], key5, rev)
-        groups.setdefault(key, []).append(i)
+            j = mates.get((f[0], not flag & 0x40))
+            if j is not None:
+                if f[0] in seen_pair:
+                    continue  # the template was grouped at its first mate
+                seen_pair.add(f[0])
+                unit = [i, j]
+                g = records[j]
+                key = ("P",) + tuple(
+                    sorted([end_key(f, flag), end_key(g, int(g[1]))])
+                )
+                score = qual_sum(f) + qual_sum(g)
+                groups.setdefault(key, []).append((score, -i, unit))
+                continue
+        key = ("S",) + end_key(f, flag)
+        groups.setdefault(key, []).append((qual_sum(f), -i, unit))
     n_marked = 0
     out = [list(f) for f in records]
-    for idxs in groups.values():
-        if len(idxs) < 2:
+    for units in groups.values():
+        if len(units) < 2:
             continue
-        best = max(
-            idxs,
-            key=lambda i: (
-                sum(ord(c) - 33 for c in records[i][10])
-                if records[i][10] != "*" else 0,
-                -i,  # stable: earliest record wins quality ties
-            ),
-        )
-        for i in idxs:
-            if i != best:
+        units.sort(reverse=True)  # best score first; earliest wins ties
+        for _, _, unit in units[1:]:
+            for i in unit:
                 out[i][1] = str(int(out[i][1]) | 0x400)
                 n_marked += 1
     return out, n_marked
