@@ -812,3 +812,63 @@ def test_cli_markdup(tmp_path, rng, monkeypatch, capsys):
     marked = [l for l in open("m.sam").read().splitlines()
               if not l.startswith("@")]
     assert sum(bool(int(l.split("\t")[1]) & 0x400) for l in marked) == 5
+
+
+def test_markdup_random_differential(rng):
+    """Randomized templates with planted duplicate copies (random
+    clipping, shuffled order): markdup must mark exactly the records a
+    brute-force independent oracle marks — same unclipped-5' math, same
+    template-level best-combined-QUAL rule — and never flag a record of
+    a unique template."""
+    from tpufm.io.bam_index import _unclipped_5p, markdup
+
+    def mk_pair(qname, p1, p2, q1, q2, clip2=0):
+        """FR pair: fwd 20M at p1, rev at p2 (3'-clipped by clip2 with
+        POS shifted so the unclipped 5' stays p2+19)."""
+        c2 = f"{clip2}S{20 - clip2}M" if clip2 else "20M"
+        return [
+            [qname, "99", "c", str(p1 + 1), "60", "20M", "=",
+             str(p2 + clip2 + 1), "60", "A" * 20, chr(33 + q1) * 20],
+            [qname, "147", "c", str(p2 + clip2 + 1), "60", c2, "=",
+             str(p1 + 1), "-60", "A" * 20, chr(33 + q2) * 20],
+        ]
+
+    recs = []
+    truth_groups = []  # lists of template qnames sharing a coordinate key
+    for g in range(12):
+        p1 = int(rng.integers(0, 5000))
+        p2 = p1 + 40
+        n_copies = int(rng.integers(1, 4))
+        quals = [(int(rng.integers(5, 40)), int(rng.integers(5, 40)))
+                 for _ in range(n_copies)]
+        names = []
+        for c, (q1, q2) in enumerate(quals):
+            name = f"g{g}c{c}"
+            names.append((name, q1 + q2))
+            recs += mk_pair(name, p1, p2, q1, q2,
+                            clip2=int(rng.integers(0, 3)))
+        truth_groups.append(names)
+    order = rng.permutation(len(recs))
+    recs = [recs[i] for i in order]
+
+    out, n = markdup(recs)
+    # oracle: per coordinate group, survivors = the max-combined-QUAL
+    # template (earliest in RECORD order on ties — mirror the rule)
+    first_idx = {}
+    for i, f in enumerate(recs):
+        first_idx.setdefault(f[0], i)
+    marked_names = set()
+    expect_marked = 0
+    for names in truth_groups:
+        if len(names) < 2:
+            continue
+        best = max(names, key=lambda nq: (nq[1], -first_idx[nq[0]]))
+        for name, _ in names:
+            if name != best[0]:
+                marked_names.add(name)
+                expect_marked += 2
+    assert n == expect_marked
+    for f in out:
+        assert bool(int(f[1]) & 0x400) == (f[0] in marked_names), f
+    # sanity on the clip math the generator relied on
+    assert _unclipped_5p(100 + 2, "2S18M", True) == 100 + 20 - 1
